@@ -1,0 +1,71 @@
+"""Testdata catalog: typed parquet scans + temp-view registration.
+
+The driver testdata (TESTDATA.md) is the engine's canonical star schema:
+``region nation customer supplier part orders lineitem events documents
+embeddings``. Reading parquet through ``spark.read.parquet`` gives Catalyst
+column pruning + predicate pushdown for free (SURVEY.md §4) — the reference's
+equivalent is a full ``pd.read_csv(dtype=str)`` of every column of every row
+(`02_filter_by_CIN.py:94`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Lazy — no job runs until an action.
+
+    events.ts is TIMESTAMP(NANOS) parquet, which Spark reads as long nanos
+    under `spark.sql.legacy.parquet.nanosAsLong` (session.py); convert to a
+    microsecond timestamp by truncation — bit-identical to DuckDB's
+    TIMESTAMP_NS → TIMESTAMP (µs) coercion.
+    """
+    # Defensive: the driver may pass a session built without the engine's
+    # configs (session.py). Both confs below are runtime-settable and
+    # required for correct/readable results: nanos parquet support and
+    # UTC timestamp semantics for oracle comparison.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # Integer DIV, not float division — nanos exceed double's 53-bit
+        # exact-integer range.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Scan every testdata table present in ``sf_dir``."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view so SQL-form queries can run."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,248 @@
+"""Deduplication operators: exact, order-preserving first-wins, MinHash-LSH,
+SimHash, and n-gram Jaccard near-dup.
+
+Reference parity: the reference dedups by accumulating a Python control list
+and keeping the FIRST occurrence in file order (`02_filter_by_CIN.py:254-268`,
+`03_download_contracts.py:713,799-818`, `04_convert_contracts_to_text.py:147-155`
+— operators A6/A7/J5). `dropDuplicates` alone is nondeterministic about which
+row survives, so the engine's first-wins form is a `row_number()` window over
+an explicit tie-break ordering (SURVEY.md §7 Hard-1).
+
+Scale extensions (no reference counterpart; BASELINE.json:6): MinHash-LSH /
+SimHash / n-gram-Jaccard near-dup for a 100 TB document corpus. All are
+pure-DataFrame compositions (shingle explode → per-seed min-hash agg → band
+bucket join) — no MLlib dependency, no Python in the shuffle path; SimHash
+uses one Arrow-vectorized pandas UDF for the 64-bit sign-aggregation inner
+loop (numpy bit ops), which is a narrow per-row map with no shuffle.
+
+Scale notes:
+- MinHash bands join is an equi-join on (band_id, band_hash) — shuffle keys
+  are uniformly distributed hashes, so no skew; candidate verification is
+  restricted to bucket-colliding pairs (LSH's whole point: no O(n²) pair
+  enumeration).
+- Exact dedup on a hash of the payload (not the payload itself) keeps shuffle
+  rows narrow: 16-byte digest instead of multi-KB documents.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crz_scraper_spark.functions.text import tokens_nonempty
+
+
+def first_wins_dedup(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
+    """Keep the first row per key under an explicit deterministic ordering.
+
+    ≈ the reference's control-list dedup (`02_filter_by_CIN.py:259-268`) where
+    "first" = file order; here the caller names the ordering column(s)
+    (ingest index / primary key), making the pick reproducible across runs
+    and partitionings — `dropDuplicates` does not guarantee that.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def char_shingles(text: Column | str, n: int = 5) -> Column:
+    """Array of lowercase character n-gram shingles (distinct).
+
+    `sequence(1, len-n+1)` + `transform(substring)` stays fully JVM-side; the
+    distinct set is what MinHash needs.
+    """
+    t = F.lower(F.col(text) if isinstance(text, str) else text)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_n: int = 5
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_hashes]) MinHash signature per document.
+
+    Implementation: explode distinct shingles → `xxhash64(shingle, seed_i)`
+    for each of the `num_hashes` seeds → `min()` per seed per doc. One
+    shuffle (the groupBy on id), map-side partial min keeps it light. All
+    hashing is the JVM's xxhash64 — deterministic across runs/partitions.
+    """
+    shingled = docs.select(
+        F.col(id_col), F.explode(char_shingles(text_col, shingle_n)).alias("__sh")
+    )
+    min_cols = [
+        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingled.groupBy(id_col).agg(*min_cols)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via banded LSH on signatures.
+
+    Each signature is cut into `bands` bands of `rows_per_band` hashes; a pair
+    is a candidate iff some band hashes identically. The band bucket join is
+    an equi-join on (band, band_hash) — uniform hash keys, skew-free shuffle,
+    never enumerates O(n²) pairs.
+    """
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), b
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs with estimated Jaccard ≥ threshold.
+
+    Estimated Jaccard = fraction of agreeing MinHash components (the standard
+    unbiased estimator), computed with `zip_with` on the two signatures —
+    no re-shingling of the texts in the verify step.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    cand = minhash_lsh_candidates(sig, id_col, bands, rows)
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    scored = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(num_hashes),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return scored
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64(tokens: pd.Series) -> pd.Series:
+    """64-bit SimHash of a token array — Arrow-batched, numpy inner loop.
+
+    Per-row map (no shuffle); the bit-count aggregation across tokens is the
+    one part of SimHash that built-in columnar functions can't express without
+    a 64-way explode, so it goes to numpy (SURVEY.md §2.9 pattern (b)).
+    """
+    import numpy as np
+
+    def one(toks) -> int:
+        if toks is None or len(toks) == 0:
+            return 0
+        # FNV-1a 64-bit per token, vectorized over the token list.
+        hs = np.zeros(len(toks), dtype=np.uint64)
+        for j, t in enumerate(toks):
+            h = np.uint64(0xCBF29CE484222325)
+            for ch in t.encode("utf-8"):
+                h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+            hs[j] = h
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        v = np.where(bits.sum(axis=0) * 2 >= len(toks), np.uint64(1), np.uint64(0))
+        out = np.uint64(0)
+        for b in range(64):
+            out |= np.uint64(int(v[b]) << b)
+        return int(out.astype(np.int64))
+
+    return tokens.apply(one)
+
+
+def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash: bigint) per document."""
+    return docs.select(
+        F.col(id_col), _simhash64(tokens_nonempty(text_col)).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs whose SimHashes differ in ≤ max_hamming bits.
+
+    Candidate generation blocks on 16-bit quarters of the hash (pigeonhole:
+    any pair within Hamming ≤ 3 agrees on at least one of 4 quarters), so the
+    join is equi on (quarter_id, quarter_value) — no O(n²) scan.
+    """
+    sh = simhash(docs, id_col, text_col)
+    # shiftright needs a literal bit count — build the 4 quarters explicitly.
+    quarters = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.shiftright(F.col("simhash"), q * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("qv"),
+            )
+            for q in range(4)
+        ]
+    )
+    quartered = sh.select(
+        id_col, "simhash", F.explode(quarters).alias("qq")
+    ).select(id_col, "simhash", "qq.q", "qq.qv")
+    a, b = quartered.alias("a"), quartered.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qv") == F.col("b.qv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,150 @@
+"""Similarity search over an embedding column (array<float>).
+
+BASELINE.json:6 scale extension (no reference counterpart). Two paths:
+
+- `cosine_topk` — exact brute-force top-k: broadcast the (small) query set
+  against the full corpus; dot products via `zip_with`+`aggregate` higher-order
+  functions (JVM-side, no Python); top-k per query via a window. At 100 TB the
+  corpus side stays partitioned and is scanned once; the only shuffle is the
+  final per-query top-k (k rows per partition pre-aggregated by the window's
+  partial sort — negligible).
+- `lsh_ann` — approximate path: random-hyperplane (signed random projection)
+  bucketing; only same-bucket pairs are scored. Buckets come from a fixed-seed
+  deterministic plane matrix so results are reproducible. This is the scale
+  path: the candidate join is equi on the bucket signature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns (higher-order
+    functions only — stays in codegen, no UDF)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cos_sim, rank), excluding self-matches.
+    The query side is broadcast (BroadcastNestedLoopJoin): the corpus never
+    shuffles; scoring is a scan. Ties broken by neighbor id for determinism.
+    With `round_to`, similarity is rounded BEFORE ranking so that engines
+    differing in last-ulp summation order produce the identical top-k cut.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    sim = cosine(F.col("__qvec"), F.col("__cvec"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (numpy PCG64, fixed seed)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def bucket_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Signed-random-projection bucket id: one bit per hyperplane."""
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("int")
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket candidates.
+
+    With `n_planes` bits the corpus splits into 2^n buckets; the candidate
+    join is equi on the signature (hash-partitioned, skew-free for isotropic
+    embeddings). Recall < 1.0 by construction — this is the 100 TB path where
+    the exact cross-scan is unaffordable; multi-probe (flipping one bit) is a
+    natural extension.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        bucket_signature(F.col(vec_col), planes).alias("__bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        bucket_signature(F.col(vec_col), planes).alias("__bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qvec"), F.col("__cvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,131 @@
+"""Text-analysis operators for a training-data pipeline: language ID,
+quality scoring, token counting, document fingerprinting.
+
+BASELINE.json:6 scale extensions built on the reference's text machinery
+(tokenizer F13 `05_build_special_dictionary.py:19-38`; per-doc char counts
+A11 `04_tag_text_contracts.py:180-181`). Everything here is built-in column
+expressions — one corpus scan, no shuffle, no Python — so at 100 TB these are
+pure map stages that scale linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crz_scraper_spark.functions.text import tokens_nonempty
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately minimal + deterministic; real deployments swap in fastText.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+}
+
+
+def _stopword_hits(tokens: Column, words: list[str]) -> Column:
+    wordset = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(wordset, t)))
+
+
+def lang_id_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-language stopword-hit scores + argmax language guess.
+
+    Ties resolve to the alphabetically-first language among the max scores
+    (deterministic); zero hits everywhere → 'und' (undetermined).
+    """
+    toks = tokens_nonempty(text_col)
+    out = docs.select(F.col(id_col), toks.alias("__toks"))
+    for lang, words in LANG_STOPWORDS.items():
+        out = out.withColumn(f"score_{lang}", _stopword_hits(F.col("__toks"), words))
+    score_cols = [F.col(f"score_{lang}") for lang in LANG_STOPWORDS]
+    best = F.greatest(*score_cols)
+    guess = F.lit("und")
+    # Build the argmax backwards so earlier (alphabetical) languages win ties.
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        guess = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(guess)
+    return out.withColumn("lang_guess", guess).drop("__toks")
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score per document.
+
+    Features: char count, token count, mean token length, punctuation ratio,
+    stopword ratio, uppercase ratio. Composite = weighted sum clamped to
+    [0, 1]. All closed-form column math (one scan).
+    """
+    t = F.col(text_col)
+    toks = tokens_nonempty(text_col)
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    stopset = F.array(*[F.lit(w) for w in all_stop])
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)).cast("double") / n_tokens,
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0,
+        (n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("double") / n_chars,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tokens > 0,
+        F.size(F.filter(toks, lambda w: F.array_contains(stopset, w))).cast("double")
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    upper_ratio = F.when(
+        n_chars > 0,
+        (n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))).cast("double") / n_chars,
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))) * 0.3
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(upper_ratio, 6).alias("upper_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword token estimate per document.
+
+    `ws_tokens` = whitespace split count; `bpe_ish_tokens` = count of matches
+    of a GPT-2-style pre-tokenizer regex approximation (word pieces, numbers,
+    punctuation runs) via `regexp_count` — a deterministic, JVM-side stand-in
+    for a real BPE vocab."""
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+    bpe = F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+    return docs.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+        (F.length(t) / F.lit(4.0)).alias("chars_div4_est"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprints: md5 of the whitespace-normalized
+    lowercased text (content hash) + xxhash64 (cheap 64-bit shuffle key).
+
+    The content hash dedups exact near-whitespace variants; downstream exact
+    dedup groups by the 16-byte digest instead of multi-KB text (narrow
+    shuffle rows at 100 TB)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("content_md5"),
+        F.xxhash64(norm).alias("content_xxh64"),
+    )

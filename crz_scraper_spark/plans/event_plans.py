@@ -1,0 +1,188 @@
+"""Event-stream plans: tumbling windows, sessionization, JSON props, and the
+Structured Streaming execution of the same semantics (SURVEY.md §2.8, §2.7
+F9/F14; JSON replaces the reference's stringified-list cells per §1's
+Spark mapping — `from_json`/`get_json_object` instead of `ast.literal_eval`,
+`03_download_contracts.py:619-646`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crz_scraper_spark.catalog import load_table
+from crz_scraper_spark.streaming.windows import streaming_tumbling_agg
+
+# ---------------------------------------------------------------------------
+# tumbling_hourly — event-time tumbling window aggregation (batch form).
+# ---------------------------------------------------------------------------
+
+
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+TUMBLING_HOURLY_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# streaming_tumbling_hourly — the SAME semantics executed by Structured
+# Streaming (file source → watermark → windowed agg → memory sink); equal to
+# the batch oracle because complete-mode + processAllAvailable is exhaustive.
+# ---------------------------------------------------------------------------
+
+
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_tumbling_agg(spark, sf_dir, "1 hour", "2 hours")
+
+
+# ---------------------------------------------------------------------------
+# sessionization — gap-based sessions (30 min), the batch window form:
+# lag → gap flag → cumulative session index → per-session rollup
+# (pyspark_guide 'Sessionization'; streaming equivalent is session_window).
+# ---------------------------------------------------------------------------
+
+
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gap arithmetic in exact integer microseconds (`unix_micros` ≡ DuckDB
+    # `epoch_us`) — second-level truncation is engine-dependent at the
+    # boundary; microseconds are lossless for µs-precision timestamps.
+    events = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    with_gap = events.withColumn(
+        "new_session",
+        F.when(us - F.lag(us).over(by_user) > 30 * 60 * 1_000_000, 1)
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return with_gap.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.expr(
+            "(max(unix_micros(ts)) - min(unix_micros(ts))) DIV 1000000"
+        ).alias("duration_sec"),
+    )
+
+
+SESSIONIZATION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*)  AS n_events,
+       min(ts)   AS session_start,
+       max(ts)   AS session_end,
+       (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS duration_sec
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+# ---------------------------------------------------------------------------
+# props_json_rollup — typed JSON access replacing the reference's
+# list-literal cells (F11 → from_json mapping, SURVEY §1).
+# ---------------------------------------------------------------------------
+
+
+def props_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("bigint")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("k").isNotNull(), 1)).alias("n_with_k"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+PROPS_JSON_ROLLUP_SQL = """
+SELECT event_type,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT))      AS sum_k,
+       count(CAST(json_extract(props, '$.k') AS BIGINT))    AS n_with_k,
+       count(*)                                             AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# user_running_totals — analytic window frame (running sum + lag delta):
+# the full Window surface the reference lacks (SURVEY §2.5 note).
+# ---------------------------------------------------------------------------
+
+
+def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_value"),
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 2
+        ).alias("delta_prev"),
+    )
+
+
+USER_RUNNING_TOTALS_SQL = """
+SELECT user_id, event_id, ts,
+       round(sum(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING), 2) AS running_value,
+       round(value - coalesce(lag(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id), 0.0), 2) AS delta_prev
+FROM events
+"""
+
+
+QUERIES: dict = {
+    "tumbling_hourly": (tumbling_hourly, TUMBLING_HOURLY_SQL),
+    "streaming_tumbling_hourly": (streaming_tumbling_hourly, TUMBLING_HOURLY_SQL),
+    "sessionization": (sessionization, SESSIONIZATION_SQL),
+    "props_json_rollup": (props_json_rollup, PROPS_JSON_ROLLUP_SQL),
+    "user_running_totals": (user_running_totals, USER_RUNNING_TOTALS_SQL),
+}

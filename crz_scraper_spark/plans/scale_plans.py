@@ -1,0 +1,183 @@
+"""Scale-extension plans (BASELINE.json:6): similarity search over
+embeddings, near-duplicate detection (MinHash-LSH / SimHash / n-gram
+Jaccard), and multimodal binary-column decode plumbing.
+
+Oracle policy: exact/deterministic numeric ops get full DuckDB oracles
+(cosine top-k, n-gram Jaccard, multimodal metadata); the hash-bucketed
+approximate ops (MinHash-LSH, SimHash, random-projection ANN) depend on
+Spark-side hash functions (xxhash64) with no DuckDB equivalent → rows-only
+checks, flagged as such by omitting the oracle entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crz_scraper_spark.catalog import load_table
+from crz_scraper_spark.functions.text import WORD_SEPARATOR_RE, tokens_nonempty
+from crz_scraper_spark.operators.dedup import (
+    minhash_dedup,
+    simhash_near_pairs,
+)
+from crz_scraper_spark.operators.multimodal import decode_documents
+from crz_scraper_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+# ---------------------------------------------------------------------------
+# cosine_topk_bruteforce — exact ANN baseline: top-5 cosine neighbors for the
+# first 8 vectors, scored against the whole corpus via higher-order
+# functions; ranking on the rounded similarity so Spark's and DuckDB's
+# last-ulp summation differences cannot reorder the cut.
+# ---------------------------------------------------------------------------
+
+
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = cosine_topk(emb, queries, "vec_id", "embedding", k=5, round_to=4)
+    return out
+
+
+COSINE_TOPK_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding, c.embedding), 4) AS cos_sim
+  FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 8
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+# ---------------------------------------------------------------------------
+# ann_lsh_topk — the approximate scale path (signed-random-projection
+# buckets). Deterministic (fixed-seed planes) but xxhash-free; rows-only
+# check because DuckDB has no equivalent of the bucket pipeline.
+# ---------------------------------------------------------------------------
+
+
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    return lsh_ann_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=4, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# minhash_near_dup / simhash_near_dup — LSH near-duplicate candidate+verify
+# pipelines (operators/dedup.py). xxhash64-based → rows-only checks.
+# ---------------------------------------------------------------------------
+
+
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup(
+        docs, "doc_id", "text", num_hashes=32, bands=8, shingle_n=5, threshold=0.5
+    )
+
+
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# ngram_jaccard_consecutive — exact n-gram (word bigram) Jaccard similarity
+# for adjacent doc-id pairs: a linear, fully-SQL-expressible slice of the
+# near-dup surface (the LSH pipelines above are its scale path).
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_nonempty("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select("doc_id", bigrams.alias("sh"))
+    a = sh.alias("a")
+    b = sh.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("sh").alias("sh_b")
+    ).alias("b")
+    return (
+        a.join(b, "doc_id")
+        .select(
+            F.col("doc_id").alias("doc_id_a"),
+            (F.col("doc_id") + 1).alias("doc_id_b"),
+            F.round(
+                F.size(F.array_intersect("sh", "sh_b"))
+                / F.size(F.array_union("sh", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1]))
+              ELSE [] END AS sh
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '{WORD_SEPARATOR_RE}'),
+                       w -> w <> '') AS toks
+    FROM documents
+  )
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+# ---------------------------------------------------------------------------
+# multimodal_decode — binary payload + pandas-UDF decode stub
+# (operators/multimodal.py); metadata is a pure function of the bytes, so it
+# oracle-checks against octet_length/md5 in DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_documents(docs)
+
+
+MULTIMODAL_DECODE_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT)           AS n_bytes,
+       CAST(octet_length(encode(text)) % 1024 AS BIGINT)    AS fake_width,
+       CAST(octet_length(encode(text)) * 7 % 768 AS BIGINT) AS fake_height,
+       'fake/raw'                                           AS fmt,
+       md5(text)                                            AS payload_md5
+FROM documents
+"""
+
+
+QUERIES: dict = {
+    "cosine_topk_bruteforce": (cosine_topk_bruteforce, COSINE_TOPK_SQL),
+    "ann_lsh_topk": (ann_lsh_topk_q, None),
+    "minhash_near_dup": (minhash_near_dup, None),
+    "simhash_near_dup": (simhash_near_dup, None),
+    "ngram_jaccard_consecutive": (ngram_jaccard_consecutive, NGRAM_JACCARD_SQL),
+    "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
+}

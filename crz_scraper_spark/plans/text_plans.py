@@ -1,0 +1,303 @@
+"""Document/text plans: tokenizer, word counts, keyword tagging, subject
+extraction, dictionary-style filters, text-quality analysis, fingerprints.
+
+These re-express the reference's stages 4b/5a/8 (SURVEY.md §2.4 A1–A5, §2.5
+O5, §2.7 F13) over the driver's `documents` table, plus the BASELINE.json
+text-analysis extensions. Where the taxonomy/stopword lists drive BOTH the
+Spark plan and the oracle SQL, the SQL is generated from the same Python
+constant — the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crz_scraper_spark.catalog import load_table
+from crz_scraper_spark.functions.text import (
+    WORD_SEPARATOR_RE,
+    subject_extract,
+    tokens_nonempty,
+)
+from crz_scraper_spark.operators.tagging import DEFAULT_TAXONOMY, _safe, keyword_tag
+from crz_scraper_spark.operators.textquality import (
+    LANG_STOPWORDS,
+    fingerprint,
+    lang_id_scores,
+    quality_score,
+    token_count,
+)
+
+_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '"
+    + WORD_SEPARATOR_RE
+    + "'), w -> w <> '')"
+)
+
+# ---------------------------------------------------------------------------
+# word_frequency — F13 tokenizer + A4 group-count + A5 HAVING floor
+# (`05_build_special_dictionary.py:99-141`: tokenize corpus, count words,
+# keep count > 5 — the special-dictionary builder).
+# ---------------------------------------------------------------------------
+
+
+def word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_nonempty("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 5)
+    )
+
+
+WORD_FREQUENCY_SQL = f"""
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents)
+GROUP BY word
+HAVING count(*) > 5
+"""
+
+# ---------------------------------------------------------------------------
+# keyword_tagging — A1/A2/A3: per-doc non-overlapping substring counts for
+# every keyword, category rollups, grand total — the stage-4b wide table
+# (`04_tag_text_contracts.py:98-178`). SQL is generated from the same
+# DEFAULT_TAXONOMY the Spark operator uses.
+# ---------------------------------------------------------------------------
+
+
+def keyword_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return keyword_tag(docs, "doc_id", "text", DEFAULT_TAXONOMY)
+
+
+def _keyword_tagging_sql() -> str:
+    kw_exprs = []
+    for cat, kws in DEFAULT_TAXONOMY.items():
+        for kw in kws:
+            k = kw.lower()
+            kw_exprs.append(
+                f"CAST((length(t) - length(replace(t, '{k}', ''))) / {len(k)} "
+                f"AS BIGINT) AS kw_{_safe(kw)}"
+            )
+    cat_exprs = []
+    for cat, kws in DEFAULT_TAXONOMY.items():
+        cat_exprs.append(
+            " + ".join(f"kw_{_safe(kw)}" for kw in kws) + f" AS cat_{_safe(cat)}"
+        )
+    total_expr = (
+        " + ".join(
+            f"kw_{_safe(kw)}" for kws in DEFAULT_TAXONOMY.values() for kw in kws
+        )
+        + " AS total_hits"
+    )
+    inner = ",\n       ".join(kw_exprs)
+    outer = ",\n       ".join(["*"] + cat_exprs + [total_expr])
+    return f"""
+SELECT {outer}
+FROM (
+  SELECT doc_id,
+       {inner}
+  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# subject_extract_600 — O5: first-anchor 600-char window
+# (`08_extract_subject.py:42-57`), anchors adapted to the synthetic corpus
+# vocabulary ('customer' primary, 'window' fallback).
+# ---------------------------------------------------------------------------
+
+_ANCHORS = ("customer", "window")
+
+
+def subject_extract_600(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", subject_extract("text", _ANCHORS, 600).alias("subject")
+    )
+
+
+SUBJECT_EXTRACT_600_SQL = f"""
+SELECT doc_id,
+       CASE WHEN pos IS NOT NULL THEN substr(t, pos, 600) END AS subject
+FROM (
+  SELECT doc_id, t,
+         coalesce(nullif(strpos(t, '{_ANCHORS[0]}'), 0),
+                  nullif(strpos(t, '{_ANCHORS[1]}'), 0)) AS pos
+  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+)
+"""
+
+# ---------------------------------------------------------------------------
+# contains_theta_join — P5/J2: substring-containment theta join against a
+# small broadcast reference list (`02_filter_by_CIN.py:205-225`'s resort
+# substring filter, generalized to emit the matching keyword).
+# ---------------------------------------------------------------------------
+
+_THETA_KEYWORDS = ("spark", "vector", "filter")
+
+
+def contains_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kws = spark.createDataFrame(
+        [(k,) for k in _THETA_KEYWORDS], "keyword string"
+    )
+    return docs.join(
+        F.broadcast(kws), F.contains(F.lower(F.col("text")), F.col("keyword")), "inner"
+    ).select("doc_id", "keyword")
+
+
+CONTAINS_THETA_JOIN_SQL = (
+    "SELECT d.doc_id, k.keyword FROM documents d JOIN (VALUES "
+    + ", ".join(f"('{k}')" for k in _THETA_KEYWORDS)
+    + ") k(keyword) ON contains(lower(d.text), k.keyword)"
+)
+
+# ---------------------------------------------------------------------------
+# doc_quality / token_count_stats / doc_fingerprint / lang_id — BASELINE.json
+# text-analysis extensions (operators/textquality.py). SQL mirrors the exact
+# formulas; stopword lists are generated from the same constants.
+# ---------------------------------------------------------------------------
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _doc_quality_sql() -> str:
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    stoplist = "[" + ", ".join(f"'{w}'" for w in all_stop) + "]"
+    return f"""
+SELECT doc_id,
+       n_chars_calc,
+       n_tokens,
+       round(mean_tok_len, 6) AS mean_tok_len,
+       round(punct_ratio, 6)  AS punct_ratio,
+       round(stop_ratio, 6)   AS stop_ratio,
+       round(upper_ratio, 6)  AS upper_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.4
+             + least(stop_ratio * 5.0, 1.0) * 0.3
+             + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3, 6) AS quality_score
+FROM (
+  SELECT doc_id,
+         length(text) AS n_chars_calc,
+         len(toks)    AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, w -> length(w)))::DOUBLE / len(toks)
+              ELSE 0.0 END AS mean_tok_len,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                   / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, w -> list_contains({stoplist}, w)))::DOUBLE
+                   / len(toks)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE
+                   / length(text)
+              ELSE 0.0 END AS upper_ratio
+  FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+)
+"""
+
+
+def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count(load_table(spark, sf_dir, "documents"))
+
+
+TOKEN_COUNT_STATS_SQL = r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))    AS bpe_ish_tokens,
+       length(text) / 4.0 AS chars_div4_est
+FROM documents
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # xxhash64 is Spark-specific — the oracle-checked surface is the md5
+    # content hash; the 64-bit variant stays available on the operator.
+    return fingerprint(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "content_md5"
+    )
+
+
+DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_md5
+FROM documents
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_id_sql() -> str:
+    score_exprs = []
+    for lang, words in LANG_STOPWORDS.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        score_exprs.append(
+            f"len(list_filter(toks, w -> list_contains({lst}, w))) AS score_{lang}"
+        )
+    langs = list(LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    # Alphabetically-first language wins ties (matches the Spark operator's
+    # outermost-when ordering in textquality.lang_id_scores).
+    case = "CASE "
+    for lang in sorted(langs):
+        case += f"WHEN score_{lang} = {best} AND {best} > 0 THEN '{lang}' "
+    case += "ELSE 'und' END AS lang_guess"
+    inner = ",\n         ".join(score_exprs)
+    return f"""
+SELECT doc_id, {', '.join('score_' + l for l in langs)}, {case}
+FROM (
+  SELECT doc_id,
+         {inner}
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact_dedup_groups — BASELINE.json exact dedup: group by the normalized
+# content hash, keep the smallest doc_id (deterministic first-wins analog of
+# A6/A7 at corpus scale; shuffle rows carry the 16-byte digest, not the text).
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        docs.select(F.col("doc_id"), F.md5(norm).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+EXACT_DEDUP_GROUPS_SQL = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_md5,
+       min(doc_id) AS keeper_doc_id,
+       count(*)    AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+QUERIES: dict = {
+    "word_frequency": (word_frequency, WORD_FREQUENCY_SQL),
+    "keyword_tagging": (keyword_tagging, _keyword_tagging_sql()),
+    "subject_extract_600": (subject_extract_600, SUBJECT_EXTRACT_600_SQL),
+    "contains_theta_join": (contains_theta_join, CONTAINS_THETA_JOIN_SQL),
+    "doc_quality": (doc_quality, _doc_quality_sql()),
+    "token_count_stats": (token_count_stats, TOKEN_COUNT_STATS_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "lang_id": (lang_id, _lang_id_sql()),
+    "exact_dedup_groups": (exact_dedup_groups, EXACT_DEDUP_GROUPS_SQL),
+}

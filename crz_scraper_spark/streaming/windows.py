@@ -1,0 +1,114 @@
+"""Streaming window operators over the events table.
+
+The reference has no streaming; its incremental dimension is re-running the
+daily-dump download for new dates (`00_download_CRZ_DB.py:179-220`). The
+engine's streaming surface treats a date-partitioned file drop as a
+Structured Streaming file source — at 100 TB this is the natural "new daily
+dump arrives" consumption model — with event-time watermarks for late data.
+
+Local testing drives a bounded parquet file through the streaming engine with
+a memory sink + `processAllAvailable()`, which makes streaming results
+deterministic and therefore oracle-checkable against the same SQL as the
+batch tumbling aggregation.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ts is declared LongType: the testdata parquet stores TIMESTAMP(NANOS),
+# which Spark reads as long nanos under spark.sql.legacy.parquet.nanosAsLong
+# (session.py); `_events_stream` converts to a µs timestamp on read.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return src.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def streaming_tumbling_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window count/sum per event_type, executed by the
+    streaming engine end-to-end and returned as a bounded DataFrame.
+
+    `complete` output mode + `processAllAvailable()` ⇒ every input row is
+    reflected exactly once, so the result equals the batch `time_bucket`
+    aggregation (the driver's DuckDB oracle).
+    """
+    src = _events_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Materialize: the memory sink table is session-scoped and stable once
+    # the query is stopped.
+    return spark.table(name)
+
+
+def streaming_dedup(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming dropDuplicates on the event key within a watermark
+    (`dropDuplicatesWithinWatermark` — bounded state at 100 TB/day rates):
+    returns the deduplicated bounded result."""
+    src = _events_stream(spark, sf_dir)
+    dedup = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1,0 +1,156 @@
+"""Unit tests for column-expression builders and operators, including the
+reference-semantics traps from SURVEY.md §7 (non-overlapping substring
+counts, first-wins dedup determinism, tokenizer ≡ regex-split)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from crz_scraper_spark.functions.text import (
+    normalize_ws,
+    subject_extract,
+    substring_count,
+    tokens_nonempty,
+)
+from crz_scraper_spark.operators.dedup import (
+    char_shingles,
+    first_wins_dedup,
+    minhash_dedup,
+    simhash,
+)
+from crz_scraper_spark.operators.similarity import cosine, cosine_topk
+
+
+# --- substring_count must equal Python str.count (04_tag_text_contracts.py:118)
+@pytest.mark.parametrize(
+    "text,kw",
+    [
+        ("aaaa", "aa"),          # overlapping candidates -> non-overlapping count 2
+        ("abcabcabc", "abc"),
+        ("Sort the SORT sort", "sort"),
+        ("", "x"),
+        ("no hits here", "zz"),
+        ("ababab", "abab"),      # str.count = 1
+    ],
+)
+def test_substring_count_matches_python(spark, text, kw):
+    df = spark.createDataFrame([Row(t=text)])
+    got = df.select(substring_count("t", kw).alias("c")).first()["c"]
+    assert got == text.lower().count(kw.lower())
+
+
+def test_tokenize_matches_regex_split(spark):
+    import re
+
+    texts = ["Hello,  World! 42", "a-b_c", "", "  ", "čučoriedka Žaba"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r[0] for r in df.select(tokens_nonempty("text")).collect()]
+    pat = re.compile(r"[^a-z0-9áäčďéíľĺňóôŕšťúýž]+")
+    for t, toks in zip(texts, got):
+        expected = [w for w in pat.split(t.lower()) if w != ""]
+        assert toks == expected, t
+
+
+def test_normalize_ws(spark):
+    df = spark.createDataFrame([Row(t="  a \n b\t\tc ")])
+    assert df.select(normalize_ws("t").alias("n")).first()["n"] == "a b c"
+
+
+def test_subject_extract_anchor_priority(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="xx predmet zmluvy: dodávka áut. úvodné ustanovenia tu"),
+            Row(id=2, t="iba úvodné ustanovenia tu"),
+            Row(id=3, t="nič"),
+        ]
+    )
+    out = {
+        r["id"]: r["s"]
+        for r in df.select("id", subject_extract("t").alias("s")).collect()
+    }
+    assert out[1].startswith("predmet zmluvy")  # primary anchor wins
+    assert out[2].startswith("úvodné ustanovenia")  # fallback anchor
+    assert out[3] is None  # no anchor -> NULL
+
+
+def test_first_wins_dedup_deterministic(spark):
+    rows = [
+        Row(k="a", idx=3, v="third"),
+        Row(k="a", idx=1, v="first"),
+        Row(k="a", idx=2, v="second"),
+        Row(k="b", idx=10, v="only"),
+    ]
+    df = spark.createDataFrame(rows).repartition(8)
+    out = first_wins_dedup(df, ["k"], [F.asc("idx")]).collect()
+    got = {r["k"]: r["v"] for r in out}
+    assert got == {"a": "first", "b": "only"}
+
+
+def test_char_shingles(spark):
+    df = spark.createDataFrame([Row(t="abcde")])
+    got = df.select(char_shingles("t", 3).alias("s")).first()["s"]
+    assert got == ["abc", "bcd", "cde"]
+
+
+def test_minhash_finds_exact_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),                     # exact dup
+        Row(doc_id=3, text=base.replace("dog", "cat")),  # near dup
+        Row(doc_id=4, text="completely different content about spark engines"),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_dedup(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert all(4 not in p for p in pairs)
+
+
+def test_simhash_identical_docs_equal(spark):
+    rows = [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="alpha beta gamma")]
+    df = spark.createDataFrame(rows)
+    hashes = [r["simhash"] for r in simhash(df, "doc_id", "text").collect()]
+    assert hashes[0] == hashes[1]
+
+
+def test_cosine_known_value(spark):
+    df = spark.createDataFrame(
+        [Row(a=[1.0, 0.0], b=[1.0, 0.0]), Row(a=[1.0, 0.0], b=[0.0, 1.0])]
+    )
+    got = [r["c"] for r in df.select(F.round(cosine(F.col("a"), F.col("b")), 6).alias("c")).collect()]
+    assert got == [1.0, 0.0]
+
+
+def test_cosine_topk_excludes_self_and_ranks(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1]),
+        Row(vec_id=2, embedding=[0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_filter_monotonicity(spark, sf_dir):
+    """Raising the price threshold never adds rows (SURVEY §5.3)."""
+    from crz_scraper_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lo = orders.filter(F.col("o_totalprice") >= 100000).count()
+    hi = orders.filter(F.col("o_totalprice") >= 200000).count()
+    assert hi <= lo
+
+
+def test_dedup_idempotence(spark, sf_dir):
+    from crz_scraper_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    once = first_wins_dedup(orders, ["o_custkey"], [F.asc("o_orderkey")])
+    twice = first_wins_dedup(once, ["o_custkey"], [F.asc("o_orderkey")])
+    assert once.count() == twice.count()
