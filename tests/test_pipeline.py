@@ -1,0 +1,157 @@
+"""Golden pipeline tests (FIXTURES.md §B/§C): XML dump → typed contracts →
+stage-2 filter ladder with the reference's exact tosslevel taxonomy —
+1=CIN, -1=resort, 2=attachments, 3=price, 4=date, 5=duplicate
+(`02_filter_by_CIN.py:270-298`), plus source/sink roundtrips."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crz_scraper_spark.operators.filtering import stage2_clean, stage2_filter
+from crz_scraper_spark.sources.csv import read_pipe_csv, write_pipe_csv
+from crz_scraper_spark.sources.files import read_text_tree, route_by_extension
+from crz_scraper_spark.sources.xml import (
+    flatten_contracts,
+    read_contracts_xml,
+    split_corrupt,
+)
+
+COMPANIES = ["11111111", "22222222"]
+RESORTS = [["Ministerstvo vnútra"], ["Ministerstvo financií"], ["Úrad vlády"]]
+
+
+def _contract_xml(
+    cid: str,
+    nazov: str = "Zmluva",
+    dodavatel_ico: str = "11111111",
+    objednavatel: str = "Ministerstvo vnútra SR",
+    cena: str = "5000.0",
+    datum: str = "2024-06-01 10:00:00",
+    prilohy: str = "<priloha><nazov>a.pdf</nazov><subor>a.pdf</subor>"
+    "<velkost>100</velkost><odkaz>https://x/a.pdf</odkaz>"
+    "<datum>2024-06-01 10:00:00</datum></priloha>",
+) -> str:
+    return f"""<contract>
+  <nazov>{nazov}</nazov><id>{cid}</id><inner_id>i{cid}</inner_id>
+  <objednavatel_ico>999</objednavatel_ico>
+  <objednavatel>{objednavatel}</objednavatel>
+  <objednavatel_adresa>BA</objednavatel_adresa>
+  <dodavatel_ico>{dodavatel_ico}</dodavatel_ico>
+  <dodavatel>Firma</dodavatel><dodavatel_adresa>KE</dodavatel_adresa>
+  <datum_zverejnenia>{datum}</datum_zverejnenia>
+  <datum_podpisu>{datum}</datum_podpisu>
+  <datum_platnosti>{datum}</datum_platnosti>
+  <datum_ucinnosti>{datum}</datum_ucinnosti>
+  <posledna_zmena>{datum}</posledna_zmena>
+  <cena_konecna>{cena}</cena_konecna><cena_podpisana>{cena}</cena_podpisana>
+  <rezort>MV</rezort><typ>Z</typ><stav>OK</stav>
+  <prilohy>{prilohy}</prilohy>
+</contract>"""
+
+
+@pytest.fixture(scope="module")
+def contracts_df(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("xml")
+    cases = [
+        _contract_xml("1"),  # kept
+        _contract_xml("2", dodavatel_ico="99999999"),  # CIN fail -> 1
+        _contract_xml("3", objednavatel="Obec Horná Dolná"),  # resort -> -1
+        _contract_xml("4", prilohy=""),  # no attachments -> 2
+        # CIN fail AND no attachments: attachments checked last -> reason 2
+        _contract_xml("5", dodavatel_ico="99999999", prilohy=""),
+        _contract_xml("6", cena="99.0"),  # below price threshold -> 3
+        _contract_xml("7", cena="gibberish"),  # unparseable price -> 3
+        _contract_xml("8", datum="2020-01-01 00:00:00"),  # too old -> 4
+        _contract_xml("9", nazov="Dup"),  # kept (first occurrence)
+        _contract_xml("9", nazov="Dup "),  # duplicate after trim -> 5
+        # same (name, id) as a PRICE-REJECTED row is NOT a duplicate
+        _contract_xml("6", cena="5000.0"),  # kept
+    ]
+    (d / "dump.xml").write_text(
+        "<?xml version='1.0' encoding='UTF-8'?>\n<dump>\n"
+        + "\n".join(cases)
+        + "\n</dump>"
+    )
+    df = read_contracts_xml(spark, str(d / "dump.xml"))
+    clean, corrupt = split_corrupt(df)
+    assert corrupt.count() == 0
+    return flatten_contracts(clean)
+
+
+def test_stage2_discard_reasons(spark, contracts_df):
+    out = stage2_filter(
+        contracts_df,
+        COMPANIES,
+        RESORTS,
+        price_min=1000.0,
+        date_min="2024-01-01",
+    )
+    reasons = [
+        r["discard_reason"]
+        for r in out.select("ingest_idx", "discard_reason")
+        .orderBy("ingest_idx")
+        .collect()
+    ]
+    # One entry per fixture case, in file order. Case 5 fails CIN *and*
+    # attachments — attachments is checked last so it reports 2. Case 10 is
+    # the (name, id) duplicate of case 9. Case 11 reuses id=6 whose first
+    # occurrence was price-rejected — rejected rows never enter the control
+    # list, so it is kept, not marked duplicate.
+    assert reasons == [0, 1, -1, 2, 2, 3, 3, 4, 0, 5, 0]
+
+
+def test_stage2_clean_normalizes(spark, contracts_df):
+    out = stage2_clean(
+        stage2_filter(
+            contracts_df, COMPANIES, RESORTS, price_min=1000.0, date_min="2024-01-01"
+        )
+    )
+    assert out.count() == 3  # ids 1, 9 (first), 6 (second valid occurrence)
+    names = [r["nazov"] for r in out.collect()]
+    assert all(n == n.strip() for n in names)
+
+
+def test_resort_early_exit_quirk(spark, contracts_df):
+    """Only the first 3 resort key-columns are consulted (02:214-225)."""
+    four_keys = [["NOMATCH1"], ["NOMATCH2"], ["NOMATCH3"], ["Ministerstvo vnútra"]]
+    out = stage2_filter(contracts_df, COMPANIES, four_keys, price_min=0.0)
+    r1 = out.filter(F.col("id") == "1").first()["discard_reason"]
+    assert r1 == -1  # col 4 would match, but the quirk never reaches it
+    out_full = stage2_filter(
+        contracts_df, COMPANIES, four_keys, price_min=0.0, max_resort_keys=None
+    )
+    assert out_full.filter(F.col("id") == "1").first()["discard_reason"] == 0
+
+
+def test_pipe_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("1", 'va|lue', "te\nxt"), ("2", "plain", "x")], "id string, a string, b string"
+    )
+    out = str(tmp_path / "csv_out")
+    write_pipe_csv(df, out, single_file=True)
+    back = read_pipe_csv(spark, out, all_string=True, multi_line=True)
+    got = {r["id"]: (r["a"], r["b"]) for r in back.collect()}
+    assert got == {"1": ("va|lue", "te\nxt"), "2": ("plain", "x")}
+
+
+def test_text_tree_scan(spark, tmp_path):
+    for cid in ("100", "200"):
+        d = tmp_path / cid
+        d.mkdir()
+        (d / "doc1.txt").write_text(f"content of {cid}")
+        (d / "skip.pdf").write_text("binary-ish")
+    df = read_text_tree(spark, str(tmp_path))
+    rows = {(r["id"], r["filename"]): r["text"] for r in df.collect()}
+    assert rows == {
+        ("100", "doc1.txt"): "content of 100",
+        ("200", "doc1.txt"): "content of 200",
+    }
+
+
+def test_route_by_extension(spark):
+    df = spark.createDataFrame(
+        [("a.PDF",), ("b.docx",), ("c.txt",), ("d.zip",)], "filename string"
+    )
+    got = {r["filename"]: r["route"] for r in route_by_extension(df).collect()}
+    assert got == {"a.PDF": "pdf", "b.docx": "convert", "c.txt": "text", "d.zip": "skip"}
