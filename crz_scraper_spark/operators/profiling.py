@@ -1,0 +1,151 @@
+"""Stage-9 profiling/classification operators (SURVEY.md §2.4 A9/A10, §2.5
+O4): dictionary-based gibberish detection, header detection, numeric/price
+column classification over a long-format cells table, and weighted keyword
+suggestion.
+
+Reference behavior (`09_clean_tables.py`):
+- gibberish column: spellcheck each cell's words; drop column when
+  wrong/(wrong+correct) > 0.75 (09:195-215).
+- header row: first row is the header iff its cells hit > 2 keywords
+  (09:222-241).
+- price/position columns: digit-bearing-row ratio > 0.75 (09:288-301).
+- suggested keywords: header words of accepted columns accumulate the
+  column's hit ratio as a score (09:310-324).
+
+Spark design: everything is a groupBy over a long format (table_id, col,
+row_no, cell) — the reference's per-file pandas loops become one shuffle per
+profile; the dictionary is a broadcast semi-join (J7) instead of per-cell
+Hunspell calls (morphological affix fidelity would need real Hunspell
+handles inside a pandas UDF — SURVEY §7 Hard-3; the wordset approximation
+is used here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crz_scraper_spark.functions.text import tokens_nonempty
+
+
+def oov_profile(
+    docs: DataFrame,
+    dictionary: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gibberish_threshold: float = 0.75,
+) -> DataFrame:
+    """Per-document out-of-vocabulary ratio + gibberish flag (A9+J7).
+
+    `dictionary` is a (word) DataFrame (e.g. the corpus words with count > 5,
+    the stage-5a special dictionary `05_build_special_dictionary.py:136-141`).
+    Tokens left-join the broadcast dictionary; OOV ratio =
+    unmatched / total, gibberish iff ratio > threshold (`09:211`).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_nonempty(text_col)).alias("word")
+    )
+    dic = dictionary.select(
+        F.col(dictionary.columns[0]).alias("word"), F.lit(1).alias("__in_dict")
+    ).distinct()
+    joined = toks.join(F.broadcast(dic), "word", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count(F.when(F.col("__in_dict").isNull(), 1)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_ratio", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+        )
+        .withColumn(
+            "is_gibberish", (F.col("oov_ratio") > gibberish_threshold).cast("int")
+        )
+    )
+
+
+def classify_columns(
+    cells: DataFrame,
+    keywords: list[str],
+    numeric_threshold: float = 0.75,
+    header_threshold: int = 2,
+) -> DataFrame:
+    """Per (table_id, col): empty ratio, digit-row ratio, keyword hits in the
+    header cell, and the resulting classification flags (09:180-301).
+
+    `cells` is long-format (table_id, col, row_no, cell); row_no 0 is the
+    candidate header row.
+    """
+    kws = F.array(*[F.lit(k.lower()) for k in keywords])
+    body = F.col("row_no") > 0
+    cell = F.col("cell")
+    return (
+        cells.groupBy("table_id", "col")
+        .agg(
+            F.count(F.when(body, 1)).alias("n_rows"),
+            F.count(
+                F.when(body & (F.coalesce(F.trim(cell), F.lit("")) == ""), 1)
+            ).alias("n_empty"),
+            F.count(F.when(body & cell.rlike(r"\d"), 1)).alias("n_digit"),
+            F.sum(
+                F.when(
+                    F.col("row_no") == 0,
+                    F.size(
+                        F.filter(
+                            kws, lambda k: F.lower(F.coalesce(cell, F.lit(""))).contains(k)
+                        )
+                    ),
+                ).otherwise(0)
+            ).alias("header_kw_hits"),
+        )
+        .withColumn(
+            "empty_ratio",
+            F.round(F.col("n_empty") / F.greatest(F.col("n_rows"), F.lit(1)), 6),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.round(F.col("n_digit") / F.greatest(F.col("n_rows"), F.lit(1)), 6),
+        )
+        .withColumn("is_empty_col", (F.col("empty_ratio") >= 1.0).cast("int"))
+        .withColumn(
+            "is_numeric_col", (F.col("digit_ratio") > numeric_threshold).cast("int")
+        )
+        .withColumn(
+            "is_header_match", (F.col("header_kw_hits") > header_threshold).cast("int")
+        )
+    )
+
+
+def best_column_per_table(
+    classified: DataFrame, score_col: str = "digit_ratio"
+) -> DataFrame:
+    """O4: top-1 column per table by ratio (09:263-264,309) — deterministic
+    tie-break on column name."""
+    w = Window.partitionBy("table_id").orderBy(F.desc(score_col), F.asc("col"))
+    return (
+        classified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def suggest_keywords(
+    cells: DataFrame, classified: DataFrame, score_col: str = "digit_ratio"
+) -> DataFrame:
+    """A10: header words of qualifying columns accumulate the column score
+    (09:310-324) — explode(header words) + groupBy(word) sum(weight)."""
+    headers = cells.filter(F.col("row_no") == 0).select(
+        "table_id", "col", F.col("cell").alias("header")
+    )
+    scored = headers.join(
+        classified.select("table_id", "col", score_col), ["table_id", "col"]
+    )
+    return (
+        scored.select(
+            F.explode(tokens_nonempty("header")).alias("word"),
+            F.col(score_col).alias("weight"),
+        )
+        .groupBy("word")
+        .agg(F.round(F.sum("weight"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("word"))
+    )

@@ -1,0 +1,335 @@
+"""Additional registry plans: dictionary OOV profiling, grouping-set/cube
+rollups, batch session windows, deterministic distribution stats, exact
+percentiles, month-over-month windows, and streaming dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crz_scraper_spark.catalog import load_table
+from crz_scraper_spark.functions.text import WORD_SEPARATOR_RE, tokens_nonempty
+from crz_scraper_spark.operators.dedup import first_wins_dedup
+from crz_scraper_spark.operators.profiling import oov_profile
+from crz_scraper_spark.operators.tagging import DEFAULT_TAXONOMY, _safe
+from crz_scraper_spark.functions.text import substring_count
+from crz_scraper_spark.streaming.windows import streaming_dedup
+
+_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '"
+    + WORD_SEPARATOR_RE
+    + "'), w -> w <> '')"
+)
+
+# ---------------------------------------------------------------------------
+# dictionary_oov — stage-9 gibberish detection (A9+J7): dictionary = corpus
+# words with count > 5 (the stage-5a special dictionary), OOV ratio per doc,
+# gibberish flag at the reference's 0.75 threshold (09_clean_tables.py:211).
+# ---------------------------------------------------------------------------
+
+
+def dictionary_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dictionary = (
+        docs.select(F.explode(tokens_nonempty("text")).alias("word"))
+        .groupBy("word")
+        .count()
+        .filter(F.col("count") > 5)
+        .select("word")
+    )
+    return oov_profile(docs, dictionary, gibberish_threshold=0.75)
+
+
+DICTIONARY_OOV_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+),
+dict AS (
+  SELECT word FROM toks GROUP BY word HAVING count(*) > 5
+),
+prof AS (
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         count(*) FILTER (WHERE d.word IS NULL) AS n_oov
+  FROM toks t LEFT JOIN dict d ON t.word = d.word
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, n_oov,
+       round(n_oov * 1.0 / n_tokens, 6) AS oov_ratio,
+       CAST(round(n_oov * 1.0 / n_tokens, 6) > 0.75 AS INT) AS is_gibberish
+FROM prof
+"""
+
+# ---------------------------------------------------------------------------
+# keyword_rollup — A2/A3 as a real multi-level rollup: per-(doc, category)
+# keyword hits, per-doc totals, grand total in ONE pass
+# (`04_tag_text_contracts.py:115-119,170-176` did three nested dict loops).
+# ---------------------------------------------------------------------------
+
+
+def keyword_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(cat).alias("category"),
+                substring_count("text", kw).alias("hits"),
+            )
+            for cat, kws in DEFAULT_TAXONOMY.items()
+            for kw in kws
+        ]
+    )
+    long = docs.select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", "p.category", "p.hits")
+    return long.rollup("doc_id", "category").agg(
+        F.sum("hits").alias("hits")
+    )
+
+
+KEYWORD_ROLLUP_SQL_TEMPLATE = """
+WITH long AS (
+{selects}
+)
+SELECT doc_id, category, sum(hits) AS hits
+FROM long
+GROUP BY ROLLUP (doc_id, category)
+"""
+
+
+def _keyword_rollup_sql() -> str:
+    selects = []
+    for cat, kws in DEFAULT_TAXONOMY.items():
+        for kw in kws:
+            k = kw.lower()
+            selects.append(
+                f"  SELECT doc_id, '{cat}' AS category,\n"
+                f"         CAST((length(lower(text)) - length(replace(lower(text), '{k}', '')))"
+                f" / {len(k)} AS BIGINT) AS hits FROM documents"
+            )
+    return KEYWORD_ROLLUP_SQL_TEMPLATE.format(selects="\nUNION ALL\n".join(selects))
+
+
+# ---------------------------------------------------------------------------
+# cube_status_priority — full cube over the two order enums (beyond the
+# reference's two-level rollup; built-in per SURVEY §2.4 note).
+# ---------------------------------------------------------------------------
+
+
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+
+
+CUBE_STATUS_PRIORITY_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+# ---------------------------------------------------------------------------
+# session_window_agg — the built-in session_window operator in batch mode
+# (same gap semantics as the lag/cumsum form at non-boundary gaps; the
+# streaming twin is streaming/windows.py).
+# ---------------------------------------------------------------------------
+
+
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+SESSION_WINDOW_AGG_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+# ---------------------------------------------------------------------------
+# value_stats — deterministic distribution stats: stddev derived from
+# decimal-exact sum/sumsq so the result is partitioning-independent (plain
+# stddev over doubles is summation-order-dependent).
+# ---------------------------------------------------------------------------
+
+
+def value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    s = F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+    s2 = F.sum(
+        (F.col("value").cast("decimal(18,4)") * F.col("value").cast("decimal(18,4)"))
+    ).cast("double")
+    n = F.count("*")
+    return events.groupBy("event_type").agg(
+        n.alias("n"),
+        F.round(s / n, 6).alias("mean_value"),
+        F.round(
+            F.sqrt((s2 - s * s / n) / (n - 1)), 6
+        ).alias("stddev_value"),
+    )
+
+
+VALUE_STATS_SQL = """
+WITH agg AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+         CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       round(s / n, 6) AS mean_value,
+       round(sqrt((s2 - s * s / n) / (n - 1)), 6) AS stddev_value
+FROM agg
+"""
+
+# ---------------------------------------------------------------------------
+# monthly_revenue_growth — date_trunc + lag analytic over months (F9 date
+# machinery + the full window surface).
+# ---------------------------------------------------------------------------
+
+
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(
+            F.col("revenue") - F.coalesce(F.lag("revenue").over(w), F.lit(0.0)), 2
+        ).alias("mom_delta"),
+    )
+
+
+MONTHLY_REVENUE_GROWTH_SQL = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       round(revenue - coalesce(lag(revenue) OVER (ORDER BY month), 0.0), 2) AS mom_delta
+FROM monthly
+"""
+
+# ---------------------------------------------------------------------------
+# brand_part_rollup — broadcast dim join (part) against the fact (lineitem)
+# with exact distinct counting.
+# ---------------------------------------------------------------------------
+
+
+def brand_part_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+BRAND_PART_ROLLUP_SQL = """
+SELECT p.p_brand,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS revenue,
+       count(DISTINCT l.l_partkey) AS n_parts,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+# ---------------------------------------------------------------------------
+# events_dedup_first — A7 first-wins dedup on a business key over events.
+# ---------------------------------------------------------------------------
+
+
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return first_wins_dedup(
+        events,
+        keys=["user_id", "event_type"],
+        order_by=[F.asc("ts"), F.asc("event_id")],
+    ).select("user_id", "event_type", "event_id", "ts")
+
+
+EVENTS_DEDUP_FIRST_SQL = """
+SELECT user_id, event_type, event_id, ts
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+# ---------------------------------------------------------------------------
+# streaming_dedup_events — dropDuplicatesWithinWatermark through the real
+# streaming engine; events ids are unique so the oracle is the identity
+# projection (validates end-to-end streaming plumbing + row fidelity).
+# ---------------------------------------------------------------------------
+
+
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_dedup(spark, sf_dir, watermark="1 hour")
+
+
+STREAMING_DEDUP_EVENTS_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+
+QUERIES: dict = {
+    "dictionary_oov": (dictionary_oov, DICTIONARY_OOV_SQL),
+    "keyword_rollup": (keyword_rollup, _keyword_rollup_sql()),
+    "cube_status_priority": (cube_status_priority, CUBE_STATUS_PRIORITY_SQL),
+    "session_window_agg": (session_window_agg, SESSION_WINDOW_AGG_SQL),
+    "value_stats": (value_stats, VALUE_STATS_SQL),
+    "monthly_revenue_growth": (monthly_revenue_growth, MONTHLY_REVENUE_GROWTH_SQL),
+    "brand_part_rollup": (brand_part_rollup, BRAND_PART_ROLLUP_SQL),
+    "events_dedup_first": (events_dedup_first, EVENTS_DEDUP_FIRST_SQL),
+    "streaming_dedup_events": (streaming_dedup_events, STREAMING_DEDUP_EVENTS_SQL),
+}

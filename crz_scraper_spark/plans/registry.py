@@ -13,12 +13,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from crz_scraper_spark.plans import core_plans, event_plans, scale_plans, text_plans
+from crz_scraper_spark.plans import (
+    core_plans,
+    event_plans,
+    extra_plans,
+    scale_plans,
+    text_plans,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
-for group in (core_plans, text_plans, event_plans, scale_plans):
+for group in (core_plans, text_plans, event_plans, scale_plans, extra_plans):
     for name, entry in group.QUERIES.items():
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
