@@ -63,6 +63,22 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition to the session's parallelism.
+
+    The driver testdata ships each table as ONE small parquet file, which
+    Spark scans as a single partition — compute-heavy per-row operators
+    (shingling, hashing, pandas UDFs, containment scans) then run on one
+    core. A cheap repartition of a few MB unlocks all cores. On a real
+    100 TB input this is unnecessary (file splits provide parallelism) and
+    should be skipped — the helper exists to keep that decision explicit
+    and in one place.
+    """
+    if parallelism is None:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parallelism)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register each table as a temp view so SQL-form queries can run."""
     dfs = load_tables(spark, sf_dir)

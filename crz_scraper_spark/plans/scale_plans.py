@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crz_scraper_spark.catalog import load_table
+from crz_scraper_spark.catalog import fan_out, load_table
 from crz_scraper_spark.functions.text import WORD_SEPARATOR_RE, tokens_nonempty
 from crz_scraper_spark.operators.dedup import (
     minhash_dedup,
@@ -32,7 +32,7 @@ from crz_scraper_spark.operators.similarity import cosine_topk, lsh_ann_topk
 
 
 def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 8)
@@ -65,7 +65,7 @@ WHERE rank <= 5
 
 
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 8)
@@ -79,14 +79,14 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return minhash_dedup(
         docs, "doc_id", "text", num_hashes=32, bands=8, shingle_n=5, threshold=0.5
     )
 
 
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
 
 
@@ -99,19 +99,22 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ngram_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_nonempty("text")
+    # Materialize the token array ONCE per row before the bigram transform:
+    # referencing the tokenizer expression inside the lambda would re-run
+    # split+filter over the whole text for every bigram index (O(n²)/doc —
+    # measured 60s+ at sf0.1 vs ~2s with the named column).
+    toked = fan_out(docs.select("doc_id", tokens_nonempty("text").alias("toks")))
+    t = F.col("toks")
     bigrams = F.when(
-        F.size(toks) >= 2,
+        F.size(t) >= 2,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-                ),
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = docs.select("doc_id", bigrams.alias("sh"))
+    sh = toked.select("doc_id", bigrams.alias("sh"))
     a = sh.alias("a")
     b = sh.select(
         (F.col("doc_id") - 1).alias("doc_id"), F.col("sh").alias("sh_b")
@@ -158,7 +161,7 @@ FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return decode_documents(docs)
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crz_scraper_spark.catalog import load_table
+from crz_scraper_spark.catalog import fan_out, load_table
 from crz_scraper_spark.functions.text import (
     WORD_SEPARATOR_RE,
     subject_extract,
@@ -42,7 +42,7 @@ _TOKS_SQL = (
 
 
 def word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(tokens_nonempty("text")).alias("word"))
         .groupBy("word")
@@ -67,7 +67,7 @@ HAVING count(*) > 5
 
 
 def keyword_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return keyword_tag(docs, "doc_id", "text", DEFAULT_TAXONOMY)
 
 
@@ -140,7 +140,7 @@ _THETA_KEYWORDS = ("spark", "vector", "filter")
 
 
 def contains_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     kws = spark.createDataFrame(
         [(k,) for k in _THETA_KEYWORDS], "keyword string"
     )
