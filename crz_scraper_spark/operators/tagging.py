@@ -78,6 +78,64 @@ def keyword_tag(
     return out.withColumn("total_hits", grand)
 
 
+def keyword_tag_batched(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    taxonomy: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Arrow-batched tagging path for LARGE keyword sets (SURVEY §7 Hard-4).
+
+    The JVM-expression path (`keyword_tag`) emits one codegen'd expression
+    per keyword — ideal up to a few hundred keywords, but expression count
+    grows the generated code linearly and whole-stage codegen falls over
+    around 10³ columns. This variant runs inside `mapInPandas`: per Arrow
+    batch, one C-speed vectorized `Series.str.count` pass per keyword over
+    the lowercased text. Same non-overlapping `str.count` semantics
+    (pandas counts non-overlapping regex matches of the escaped literal —
+    identical to Python `str.count`, `04_tag_text_contracts.py:118`).
+
+    At even larger keyword sets (10⁴+), swap the inner loop for an
+    Aho-Corasick automaton (e.g. the pyahocorasick C extension) with a
+    per-keyword last-match-end guard to preserve the non-overlapping
+    counting rule; the Spark plan (a shuffle-free batched map) is unchanged.
+    """
+    import re
+
+    tax = taxonomy or DEFAULT_TAXONOMY
+    kw_by_cat = {cat: [kw.lower() for kw in kws] for cat, kws in tax.items()}
+    out_schema = (
+        f"{id_col} bigint, "
+        + ", ".join(
+            f"kw_{_safe(kw)} bigint" for kws in tax.values() for kw in kws
+        )
+        + ", "
+        + ", ".join(f"cat_{_safe(cat)} bigint" for cat in tax)
+        + ", total_hits bigint"
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            lower = pdf[text_col].fillna("").str.lower()
+            data = {id_col: pdf[id_col]}
+            cat_totals = {}
+            for cat, kws in kw_by_cat.items():
+                cat_sum = None
+                for kw in kws:
+                    counts = lower.str.count(re.escape(kw)).astype("int64")
+                    data[f"kw_{_safe(kw)}"] = counts
+                    cat_sum = counts if cat_sum is None else cat_sum + counts
+                cat_totals[cat] = cat_sum
+            for cat, s in cat_totals.items():
+                data[f"cat_{_safe(cat)}"] = s
+            data["total_hits"] = sum(cat_totals.values())
+            yield pd.DataFrame(data)
+
+    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
 def tag_rank_filter(
     docs: DataFrame,
     id_col: str = "doc_id",

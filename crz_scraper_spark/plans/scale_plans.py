@@ -20,6 +20,7 @@ from crz_scraper_spark.operators.dedup import (
     minhash_dedup,
     simhash_near_pairs,
 )
+from crz_scraper_spark.operators.extraction import detect_tables, extract_text
 from crz_scraper_spark.operators.multimodal import decode_documents
 from crz_scraper_spark.operators.similarity import cosine_topk, lsh_ann_topk
 
@@ -176,8 +177,36 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# pdf_text_extract / pdf_table_detect — the X1/X5 extraction pipelines over
+# binary payloads (operators/extraction.py; deterministic stubs for the
+# absent poppler/camelot binaries → rows-only checks). The UDTF flat-map
+# shape of table detection (1 doc row → 0..n table rows) is the part Spark
+# must get right regardless of the detector.
+# ---------------------------------------------------------------------------
+
+
+def _doc_binaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.concat(F.col("doc_id").cast("string"), F.lit(".pdf")).alias("filename"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+
+
+def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_text(_doc_binaries(spark, sf_dir))
+
+
+def pdf_table_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return detect_tables(_doc_binaries(spark, sf_dir))
+
+
 QUERIES: dict = {
     "cosine_topk_bruteforce": (cosine_topk_bruteforce, COSINE_TOPK_SQL),
+    "pdf_text_extract": (pdf_text_extract, None),
+    "pdf_table_detect": (pdf_table_detect, None),
     "ann_lsh_topk": (ann_lsh_topk_q, None),
     "minhash_near_dup": (minhash_near_dup, None),
     "simhash_near_dup": (simhash_near_dup, None),

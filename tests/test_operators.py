@@ -1,0 +1,131 @@
+"""Unit tests: extraction UDF plumbing (X1–X5 shapes), batched tagging
+equivalence, natural sort, stage-9 column classification."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from crz_scraper_spark.functions.text import natural_sort_key
+from crz_scraper_spark.operators.extraction import (
+    count_pages,
+    detect_tables,
+    extract_text,
+)
+from crz_scraper_spark.operators.profiling import (
+    best_column_per_table,
+    classify_columns,
+    suggest_keywords,
+)
+from crz_scraper_spark.operators.tagging import (
+    DEFAULT_TAXONOMY,
+    keyword_tag,
+    keyword_tag_batched,
+)
+
+
+@pytest.fixture(scope="module")
+def binaries(spark):
+    rows = [
+        Row(id="1", filename="a.pdf", content=b"x" * 200),
+        Row(id="2", filename="b.pdf", content=b"y" * 64),
+        Row(id="3", filename="c.pdf", content=None),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_extract_text_deterministic(spark, binaries):
+    out1 = {r["id"]: r["text"] for r in extract_text(binaries).collect()}
+    out2 = {r["id"]: r["text"] for r in extract_text(binaries).collect()}
+    assert out1 == out2
+    assert all(t.startswith("extracted text ") for t in out1.values())
+
+
+def test_count_pages(spark, binaries):
+    got = {r["id"]: r["n_pages"] for r in count_pages(binaries).collect()}
+    assert got == {"1": 3, "2": 1, "3": 1}  # 200//64=3, 64//64=1, min 1
+
+
+def test_detect_tables_flatmap_shape(spark, binaries):
+    df = detect_tables(binaries)
+    rows = df.collect()
+    # 0..2 tables per page: output row count differs from input row count
+    # (UDTF flat-map), table_no increments per document, page within range.
+    assert df.columns == [
+        "id", "filename", "page", "table_no", "n_rows", "n_cols", "accuracy"
+    ]
+    for r in rows:
+        assert 1 <= r["page"] <= 3
+        assert r["n_rows"] >= 2 and r["n_cols"] >= 1
+        assert 0.5 <= r["accuracy"] <= 1.0
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["id"], []).append(r["table_no"])
+    for tnos in per_doc.values():
+        assert sorted(tnos) == list(range(1, len(tnos) + 1))
+
+
+def test_keyword_tag_batched_equivalence(spark, sf_dir):
+    """The Arrow-batched large-taxonomy path must produce exactly the same
+    wide table as the JVM-expression path (SURVEY §7 Hard-4)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    a = keyword_tag(docs, "doc_id", "text", DEFAULT_TAXONOMY)
+    b = keyword_tag_batched(docs, "doc_id", "text", DEFAULT_TAXONOMY)
+    assert a.columns == b.columns
+    rows_a = {r["doc_id"]: tuple(r) for r in a.collect()}
+    rows_b = {r["doc_id"]: tuple(r) for r in b.collect()}
+    assert rows_a == rows_b
+
+
+def test_natural_sort_key(spark):
+    df = spark.createDataFrame(
+        [("file10.txt",), ("file2.txt",), ("file1.txt",), ("afile.txt",)],
+        "name string",
+    )
+    got = [
+        r["name"]
+        for r in df.orderBy(natural_sort_key("name"), "name").collect()
+    ]
+    assert got == ["afile.txt", "file1.txt", "file2.txt", "file10.txt"]
+
+
+@pytest.fixture(scope="module")
+def cells(spark):
+    """B5-shaped long-format cells: table t1 has a keyword-rich header, a
+    price column (>75% digits), an empty column; t2 is all text."""
+    rows = []
+
+    def add(table, col, values, header):
+        rows.append(Row(table_id=table, col=col, row_no=0, cell=header))
+        for i, v in enumerate(values, start=1):
+            rows.append(Row(table_id=table, col=col, row_no=i, cell=v))
+
+    add("t1", "c1", ["engineer", "driver", "cook", "welder"], "pozicia praca cena")
+    add("t1", "c2", ["1200", "900", "750", "1100"], "cena spolu")
+    add("t1", "c3", ["", "", "", ""], "poznamka")
+    add("t2", "c1", ["lorem", "ipsum", "dolor", "sit"], "text")
+    return spark.createDataFrame(rows)
+
+
+def test_classify_columns(spark, cells):
+    out = classify_columns(cells, ["pozícia", "pozicia", "cena", "praca"])
+    got = {(r["table_id"], r["col"]): r for r in out.collect()}
+    assert got[("t1", "c2")]["is_numeric_col"] == 1
+    assert got[("t1", "c1")]["is_numeric_col"] == 0
+    assert got[("t1", "c3")]["is_empty_col"] == 1
+    assert got[("t1", "c1")]["header_kw_hits"] == 3  # pozicia+cena+praca
+    assert got[("t1", "c1")]["is_header_match"] == 1
+    assert got[("t2", "c1")]["is_header_match"] == 0
+
+
+def test_best_column_and_suggestions(spark, cells):
+    classified = classify_columns(cells, ["cena"])
+    best = {
+        r["table_id"]: r["col"]
+        for r in best_column_per_table(classified, "digit_ratio").collect()
+    }
+    assert best["t1"] == "c2"
+    sugg = {r["word"]: r["score"] for r in suggest_keywords(cells, classified).collect()}
+    assert sugg["cena"] == 1.0  # header word of the all-digit column
+    assert "spolu" in sugg
