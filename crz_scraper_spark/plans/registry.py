@@ -19,12 +19,20 @@ from crz_scraper_spark.plans import (
     extra_plans,
     scale_plans,
     text_plans,
+    window_plans,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
-for group in (core_plans, text_plans, event_plans, scale_plans, extra_plans):
+for group in (
+    core_plans,
+    text_plans,
+    event_plans,
+    scale_plans,
+    extra_plans,
+    window_plans,
+):
     for name, entry in group.QUERIES.items():
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")

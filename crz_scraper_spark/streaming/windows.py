@@ -90,6 +90,46 @@ def streaming_tumbling_agg(
     return spark.table(name)
 
 
+def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via `applyInPandasWithState`:
+    per-user running event count held in explicit GroupState (the
+    `applyInPandasWithState` surface SURVEY §2.8 mandates for operators the
+    built-in windows can't express). Emits the updated count per user per
+    micro-batch; with the bounded local input (one file → one batch) the
+    emitted rows equal the batch group-count.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        count = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            count += len(pdf)
+        state.update((count,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [count]})
+
+    src = _events_stream(spark, sf_dir)
+    counted = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint",
+        stateStructType="count bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        counted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def streaming_dedup(
     spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
 ) -> DataFrame:
