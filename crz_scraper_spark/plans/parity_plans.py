@@ -1,0 +1,287 @@
+"""Parity plans closing the remaining SURVEY.md §2 inventory rows:
+
+- `tagged_metadata_rank`   — J3 metadata lookup-join + O1 rank + P10 filter
+                             (the full stage-4b chain, `04_tag_text_contracts.py:122-211`)
+- `attachments_explode_sum`— F11 nested attachment arrays, P6 shape predicate,
+                             P12 per-link validity, F6 URL synthesis, A8 size
+                             sums (`03_download_contracts.py:610-689`)
+- `path_derived_metadata_join` — S5 dir-tree path algebra + F7 regexp ID
+                             extraction + P11 extension routing + J4 join
+                             (`07_keyword_tag&filter_tables.py:134-145`)
+- `tables_per_contract`    — A12 page/table counts per contract over the X5
+                             detector output (`06_extract_tables.py:140-254`)
+- `embedding_cosine_near_dup` — BASELINE.json embedding-cosine near-dup:
+                             exact within-block pair verification (label is
+                             the blocking key; `ann_lsh_topk` is the unblocked
+                             scale path)
+
+Scale notes: every query here is shuffle-minimal — the attachment build is
+one groupBy on the natural key; the near-dup join shuffles both sides once on
+the block key (uniform, skew-free); tables_per_contract is a single hash agg
+over the flat-mapped detector output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crz_scraper_spark.catalog import fan_out, load_table
+from crz_scraper_spark.operators.extraction import detect_tables
+from crz_scraper_spark.operators.similarity import cosine
+from crz_scraper_spark.operators.tagging import (
+    DEFAULT_TAXONOMY,
+    _safe,
+    tag_rank_filter,
+)
+from crz_scraper_spark.plans.scale_plans import _doc_binaries
+
+# ---------------------------------------------------------------------------
+# tagged_metadata_rank — J3: per-doc keyword totals joined back to the
+# document metadata row (the reference's `DB_clean.loc[DB_clean['ID'] ==
+# contract]` lookup, `04_tag_text_contracts.py:122-125`), ranked (O1) and
+# zero-hit-filtered (P10). tag_rank_filter is the operator; this query adds
+# the metadata join the reference does row-by-row.
+# ---------------------------------------------------------------------------
+
+
+def tagged_metadata_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    ranked = tag_rank_filter(docs, "doc_id", "text", DEFAULT_TAXONOMY)
+    meta = docs.select("doc_id", "lang", "source", "n_chars")
+    return ranked.select("doc_id", "total_hits").join(meta, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars", "total_hits"
+    )
+
+
+def _tagged_metadata_rank_sql() -> str:
+    total = " + ".join(
+        f"CAST((length(t) - length(replace(t, '{kw.lower()}', ''))) / {len(kw)} AS BIGINT)"
+        for kws in DEFAULT_TAXONOMY.values()
+        for kw in kws
+    )
+    return f"""
+WITH hits AS (
+  SELECT doc_id, {total} AS total_hits
+  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars, h.total_hits
+FROM hits h JOIN documents d USING (doc_id)
+WHERE h.total_hits > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# attachments_explode_sum — the attachment-array algebra end to end:
+# synthesize the nested ArrayType(Struct) cell the engine uses in place of
+# the reference's stringified list literals (SURVEY §1.2), apply the P6
+# shape predicate (`02_filter_by_CIN.py:228-230`: non-empty AND has a live
+# link), explode (F11), keep valid links (P12,
+# `03_download_contracts.py:623-634`: size > 0 AND url present), and sum
+# sizes per contract (A8, `03:632-656`). URLs are synthesized with the
+# reference's base-URL concat (F6, `01_parse_xml.py:151,161`); every 7th
+# part plays the role of a missing link.
+# ---------------------------------------------------------------------------
+
+_ATT_BASE_URL = "https://www.crz.gov.sk/data/att/"
+
+
+def attachments_explode_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    att = F.struct(
+        F.concat(
+            F.lit("att_"), F.col("l_partkey").cast("string"), F.lit(".pdf")
+        ).alias("filename"),
+        F.when(
+            F.col("l_partkey") % 7 != 0,
+            F.concat(F.lit(_ATT_BASE_URL), F.col("l_partkey").cast("string")),
+        ).alias("url"),
+        F.col("l_quantity").cast("long").alias("size"),
+    )
+    arrs = li.groupBy("l_orderkey").agg(F.collect_list(att).alias("attachments"))
+    # P6: discard contracts whose attachment cell is empty or has no link.
+    shaped = arrs.filter(
+        (F.size("attachments") > 0)
+        & F.exists("attachments", lambda a: a["url"].isNotNull())
+    )
+    # F11 explode + P12 per-link validity.
+    links = shaped.select(
+        "l_orderkey", F.explode("attachments").alias("a")
+    ).filter((F.col("a.size") > 0) & F.col("a.url").isNotNull())
+    # A8: per-contract link count + size sum.
+    return links.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count("*").alias("n_links"),
+        F.sum("a.size").alias("total_size"),
+        F.min("a.url").alias("first_url"),
+    )
+
+
+ATTACHMENTS_EXPLODE_SUM_SQL = f"""
+WITH att AS (
+  SELECT l_orderkey,
+         CASE WHEN l_partkey % 7 <> 0
+              THEN '{_ATT_BASE_URL}' || CAST(l_partkey AS VARCHAR) END AS url,
+         CAST(l_quantity AS BIGINT) AS size
+  FROM lineitem
+),
+shaped AS (
+  SELECT l_orderkey FROM att GROUP BY l_orderkey HAVING count(url) > 0
+)
+SELECT a.l_orderkey AS o_orderkey,
+       count(*)     AS n_links,
+       sum(a.size)  AS total_size,
+       min(a.url)   AS first_url
+FROM att a JOIN shaped s USING (l_orderkey)
+WHERE a.size > 0 AND a.url IS NOT NULL
+GROUP BY a.l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# path_derived_metadata_join — the stage-7 pattern: a file inventory keyed
+# only by its path, contract ID recovered by regexp from the directory name
+# (J4, `07_keyword_tag&filter_tables.py:134-145`), files routed by extension
+# (P11, `04_convert_contracts_to_text.py:222-232`), then joined to the
+# metadata table. The path column here is synthesized from doc_id exactly as
+# the corpus layout writes it (`04_convert_contracts_to_text.py:57-64`); the
+# real dir-tree source is sources/files.py (S5).
+# ---------------------------------------------------------------------------
+
+
+def path_derived_metadata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    paths = docs.select(
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("contracts_text/"), sid, F.lit("/file_"), sid, F.lit(".txt")
+                ),
+                F.concat(
+                    F.lit("contracts_text/"), sid, F.lit("/file_"), sid, F.lit(".pdf")
+                ),
+            )
+        ).alias("path")
+    )
+    inv = paths.select(
+        "path",
+        F.regexp_extract("path", r"contracts_text/(\d+)/", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.when(F.lower("path").endswith(".txt"), F.lit("text"))
+        .when(F.lower("path").endswith(".pdf"), F.lit("pdf"))
+        .otherwise(F.lit("other"))
+        .alias("kind"),
+    )
+    per_doc = inv.groupBy("doc_id").agg(
+        F.count("*").alias("n_files"),
+        F.count(F.when(F.col("kind") == "text", 1)).alias("n_text"),
+        F.count(F.when(F.col("kind") == "pdf", 1)).alias("n_pdf"),
+    )
+    meta = docs.select("doc_id", "lang", "n_chars")
+    return per_doc.join(meta, "doc_id")
+
+
+PATH_DERIVED_METADATA_JOIN_SQL = r"""
+WITH paths AS (
+  SELECT unnest([
+    'contracts_text/' || CAST(doc_id AS VARCHAR) || '/file_' || CAST(doc_id AS VARCHAR) || '.txt',
+    'contracts_text/' || CAST(doc_id AS VARCHAR) || '/file_' || CAST(doc_id AS VARCHAR) || '.pdf'
+  ]) AS path
+  FROM documents
+),
+inv AS (
+  SELECT CAST(regexp_extract(path, 'contracts_text/(\d+)/', 1) AS BIGINT) AS doc_id,
+         CASE WHEN lower(path) LIKE '%.txt' THEN 'text'
+              WHEN lower(path) LIKE '%.pdf' THEN 'pdf'
+              ELSE 'other' END AS kind
+  FROM paths
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_files,
+         count(*) FILTER (WHERE kind = 'text') AS n_text,
+         count(*) FILTER (WHERE kind = 'pdf')  AS n_pdf
+  FROM inv GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_files, p.n_text, p.n_pdf, d.lang, d.n_chars
+FROM per_doc p JOIN documents d USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# tables_per_contract — A12: per-contract table/page statistics over the X5
+# flat-map output (`06_extract_tables.py:242-254` maintains Pocet_stran /
+# Pocet_tabuliek / Tabulky_strany columns). One hash agg; the pages list is
+# the reference's Tabulky_strany array, sorted for determinism. Rows-only
+# check: the detector is the deterministic stub (camelot absent).
+# ---------------------------------------------------------------------------
+
+
+def tables_per_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    det = detect_tables(_doc_binaries(spark, sf_dir))
+    return det.groupBy("id").agg(
+        F.count("*").alias("n_tables"),
+        F.countDistinct("page").alias("n_pages_with_tables"),
+        F.array_join(
+            F.sort_array(F.collect_set("page")).cast("array<string>"), ","
+        ).alias("table_pages"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_cosine_near_dup — exact embedding-cosine near-duplicate pairs
+# within a blocking key (label). The join shuffles both sides once on the
+# uniform block key, so candidate pairs are bounded per block — the pattern
+# that scales to 100 TB when the block key is an LSH bucket (see
+# `ann_lsh_topk` / operators/similarity.py). Dot products run JVM-side via
+# higher-order functions; summation order is the sequential array order on
+# both engines, so the oracle match is exact.
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    return pairs.select(
+        F.col("a.label").alias("label"),
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(cosine(F.col("a.emb"), F.col("b.emb")), 4).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= 0.35)
+
+
+EMBEDDING_COSINE_NEAR_DUP_SQL = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+)
+SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.35
+"""
+
+
+QUERIES: dict = {
+    "tagged_metadata_rank": (tagged_metadata_rank, _tagged_metadata_rank_sql()),
+    "attachments_explode_sum": (
+        attachments_explode_sum,
+        ATTACHMENTS_EXPLODE_SUM_SQL,
+    ),
+    "path_derived_metadata_join": (
+        path_derived_metadata_join,
+        PATH_DERIVED_METADATA_JOIN_SQL,
+    ),
+    "tables_per_contract": (tables_per_contract, None),
+    "embedding_cosine_near_dup": (
+        embedding_cosine_near_dup,
+        EMBEDDING_COSINE_NEAR_DUP_SQL,
+    ),
+}

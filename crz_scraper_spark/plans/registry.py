@@ -17,6 +17,7 @@ from crz_scraper_spark.plans import (
     core_plans,
     event_plans,
     extra_plans,
+    parity_plans,
     scale_plans,
     text_plans,
     window_plans,
@@ -32,6 +33,7 @@ for group in (
     scale_plans,
     extra_plans,
     window_plans,
+    parity_plans,
 ):
     for name, entry in group.QUERIES.items():
         if name in REGISTRY:
