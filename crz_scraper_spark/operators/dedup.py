@@ -141,7 +141,12 @@ def minhash_dedup(
     no re-shingling of the texts in the verify step.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    # The signature table feeds three consumers (banding + both sides of the
+    # verify join). Persist it: signatures are num_hashes×8 bytes per doc —
+    # at 100 TB corpus scale that's GBs, not TBs — and without the persist
+    # the shingle-explode + 32-way min agg (the expensive pass over the full
+    # corpus) runs three times.
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n).persist()
     cand = minhash_lsh_candidates(sig, id_col, bands, rows)
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -211,7 +216,10 @@ def simhash_near_pairs(
     any pair within Hamming ≤ 3 agrees on at least one of 4 quarters), so the
     join is equi on (quarter_id, quarter_value) — no O(n²) scan.
     """
-    sh = simhash(docs, id_col, text_col)
+    # Both sides of the quarter join descend from this DF; persist so the
+    # pandas-UDF SimHash (the expensive full-corpus pass) runs once, not
+    # twice. 16 bytes per doc — negligible cache footprint at any scale.
+    sh = simhash(docs, id_col, text_col).persist()
     # shiftright needs a literal bit count — build the 4 quarters explicitly.
     quarters = F.array(
         *[
