@@ -74,3 +74,110 @@ def decode_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
     )
     return binary.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize / frame-sample / feature-extract — the remaining multimodal verbs a
+# training-data pipeline needs. Same posture as decode: the media libraries
+# (PIL/ffmpeg) are absent, so the pixel/codec work is a clearly-marked
+# deterministic FAKE, while the Spark plumbing — schemas, binary columns,
+# 1:1 vs flat-map shape, Arrow batch handling — is real and tested.
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = "doc_id bigint, width int, height int, thumb binary"
+
+
+def resize_images(
+    binary: DataFrame, width: int = 64, height: int = 64
+) -> DataFrame:
+    """1:1 binary→binary map: (doc_id, payload) → fixed-size thumbnail.
+
+    STUB resize: the "thumbnail" is the payload truncated/cycled to
+    width*height//8 bytes — a deterministic stand-in for
+    `PIL.Image.resize((w, h))`. The contract a real swap-in keeps: binary in,
+    binary out, no shuffle, size bounded by the target dims not the input.
+    """
+    target = max(width * height // 8, 1)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            thumbs = []
+            for p in pdf["payload"]:
+                p = p if p else b"\0"
+                reps = (target + len(p) - 1) // len(p)
+                thumbs.append((p * reps)[:target])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "thumb": thumbs,
+                }
+            )
+
+    return binary.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_no int, ts_ms bigint, frame binary"
+
+
+def sample_frames(binary: DataFrame, fps_divisor: int = 10) -> DataFrame:
+    """Flat-map (UDTF shape): one video payload → 0..n sampled frame rows.
+
+    STUB sampling: frame count = payload_length % 7 (a deterministic stand-in
+    for ffmpeg's keyframe walk); each "frame" is a 16-byte slice. The shape is
+    the load-bearing part — one input row emitting a variable number of
+    output rows through `mapInPandas`, exactly the X5 table-detection pattern
+    (`06_extract_tables.py:197-220`).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"doc_id": [], "frame_no": [], "ts_ms": [], "frame": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = p if p is not None else b""
+                n_frames = len(p) % 7
+                for i in range(n_frames):
+                    start = (i * len(p)) // max(n_frames, 1)
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(i)
+                    out["ts_ms"].append(i * 1000 * fps_divisor)
+                    out["frame"].append(p[start : start + 16])
+            yield pd.DataFrame(out)
+
+    return binary.mapInPandas(batches, FRAMES_SCHEMA)
+
+
+FEATURES_SCHEMA = "doc_id bigint, frame_no int, feature array<float>"
+
+
+def extract_features(frames: DataFrame, dim: int = 16) -> DataFrame:
+    """Per-frame embedding: binary → array<float>[dim], numpy-vectorized.
+
+    STUB featurizer: bytes are hashed into a deterministic float vector (a
+    stand-in for a vision encoder). Output feeds the similarity-search
+    operators (operators/similarity.py) unchanged — binary column in,
+    embedding column out is the whole multimodal→ANN bridge.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in it:
+            feats = []
+            for p in pdf["frame"]:
+                p = p if p is not None else b""
+                seed = int.from_bytes(hashlib.md5(p).digest()[:8], "big")
+                rng = np.random.default_rng(seed)
+                feats.append(rng.standard_normal(dim).astype("float32"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_no": pdf["frame_no"],
+                    "feature": feats,
+                }
+            )
+
+    return frames.mapInPandas(batches, FEATURES_SCHEMA)

@@ -21,7 +21,11 @@ from crz_scraper_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from crz_scraper_spark.operators.extraction import detect_tables, extract_text
-from crz_scraper_spark.operators.multimodal import decode_documents
+from crz_scraper_spark.operators.multimodal import (
+    decode_documents,
+    extract_features,
+    sample_frames,
+)
 from crz_scraper_spark.operators.similarity import cosine_topk, lsh_ann_topk
 
 # ---------------------------------------------------------------------------
@@ -195,6 +199,33 @@ def _doc_binaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal chain: binary payload → frame flat-map → per-frame
+    embedding → per-doc rollup. Media codecs are deterministic stubs
+    (operators/multimodal.py); the Spark plumbing — flat-map cardinality,
+    binary columns, array<float> features feeding the ANN operators — is
+    real. Rows-only check (hash-seeded stub features have no SQL analog)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    binary = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    frames = sample_frames(binary)
+    feats = extract_features(frames)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("feature"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return feats.select("doc_id", "frame_no", norm.alias("feat_norm")).groupBy(
+        "doc_id"
+    ).agg(
+        F.count("*").alias("n_frames"),
+        F.round(F.avg("feat_norm"), 4).alias("avg_feat_norm"),
+    )
+
+
 def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_text(_doc_binaries(spark, sf_dir))
 
@@ -212,4 +243,5 @@ QUERIES: dict = {
     "simhash_near_dup": (simhash_near_dup, None),
     "ngram_jaccard_consecutive": (ngram_jaccard_consecutive, NGRAM_JACCARD_SQL),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
+    "multimodal_frame_features": (multimodal_frame_features, None),
 }
