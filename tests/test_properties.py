@@ -1,0 +1,102 @@
+"""Property tests (SURVEY.md §5.3): dedup idempotence, filter monotonicity,
+tokenizer ≡ regex-split, substring-count ≡ Python str.count.
+
+Hypothesis drives the inputs; each example round-trips one small DataFrame
+through Spark, so example counts are kept low and deadlines off (a Spark job
+is milliseconds of compute but ~100 ms of scheduling)."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from crz_scraper_spark.functions.text import (
+    WORD_SEPARATOR_RE,
+    substring_count,
+    tokens_nonempty,
+)
+from crz_scraper_spark.operators.dedup import first_wins_dedup
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# Slovak-ish alphabet plus separators/punctuation the reference sees.
+_text = st.text(
+    alphabet="aáäbcčdďeé fghiíjklĺľmnňoóôpqrŕsštťuúvwxyýzž 0123456789.,;|-\n\t",
+    max_size=120,
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_text, min_size=1, max_size=12))
+def test_tokenizer_matches_regex_split(spark, texts):
+    """F13: the Spark tokenizer ≡ Python lower + regex-split + drop-empty."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r.i: r.toks
+        for r in df.select("i", tokens_nonempty("t").alias("toks")).collect()
+    }
+    for i, t in enumerate(texts):
+        expected = [w for w in re.split(WORD_SEPARATOR_RE, t.lower()) if w != ""]
+        assert got[i] == expected, (t, got[i], expected)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_text, min_size=1, max_size=8), st.sampled_from(["ab", "a", ".,", "xy"]))
+def test_substring_count_matches_str_count(spark, texts, needle):
+    """A1: the length-difference identity ≡ Python's non-overlapping
+    str.count, both sides casefolded (04_tag_text_contracts.py:118)."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r.i: r.c
+        for r in df.select("i", substring_count("t", needle).alias("c")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == t.lower().count(needle.lower()), (t, needle)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 5)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_first_wins_dedup_idempotent_and_deterministic(spark, rows):
+    """A6/J5: dedup twice ≡ dedup once; survivor per key is the minimum
+    under the explicit ordering regardless of input partitioning."""
+    df = spark.createDataFrame(rows, "k int, v int, tie int").repartition(4)
+    once = first_wins_dedup(df, keys=["k"], order_by=[F.asc("v"), F.asc("tie")])
+    twice = first_wins_dedup(once, keys=["k"], order_by=[F.asc("v"), F.asc("tie")])
+    got_once = sorted(map(tuple, once.collect()))
+    got_twice = sorted(map(tuple, twice.collect()))
+    assert got_once == got_twice
+    expected = {}
+    for k, v, tie in rows:
+        if k not in expected or (v, tie) < expected[k]:
+            expected[k] = (v, tie)
+    assert got_once == sorted((k, v, t) for k, (v, t) in expected.items())
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.floats(0, 1000, allow_nan=False), min_size=1, max_size=30),
+    st.floats(0, 500, allow_nan=False),
+    st.floats(0, 500, allow_nan=False),
+)
+def test_price_filter_monotonic(spark, prices, t1, t2):
+    """P7: raising the threshold never adds rows (02_filter_by_CIN.py:236)."""
+    lo, hi = sorted([t1, t2])
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(prices)], "i int, price double"
+    )
+    keep_lo = {r.i for r in df.filter(F.col("price") >= lo).collect()}
+    keep_hi = {r.i for r in df.filter(F.col("price") >= hi).collect()}
+    assert keep_hi <= keep_lo
