@@ -148,3 +148,84 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    round_to: int | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means-partition the corpus
+    into `nlist` cells, score queries only against their `nprobe` nearest
+    cells.
+
+    The index build is MLlib k-means (fixed seed, deterministic); corpus
+    vectors carry their cell id, so the candidate join is equi on the cell —
+    hash-partitioned, skew bounded by cell sizes. Probing: the centroid
+    table is tiny (nlist × dim) and broadcast; each query picks its nprobe
+    closest centroids by squared euclidean (the metric k-means optimized).
+    With nprobe == nlist the search is exhaustive and equals `cosine_topk`
+    exactly — the recall knob is explicit.
+
+    100 TB posture: train on a sample (`.fit` over a `.sample(...)` —
+    k-means cost is per-training-row, independent of corpus size), assign
+    the full corpus in one scan, write cell id as a partition/bucket column
+    so repeated searches prune to nprobe cells at the parquet level.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cvec"),
+    ).withColumn("__fv", array_to_vector("__cvec"))
+    model = KMeans(
+        k=nlist, seed=seed, featuresCol="__fv", predictionCol="__cell"
+    ).fit(c)
+    assigned = model.transform(c).select("neighbor_id", "__cvec", "__cell")
+
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "__cell int, __centroid array<double>",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.asc("__d2"), F.asc("__cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__d2", _sq_dist(F.col("__qvec"), F.col("__centroid")))
+        .withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "__qvec", "__cell")
+    )
+    sim = cosine(F.col("__qvec"), F.col("__cvec"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    scored = (
+        assigned.join(F.broadcast(probes), "__cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

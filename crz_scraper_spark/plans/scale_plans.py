@@ -26,7 +26,11 @@ from crz_scraper_spark.operators.multimodal import (
     extract_features,
     sample_frames,
 )
-from crz_scraper_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from crz_scraper_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_ann_topk,
+)
 
 # ---------------------------------------------------------------------------
 # cosine_topk_bruteforce — exact ANN baseline: top-5 cosine neighbors for the
@@ -75,6 +79,20 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.filter(F.col("vec_id") < 8)
     return lsh_ann_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=4, dim=64)
+
+
+def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF variant of the ANN scale path (k-means cells + nprobe probing;
+    operators/similarity.py::ivf_topk). Rows-only check: the k-means
+    partition depends on MLlib's parallel init, which has no SQL analog;
+    tests/test_operators.py proves nprobe=nlist ≡ exact brute force."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, nlist=8, nprobe=2, round_to=4
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -239,6 +257,7 @@ QUERIES: dict = {
     "pdf_text_extract": (pdf_text_extract, None),
     "pdf_table_detect": (pdf_table_detect, None),
     "ann_lsh_topk": (ann_lsh_topk_q, None),
+    "ann_ivf_topk": (ivf_ann_topk_q, None),
     "minhash_near_dup": (minhash_near_dup, None),
     "simhash_near_dup": (simhash_near_dup, None),
     "ngram_jaccard_consecutive": (ngram_jaccard_consecutive, NGRAM_JACCARD_SQL),

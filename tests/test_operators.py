@@ -129,3 +129,22 @@ def test_best_column_and_suggestions(spark, cells):
     sugg = {r["word"]: r["score"] for r in suggest_keywords(cells, classified).collect()}
     assert sugg["cena"] == 1.0  # header word of the all-digit column
     assert "spolu" in sugg
+
+
+def test_ivf_exhaustive_probe_equals_bruteforce(spark, sf_dir):
+    """ivf_topk with nprobe == nlist scans every cell — must equal the exact
+    brute-force top-k (same rounding, same tie-breaks). The recall knob is
+    nprobe; exhaustive probing removes the approximation entirely."""
+    from pyspark.sql import functions as F
+
+    from crz_scraper_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5, round_to=4)
+    ivf = ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, nlist=4, nprobe=4, round_to=4
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, ivf.collect()))
