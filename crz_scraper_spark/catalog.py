@@ -59,7 +59,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            # Route through load_table: it sets the defensive runtime confs
+            # (nanos parquet, UTC) a driver-built vanilla session lacks —
+            # reading events.parquet directly here breaks such sessions.
+            out[name] = load_table(spark, sf_dir, name)
     return out
 
 

@@ -466,8 +466,42 @@ GROUP BY col_name
 """
 
 
+# ---------------------------------------------------------------------------
+# sql_shipping_priority — the declarative SQL surface: ONE ANSI string (TPC-H
+# Q3 shape) executed verbatim by BOTH `spark.sql` over registered views and
+# the DuckDB oracle. The reference has no query language (SURVEY §3); this is
+# the engine's `spark.sql(...)` entry point working end to end — parser →
+# Catalyst → same physical join/agg plans the DataFrame form gets.
+# Deterministic top-10: ties broken by o_orderkey.
+# ---------------------------------------------------------------------------
+
+SQL_SHIPPING_PRIORITY = """
+SELECT o.o_orderkey,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_shipdate  > TIMESTAMP '1997-01-01'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey ASC
+LIMIT 10
+"""
+
+
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_SHIPPING_PRIORITY)
+
+
 QUERIES: dict = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "sql_shipping_priority": (sql_shipping_priority, SQL_SHIPPING_PRIORITY),
     "stage2_contract_filter": (stage2_contract_filter, STAGE2_CONTRACT_FILTER_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
     "top_orders_per_customer": (top_orders_per_customer, TOP_ORDERS_PER_CUSTOMER_SQL),

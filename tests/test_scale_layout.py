@@ -75,3 +75,23 @@ def test_broadcast_threshold_respected(spark, sf_dir):
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     plan = _plan(li.join(part, li.l_partkey == part.p_partkey))
     assert "BroadcastHashJoin" in plan
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """salted_join ≡ plain join on results; the replicated side shows up as
+    a Generate (explode) in the plan and the join key includes the salt."""
+    from crz_scraper_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    salted = salted_join(li.hint("merge"), orders, "l_orderkey", "o_orderkey", salt=4)
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    assert salted.count() == plain.count()
+    got = sorted(map(tuple, salted.collect()))
+    want = sorted(map(tuple, plain.collect()))
+    assert got == want
+    assert "__salt" not in salted.columns
