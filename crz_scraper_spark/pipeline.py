@@ -1,0 +1,86 @@
+"""End-to-end pipeline compositions — the one-call replacements for the
+reference's script chains (SURVEY.md §3's three entry paths).
+
+A user of the reference runs `01_parse_xml.py` → `02_filter_by_CIN.py` by
+hand, then `04_tag_text_contracts.py` → `08_extract_subject.py`; here each
+chain is one lazy DataFrame composition (a single Catalyst plan per output)
+built from the same operators the named `queries()` expose individually.
+
+Every function is pure DataFrame-in/DataFrame-out — callers pick the sink
+(`write.parquet` between stages in production; `sources/csv.py` for the
+reference's pipe-CSV edges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crz_scraper_spark.functions.text import subject_extract
+from crz_scraper_spark.operators.filtering import stage2_clean, stage2_filter
+from crz_scraper_spark.operators.tagging import DEFAULT_TAXONOMY, tag_rank_filter
+from crz_scraper_spark.operators.textquality import lang_id_scores, quality_score
+from crz_scraper_spark.sources.xml import (
+    flatten_contracts,
+    read_contracts_xml,
+    split_corrupt,
+)
+
+
+def contracts_pipeline(
+    spark: SparkSession,
+    xml_path: str,
+    company_cins: list[str],
+    resort_names_by_key: list[list[str]],
+    price_min: float = 0.0,
+    date_min: str | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Entry 1 (stages 0→1→2, `SURVEY.md §3`): XML dump → typed contracts →
+    filter ladder → clean table.
+
+    Returns (clean, audit, corrupt): `clean` is the survivors with final
+    normalization (≈ CRZ_DB_clean.csv); `audit` is every parsed row with its
+    `discard_reason` (the reference only printed these,
+    `02_filter_by_CIN.py:270-298`); `corrupt` is the unparseable-record
+    routing (≈ Corrupted_XML_files/).
+    """
+    parsed = read_contracts_xml(spark, xml_path)
+    ok, corrupt = split_corrupt(parsed)
+    flat = flatten_contracts(ok)
+    audit = stage2_filter(
+        flat,
+        company_cins,
+        resort_names_by_key,
+        price_min=price_min,
+        date_min=date_min,
+    )
+    clean = stage2_clean(audit)
+    return clean, audit, corrupt
+
+
+def documents_pipeline(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    taxonomy: dict[str, list[str]] | None = None,
+    anchors: tuple[str, ...] = ("predmet zmluvy", "úvodné ustanovenia"),
+    subject_width: int = 600,
+) -> DataFrame:
+    """Entry 2 (stages 4b→8 plus the text-analysis extensions): per-document
+    keyword tagging + ranking + zero-hit filter (`tag_rank_filter`), subject
+    window (O5), quality score and language guess — one wide result, one
+    pass over the corpus text (all scalar expressions; the only shuffle is
+    the ranking sort).
+    """
+    taxonomy = taxonomy or DEFAULT_TAXONOMY
+    tagged = tag_rank_filter(docs, id_col, text_col, taxonomy)
+    subjects = docs.select(
+        F.col(id_col),
+        subject_extract(text_col, anchors, subject_width).alias("subject"),
+    )
+    quality = quality_score(docs, id_col, text_col).select(id_col, "quality_score")
+    langs = lang_id_scores(docs, id_col, text_col).select(id_col, "lang_guess")
+    return tagged.join(subjects, id_col).join(quality, id_col).join(langs, id_col)
+
+
+__all__ = ["contracts_pipeline", "documents_pipeline"]

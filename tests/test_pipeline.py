@@ -155,3 +155,49 @@ def test_route_by_extension(spark):
     )
     got = {r["filename"]: r["route"] for r in route_by_extension(df).collect()}
     assert got == {"a.PDF": "pdf", "b.docx": "convert", "c.txt": "text", "d.zip": "skip"}
+
+
+def test_contracts_pipeline_end_to_end(spark, tmp_path):
+    """pipeline.contracts_pipeline: XML file → (clean, audit, corrupt) in
+    one call — same semantics as the staged fixtures above."""
+    from crz_scraper_spark.pipeline import contracts_pipeline
+
+    cases = [
+        _contract_xml("1"),
+        _contract_xml("2", dodavatel_ico="99999999"),  # CIN fail
+        _contract_xml("3", cena="50.0"),  # price fail
+    ]
+    p = tmp_path / "dump.xml"
+    p.write_text(
+        "<?xml version='1.0' encoding='UTF-8'?>\n<dump>\n"
+        + "\n".join(cases)
+        + "\n</dump>"
+    )
+    clean, audit, corrupt = contracts_pipeline(
+        spark,
+        str(p),
+        company_cins=COMPANIES,
+        resort_names_by_key=RESORTS,
+        price_min=100.0,
+        date_min="2024-01-01 00:00:00",
+    )
+    assert corrupt.count() == 0
+    reasons = {r.id: r.discard_reason for r in audit.collect()}
+    assert reasons == {"1": 0, "2": 1, "3": 3}
+    assert [r.id for r in clean.collect()] == ["1"]
+
+
+def test_documents_pipeline_end_to_end(spark, sf_dir):
+    """pipeline.documents_pipeline: tagged+ranked docs with subject,
+    quality, and language columns in one composition."""
+    from crz_scraper_spark.pipeline import documents_pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    out = documents_pipeline(docs, anchors=("customer", "window"))
+    cols = set(out.columns)
+    assert {"doc_id", "total_hits", "subject", "quality_score", "lang_guess"} <= cols
+    rows = out.collect()
+    assert rows and all(r.total_hits > 0 for r in rows)
+    # every surviving doc came from the input and kept its metadata join
+    in_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert {r.doc_id for r in rows} <= in_ids
