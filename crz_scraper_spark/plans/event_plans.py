@@ -179,7 +179,83 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# asof_last_purchase — backward as-of join (operators/temporal.py::asof_join):
+# each click picks up the latest prior purchase value per user. Oracle is
+# DuckDB's native ASOF LEFT JOIN — the rare case where the oracle has the
+# operator built in and the engine composes it (union + ordered window +
+# last-ignorenulls; one shuffle on the by key).
+# ---------------------------------------------------------------------------
+
+
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.operators.temporal import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # Pre-dedup rights per (user, ts) so the equal-timestamp winner is
+    # deterministic on both engines (temporal.py docstring).
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(clicks, purchases, "ts", "user_id", value_cols=["value"])
+    return out.select(
+        "event_id", "user_id", "ts", F.round("value_asof", 6).alias("value_asof")
+    )
+
+
+ASOF_LAST_PURCHASE_SQL = """
+WITH r AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT l.event_id, l.user_id, l.ts, round(r.value, 6) AS value_asof
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# range_click_purchase — bounded range join (operators/temporal.py::
+# range_join): click→purchase pairs within 30 min per user. The bucketed
+# equi-join keeps it hash-joinable (the naive theta join would plan as a
+# nested loop); the oracle states the range predicate directly.
+# ---------------------------------------------------------------------------
+
+
+def range_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.operators.temporal import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    out = range_join(clicks, purchases, "ts", "user_id", lower_s=0, upper_s=1800)
+    return out.select("click_id", "user_id", F.col("purchase_id_r").alias("purchase_id"))
+
+
+RANGE_CLICK_PURCHASE_SQL = """
+SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1800 SECOND
+"""
+
+
 QUERIES: dict = {
+    "asof_last_purchase": (asof_last_purchase, ASOF_LAST_PURCHASE_SQL),
+    "range_click_purchase": (range_click_purchase, RANGE_CLICK_PURCHASE_SQL),
     "tumbling_hourly": (tumbling_hourly, TUMBLING_HOURLY_SQL),
     "streaming_tumbling_hourly": (streaming_tumbling_hourly, TUMBLING_HOURLY_SQL),
     "sessionization": (sessionization, SESSIONIZATION_SQL),
