@@ -322,7 +322,27 @@ SELECT event_id, ts, user_id, event_type, value, props FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# approx_distinct_profile — HLL++ sketch profiling: per event_type, the
+# approximate distinct-user count next to the exact one. At 100 TB the
+# sketch is the only affordable per-segment cardinality (fixed-size state,
+# map-side mergeable); the exact count here is the audit column. Rows-only
+# check: Spark's HLL++ and DuckDB's HLL differ by design;
+# tests/test_operators.py bounds the relative error instead.
+# ---------------------------------------------------------------------------
+
+
+def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 QUERIES: dict = {
+    "approx_distinct_profile": (approx_distinct_profile, None),
     "dictionary_oov": (dictionary_oov, DICTIONARY_OOV_SQL),
     "keyword_rollup": (keyword_rollup, _keyword_rollup_sql()),
     "cube_status_priority": (cube_status_priority, CUBE_STATUS_PRIORITY_SQL),

@@ -148,3 +148,16 @@ def test_ivf_exhaustive_probe_equals_bruteforce(spark, sf_dir):
         emb, queries, "vec_id", "embedding", k=5, nlist=4, nprobe=4, round_to=4
     )
     assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, ivf.collect()))
+
+
+def test_approx_distinct_within_error_bound(spark, sf_dir):
+    """HLL++ sketch cardinalities land within the configured relative error
+    of the exact counts (rsd=0.02 → allow 3σ ≈ 6%)."""
+    from crz_scraper_spark.plans.extra_plans import approx_distinct_profile
+
+    rows = approx_distinct_profile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(0.06 * r.exact_users, 2), (
+            r.event_type, r.approx_users, r.exact_users,
+        )
