@@ -195,12 +195,29 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("__cvec"),
-    ).withColumn("__fv", array_to_vector("__cvec"))
+    # Persist the training input: k-means is iterative and would otherwise
+    # re-run the scan + cast + vector conversion once per iteration. Cap
+    # iterations — an ANN index needs balanced cells, not converged ones
+    # (FAISS trains IVF coarse quantizers with ~10 iterations for the same
+    # reason), and each extra iteration is a full Spark job.
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("__cvec"),
+        )
+        .withColumn("__fv", array_to_vector("__cvec"))
+        .persist()
+    )
     model = KMeans(
-        k=nlist, seed=seed, featuresCol="__fv", predictionCol="__cell"
+        k=nlist,
+        seed=seed,
+        maxIter=8,
+        # random init is one pass; the default kmeans|| runs initSteps extra
+        # distributed passes for marginal centroid quality an ANN coarse
+        # quantizer doesn't need.
+        initMode="random",
+        featuresCol="__fv",
+        predictionCol="__cell",
     ).fit(c)
     assigned = model.transform(c).select("neighbor_id", "__cvec", "__cell")
 
