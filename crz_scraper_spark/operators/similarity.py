@@ -179,51 +179,59 @@ def ivf_topk(
     into `nlist` cells, score queries only against their `nprobe` nearest
     cells.
 
-    The index build is MLlib k-means (fixed seed, deterministic); corpus
-    vectors carry their cell id, so the candidate join is equi on the cell —
-    hash-partitioned, skew bounded by cell sizes. Probing: the centroid
-    table is tiny (nlist × dim) and broadcast; each query picks its nprobe
-    closest centroids by squared euclidean (the metric k-means optimized).
-    With nprobe == nlist the search is exhaustive and equals `cosine_topk`
+    The index build is the FAISS IVF shape: Lloyd's k-means trains
+    driver-side on a bounded deterministic sample (coarse quantizers need a
+    sample, not the corpus), then the full corpus is assigned in one
+    scalar-only scan — argmin over the centroid matrix as a single 2-D
+    array literal (the `bucket_signature` codegen trick). No iterative
+    Spark jobs, no MLlib class-loading; MLlib `KMeans` is the drop-in
+    alternative when the trainer itself must distribute. With
+    nprobe == nlist the search is exhaustive and equals `cosine_topk`
     exactly — the recall knob is explicit.
 
-    100 TB posture: train on a sample (`.fit` over a `.sample(...)` —
-    k-means cost is per-training-row, independent of corpus size), assign
-    the full corpus in one scan, write cell id as a partition/bucket column
-    so repeated searches prune to nprobe cells at the parquet level.
+    100 TB posture: the sample bound keeps training cost constant; write
+    the cell id as a partition/bucket column so repeated searches prune to
+    nprobe cells at the parquet level.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
-    # Persist the training input: k-means is iterative and would otherwise
-    # re-run the scan + cast + vector conversion once per iteration. Cap
-    # iterations — an ANN index needs balanced cells, not converged ones
-    # (FAISS trains IVF coarse quantizers with ~10 iterations for the same
-    # reason), and each extra iteration is a full Spark job.
-    c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("__cvec"),
-        )
-        .withColumn("__fv", array_to_vector("__cvec"))
-        .persist()
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cvec"),
     )
-    model = KMeans(
-        k=nlist,
-        seed=seed,
-        maxIter=8,
-        # random init is one pass; the default kmeans|| runs initSteps extra
-        # distributed passes for marginal centroid quality an ANN coarse
-        # quantizer doesn't need.
-        initMode="random",
-        featuresCol="__fv",
-        predictionCol="__cell",
-    ).fit(c)
-    assigned = model.transform(c).select("neighbor_id", "__cvec", "__cell")
+
+    # FAISS-style coarse-quantizer training: Lloyd's k-means runs DRIVER-SIDE
+    # in numpy over a bounded deterministic sample (top-N by id — a takeOrdered,
+    # not a full sort). Centroids are index metadata (nlist × dim doubles);
+    # shipping a bounded sample to the driver is the standard IVF build, and
+    # it keeps the distributed side to exactly two scalar-only passes
+    # (assignment + scoring) with zero iterative Spark jobs. Training cost is
+    # per-sample-row — independent of corpus size.
+    sample = c.orderBy("neighbor_id").limit(4096).collect()
+    X = np.array([list(r["__cvec"]) for r in sample])
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)].copy()
+    for _ in range(8):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for j in range(len(cent)):
+            members = X[assign == j]
+            if len(members):
+                cent[j] = members.mean(0)
+    centroids = [[float(x) for x in row] for row in cent]
+
+    def cell_of(vec: Column, cents: list[list[float]]) -> Column:
+        # Scalar argmin over the centroid matrix as ONE 2-D array literal
+        # (the bucket_signature codegen trick) — assignment is a pure scan.
+        cm = F.lit(cents)
+        dists = F.transform(cm, lambda p: _sq_dist(vec, p))
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    assigned = c.withColumn("__cell", cell_of(F.col("__cvec"), centroids))
 
     spark = corpus.sparkSession
     cents = spark.createDataFrame(
-        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        [(i, ctr) for i, ctr in enumerate(centroids)],
         "__cell int, __centroid array<double>",
     )
     q = queries.select(
