@@ -1,0 +1,90 @@
+"""Late-data semantics: a row arriving after its window was finalized by the
+watermark is DROPPED and the emitted result does not change — the property
+the batch-equality streaming tests can't show (they feed one file = one
+batch).
+
+Drives the real micro-batch engine with three parquet files processed in
+order (maxFilesPerTrigger=1, ordered mtimes). Micro-batch watermark timing:
+a batch's data advances the watermark at its END, so eviction of the
+[10:00, 11:00) window happens at the end of batch 1, and the too-late row in
+batch 2 hits an already-finalized window — Spark reports it in
+numRowsDroppedByWatermark and the append-mode output keeps n=3."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+
+def _write_events(path: str, rows: list[tuple[int, str]]) -> None:
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime.fromisoformat(r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def test_watermark_drops_late_row(spark, tmp_path):
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    # Batch 0: three rows in [10:00, 11:00) plus a 12:30 row → watermark
+    # becomes 12:00 (30 min delay) at batch end.
+    _write_events(
+        str(src_dir / "f1.parquet"),
+        [
+            (1, "2024-01-01 10:05:00"),
+            (2, "2024-01-01 10:20:00"),
+            (3, "2024-01-01 10:40:00"),
+            (4, "2024-01-01 12:30:00"),
+        ],
+    )
+    time.sleep(1.1)  # file-source ordering is by modification time
+    # Batch 1: any on-time row; at its END the 12:00 watermark evicts and
+    # emits the finalized [10:00, 11:00) window with n=3.
+    _write_events(str(src_dir / "f2.parquet"), [(6, "2024-01-01 12:40:00")])
+    time.sleep(1.1)
+    # Batch 2: the too-late row (10:15, window end 11:00 < watermark) must
+    # be dropped; a fresh row keeps the stream advancing.
+    _write_events(
+        str(src_dir / "f3.parquet"),
+        [(5, "2024-01-01 10:15:00"), (7, "2024-01-01 12:50:00")],
+    )
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+
+    out = {r.window_start.isoformat(): r.n for r in spark.table(name).collect()}
+    # Finalized window unchanged by the late row: n=3, not 4.
+    assert out.get("2024-01-01T10:00:00") == 3, out
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        if p.get("stateOperators")
+    )
+    assert dropped == 1, progress
