@@ -30,12 +30,25 @@ def main() -> None:
     # not session startup.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # Warm-then-measure: the first execution of a plan pays Catalyst
+    # analysis + whole-stage-codegen JIT, which at this SF rivals the data
+    # work and varies ±3× run-to-run. Warming once and timing the second
+    # execution reports the steady-state throughput a long-running cluster
+    # sees. clearCache() between passes forces persisted intermediates
+    # (LSH signatures) to REcompute in the measured pass — no query gets a
+    # free ride from its warmup. SPARK_GRAFT_BENCH_WARMUP=0 restores
+    # cold-plan timing.
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     timings: dict[str, float] = {}
     for name, (fn, _sql) in sorted(REGISTRY.items()):
+        if warmup:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
