@@ -38,6 +38,23 @@ ATTACHMENT_TYPE = T.ArrayType(
     )
 )
 
+# Supplements are DOUBLY nested: each dodatok carries its own attachments
+# array (`03_download_contracts.py:640-653` re-parses the inner list literal
+# per supplement) — here it's just a nested ArrayType(Struct) level.
+SUPPLEMENT_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("dod_id", T.StringType()),
+            T.StructField("nazov", T.StringType()),
+            T.StructField("cena", T.StringType()),
+            T.StructField("datum", T.StringType()),
+            T.StructField(
+                "prilohy", T.StructType([T.StructField("priloha", ATTACHMENT_TYPE)])
+            ),
+        ]
+    )
+)
+
 CONTRACT_SCHEMA = T.StructType(
     [
         T.StructField("nazov", T.StringType()),
@@ -61,6 +78,9 @@ CONTRACT_SCHEMA = T.StructType(
         T.StructField("stav", T.StringType()),
         T.StructField(
             "prilohy", T.StructType([T.StructField("priloha", ATTACHMENT_TYPE)])
+        ),
+        T.StructField(
+            "dodatky", T.StructType([T.StructField("dodatok", SUPPLEMENT_TYPE)])
         ),
         T.StructField(CORRUPT_COL, T.StringType()),
     ]
@@ -102,6 +122,17 @@ def flatten_contracts(df: DataFrame) -> DataFrame:
     (P1 positional projection, done by name instead of node index) with a
     stable ingest index for order-dependent dedup (SURVEY §7 Hard-1 ≈
     `01_parse_xml.py:191-195`'s total_index)."""
-    return df.withColumn(
-        "prilohy", F.col("prilohy.priloha")
-    ).withColumn("ingest_idx", F.monotonically_increasing_id())
+    return (
+        df.withColumn("prilohy", F.col("prilohy.priloha"))
+        # Unwrap the inner per-supplement attachment wrapper too: dodatky
+        # becomes array<struct<..., prilohy: array<struct>>> — the doubly
+        # nested form `explode(dodatky)` + `explode(prilohy)` consumes.
+        .withColumn(
+            "dodatky",
+            F.transform(
+                F.col("dodatky.dodatok"),
+                lambda d: d.withField("prilohy", d["prilohy"]["priloha"]),
+            ),
+        )
+        .withColumn("ingest_idx", F.monotonically_increasing_id())
+    )

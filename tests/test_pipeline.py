@@ -201,3 +201,50 @@ def test_documents_pipeline_end_to_end(spark, sf_dir):
     # every surviving doc came from the input and kept its metadata join
     in_ids = {r.doc_id for r in docs.select("doc_id").collect()}
     assert {r.doc_id for r in rows} <= in_ids
+
+
+def test_supplements_doubly_nested(spark, tmp_path):
+    """Dodatky round-trip: supplement rows each carry their own attachments
+    array (`03_download_contracts.py:640-653`'s doubly-nested list algebra),
+    consumable with two explodes and a per-contract rollup."""
+    dodatky = (
+        "<dodatok><dod_id>d1</dod_id><nazov>Dodatok 1</nazov>"
+        "<cena>10.0</cena><datum>2024-07-01 09:00:00</datum>"
+        "<prilohy>"
+        "<priloha><nazov>p1.pdf</nazov><subor>p1.pdf</subor>"
+        "<velkost>11</velkost><odkaz>https://x/p1.pdf</odkaz>"
+        "<datum>2024-07-01 09:00:00</datum></priloha>"
+        "<priloha><nazov>p2.pdf</nazov><subor>p2.pdf</subor>"
+        "<velkost>22</velkost><odkaz>https://x/p2.pdf</odkaz>"
+        "<datum>2024-07-01 09:00:00</datum></priloha>"
+        "</prilohy></dodatok>"
+        "<dodatok><dod_id>d2</dod_id><nazov>Dodatok 2</nazov>"
+        "<cena>20.0</cena><datum>2024-08-01 09:00:00</datum>"
+        "<prilohy>"
+        "<priloha><nazov>p3.pdf</nazov><subor>p3.pdf</subor>"
+        "<velkost>33</velkost><odkaz>https://x/p3.pdf</odkaz>"
+        "<datum>2024-08-01 09:00:00</datum></priloha>"
+        "</prilohy></dodatok>"
+    )
+    xml = _contract_xml("42").replace(
+        "</contract>", f"<dodatky>{dodatky}</dodatky></contract>"
+    )
+    p = tmp_path / "dump.xml"
+    p.write_text(f"<?xml version='1.0'?>\n<dump>\n{xml}\n</dump>")
+    df = read_contracts_xml(spark, str(p))
+    clean, corrupt = split_corrupt(df)
+    assert corrupt.count() == 0
+    flat = flatten_contracts(clean)
+    atts = (
+        flat.select("id", F.explode("dodatky").alias("d"))
+        .select("id", F.col("d.dod_id").alias("dod_id"), F.explode("d.prilohy").alias("a"))
+    )
+    per_contract = atts.groupBy("id").agg(
+        F.count("*").alias("n_att"), F.sum("a.velkost").alias("total_size")
+    ).collect()
+    assert [(r.id, r.n_att, r.total_size) for r in per_contract] == [("42", 3, 66)]
+    per_supp = {
+        r.dod_id: r["count"]
+        for r in atts.groupBy("dod_id").count().collect()
+    }
+    assert per_supp == {"d1": 2, "d2": 1}
