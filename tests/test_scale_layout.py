@@ -95,3 +95,29 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     want = sorted(map(tuple, plain.collect()))
     assert got == want
     assert "__salt" not in salted.columns
+
+
+def test_stage2_plan_properties(spark):
+    """The flagship plan keeps its scale-critical shape: both thresholds
+    pushed into the parquet scan, broadcast semi-join for the key list, and
+    the dedup window pre-limited map-side (WindowGroupLimit before the
+    exchange) — the properties PLANS.md documents, locked in as a test."""
+    from crz_scraper_spark.plans.core_plans import stage2_contract_filter
+
+    plan = _plan(stage2_contract_filter(spark, "/root/testdata/sf0.001"))
+    assert "GreaterThanOrEqual(o_totalprice,150000.0)" in plan
+    assert "GreaterThanOrEqual(o_orderdate," in plan
+    assert "BroadcastHashJoin LeftSemi" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_pricing_summary_plan_properties(spark):
+    """Scan+agg shape: shipdate predicate pushed down, only the 7 needed
+    columns read, partial+final hash aggregate pair."""
+    from crz_scraper_spark.plans.core_plans import pricing_summary
+
+    plan = _plan(pricing_summary(spark, "/root/testdata/sf0.001"))
+    assert "LessThanOrEqual(l_shipdate," in plan
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema  # column pruning
+    assert plan.count("HashAggregate") >= 2  # partial + final
