@@ -254,3 +254,91 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def _md5_hash64(col: Column) -> Column:
+    """Engine-portable 60-bit hash: first 15 hex chars of md5 as a bigint.
+    Exists so the MinHash pipeline can be verified bit-for-bit against a
+    DuckDB oracle (`('0x' || substr(md5(x),1,15))::BIGINT` produces the
+    identical value); xxhash64 stays the production hash (faster, no hex
+    round-trip) in `minhash_signatures`."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_pairs_md5(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fully-oracled MinHash-LSH near-dup pairs: same shingle → per-seed min
+    → band-bucket join → signature-agreement verify pipeline as
+    `minhash_dedup`, built on the portable md5 hash so every intermediate
+    (signatures, band keys, candidates, scores) is reproducible in ANSI SQL.
+
+    Signatures are held as `num_hashes` flat columns (h0..hN) rather than an
+    array — same physical plan, trivially expressible oracle.
+    """
+    rows = num_hashes // bands
+    shingled = docs.select(
+        F.col(id_col), F.explode(char_shingles(text_col, shingle_n)).alias("__sh")
+    )
+    sig = shingled.groupBy(id_col).agg(
+        *[
+            F.min(
+                _md5_hash64(F.concat(F.col("__sh"), F.lit(f"#{i}")))
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    ).persist()
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _md5_hash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"h{b * rows + j}").cast("string")
+                                    for j in range(rows)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)])
+    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)])
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_hashes)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(num_hashes), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )

@@ -18,6 +18,7 @@ from crz_scraper_spark.catalog import fan_out, load_table
 from crz_scraper_spark.functions.text import WORD_SEPARATOR_RE, tokens_nonempty
 from crz_scraper_spark.operators.dedup import (
     minhash_dedup,
+    minhash_pairs_md5,
     simhash_near_pairs,
 )
 from crz_scraper_spark.operators.extraction import detect_tables, extract_text
@@ -111,6 +112,79 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# minhash_near_dup_md5 — the SAME shingle→minhash→band→bucket-join pipeline
+# on the engine-portable md5 hash, so the ENTIRE LSH path (signatures, band
+# keys, candidate set, agreement scores) hash-matches a DuckDB oracle
+# generated from the same constants. xxhash64 (`minhash_near_dup`) stays the
+# production hash; this query is the correctness witness for the pipeline
+# structure itself.
+# ---------------------------------------------------------------------------
+
+_MH_HASHES = 16
+_MH_BANDS = 4
+_MH_SHINGLE = 5
+_MH_THRESHOLD = 0.5
+
+
+def minhash_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return minhash_pairs_md5(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        shingle_n=_MH_SHINGLE,
+        threshold=_MH_THRESHOLD,
+    )
+
+
+def _minhash_md5_sql() -> str:
+    n, nh, nb = _MH_SHINGLE, _MH_HASHES, _MH_BANDS
+    rows = nh // nb
+    h64 = "('0x' || substr(md5({x}),1,15))::BIGINT"
+    mins = ",\n         ".join(
+        "min(" + h64.format(x=f"s || '#{i}'") + f") AS h{i}" for i in range(nh)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, "
+        + h64.format(
+            x=" || ',' || ".join(f"h{b * rows + j}::VARCHAR" for j in range(rows))
+        )
+        + " AS bh FROM sig"
+        for b in range(nb)
+    )
+    agree = " + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(nh))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(length(t) - {n - 1}, 1) + 1),
+           i -> substr(t, i, {n})))) AS s
+  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(({agree}) / {nh}.0, 6) AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.id_a
+JOIN sig sb ON sb.doc_id = c.id_b
+WHERE round(({agree}) / {nh}.0, 6) >= {_MH_THRESHOLD}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -259,6 +333,7 @@ QUERIES: dict = {
     "ann_lsh_topk": (ann_lsh_topk_q, None),
     "ann_ivf_topk": (ivf_ann_topk_q, None),
     "minhash_near_dup": (minhash_near_dup, None),
+    "minhash_near_dup_md5": (minhash_near_dup_md5, _minhash_md5_sql()),
     "simhash_near_dup": (simhash_near_dup, None),
     "ngram_jaccard_consecutive": (ngram_jaccard_consecutive, NGRAM_JACCARD_SQL),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
