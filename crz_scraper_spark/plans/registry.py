@@ -20,6 +20,7 @@ from crz_scraper_spark.plans import (
     parity_plans,
     scale_plans,
     text_plans,
+    tpch_plans,
     window_plans,
 )
 
@@ -34,6 +35,7 @@ for group in (
     extra_plans,
     window_plans,
     parity_plans,
+    tpch_plans,
 ):
     for name, entry in group.QUERIES.items():
         if name in REGISTRY:
