@@ -256,7 +256,23 @@ def simhash_near_pairs(
     return pairs
 
 
-MINHASH_PRIME = (1 << 61) - 1  # Mersenne prime for the Carter-Wegman family
+MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime for the Carter-Wegman family
+
+
+def _minhash_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Fixed (a_i, c_i) pairs for h_i(x) = (a_i*x + c_i) mod p, generated by
+    a tiny deterministic LCG so BOTH the Spark plan and the SQL oracle embed
+    the identical literals. a_i ∈ [1, p), c_i ∈ [0, p); with x < 2^32 and
+    a_i < 2^31, a_i*x + c_i < 2^63 — exact in signed-64 on every engine."""
+    state = seed
+    out = []
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (MINHASH_PRIME - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        c = state % MINHASH_PRIME
+        out.append((a, c))
+    return out
 
 
 def _md5_hash64(col: Column) -> Column:
@@ -289,24 +305,22 @@ def minhash_pairs_md5(
     shingled = docs.select(
         F.col(id_col), F.explode(char_shingles(text_col, shingle_n)).alias("__sh")
     )
-    # Carter-Wegman hash family: ONE md5 per shingle yields two 56-bit bases
-    # (hex chars 1-14 and 17-30); seed i's hash is (b1 + i*b2) mod p with
-    # p = 2^61-1. All arithmetic stays inside signed-64 exactly (b1,b2 < 2^56,
-    # i*b2 < 2^60), so DuckDB reproduces it bit-for-bit — and the corpus pass
-    # runs one digest per shingle instead of num_hashes (measured 14.3 s →
-    # ~2 s at sf0.1).
-    md5hex = F.md5(F.col("__sh"))
-    b1 = F.conv(F.substring(md5hex, 1, 14), 16, 10).cast("bigint")
-    b2 = F.conv(F.substring(md5hex, 17, 14), 16, 10).cast("bigint")
-    based = shingled.select(
-        F.col(id_col), b1.alias("__b1"), b2.alias("__b2")
-    )
+    # Carter-Wegman universal family: ONE md5 per shingle yields a 32-bit
+    # base x (hex chars 1-8); seed i's hash is (a_i*x + c_i) mod p with
+    # p = 2^31-1 and fixed per-seed coefficients. The multiply wraps the
+    # modulus many times (unlike an additive family, whose components
+    # correlate and inflate the Jaccard estimate), every step is exact in
+    # signed-64 on both engines, and the corpus pass runs one digest per
+    # shingle instead of num_hashes (measured 14.3 s → ~2 s at sf0.1).
+    x = F.conv(F.substring(F.md5(F.col("__sh")), 1, 8), 16, 10).cast("bigint")
+    based = shingled.select(F.col(id_col), x.alias("__x"))
+    coeffs = _minhash_coeffs(num_hashes)
     sig = based.groupBy(id_col).agg(
         *[
             F.min(
-                (F.col("__b1") + F.lit(i) * F.col("__b2")) % F.lit(MINHASH_PRIME)
+                (F.lit(a) * F.col("__x") + F.lit(c)) % F.lit(MINHASH_PRIME)
             ).alias(f"h{i}")
-            for i in range(num_hashes)
+            for i, (a, c) in enumerate(coeffs)
         ]
     ).persist()
     banded = sig.select(

@@ -143,13 +143,14 @@ def minhash_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_md5_sql() -> str:
-    from crz_scraper_spark.operators.dedup import MINHASH_PRIME
+    from crz_scraper_spark.operators.dedup import MINHASH_PRIME, _minhash_coeffs
 
     n, nh, nb = _MH_SHINGLE, _MH_HASHES, _MH_BANDS
     rows = nh // nb
     h64 = "('0x' || substr(md5({x}),1,15))::BIGINT"
     mins = ",\n         ".join(
-        f"min((b1 + {i} * b2) % {MINHASH_PRIME}) AS h{i}" for i in range(nh)
+        f"min(({a} * x + {c}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, c) in enumerate(_minhash_coeffs(nh))
     )
     band_rows = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band, "
@@ -168,9 +169,7 @@ WITH sh AS (
   FROM (SELECT doc_id, lower(text) AS t FROM documents)
 ),
 based AS (
-  SELECT doc_id,
-         ('0x' || substr(md5(s),1,14))::BIGINT  AS b1,
-         ('0x' || substr(md5(s),17,14))::BIGINT AS b2
+  SELECT doc_id, ('0x' || substr(md5(s),1,8))::BIGINT AS x
   FROM sh
 ),
 sig AS (
