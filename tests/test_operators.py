@@ -161,3 +161,18 @@ def test_approx_distinct_within_error_bound(spark, sf_dir):
         assert abs(r.approx_users - r.exact_users) <= max(0.06 * r.exact_users, 2), (
             r.event_type, r.approx_users, r.exact_users,
         )
+
+
+def test_transform_with_state_counts(spark, sf_dir):
+    """Spark-4 transformWithStateInPandas stateful counts ≡ batch group
+    counts (runs only where the protobuf dependency exists)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from crz_scraper_spark.streaming.windows import stateful_user_counts_tws
+
+    out = stateful_user_counts_tws(spark, sf_dir)
+    got = {r.user_id: r.n_events for r in out.collect()}
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {r.user_id: r["count"] for r in events.groupBy("user_id").count().collect()}
+    assert got == want
