@@ -341,8 +341,44 @@ def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# status_priority_grouping_sets — explicit GROUPING SETS (the exact shape
+# SURVEY §2.4 A2/A3 prescribes for kw/cat/total in one pass): (status,
+# priority), (status), and grand total computed in a single aggregation;
+# grouping_id() disambiguates the levels (NULL group values vs real NULLs).
+# ---------------------------------------------------------------------------
+
+
+def status_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS lvl,
+               count(*) AS n_orders
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+STATUS_PRIORITY_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS lvl,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
 QUERIES: dict = {
     "approx_distinct_profile": (approx_distinct_profile, None),
+    "status_priority_grouping_sets": (
+        status_priority_grouping_sets,
+        STATUS_PRIORITY_GROUPING_SETS_SQL,
+    ),
     "dictionary_oov": (dictionary_oov, DICTIONARY_OOV_SQL),
     "keyword_rollup": (keyword_rollup, _keyword_rollup_sql()),
     "cube_status_priority": (cube_status_priority, CUBE_STATUS_PRIORITY_SQL),
