@@ -371,3 +371,66 @@ def minhash_pairs_md5(
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every node in the near-dup pair graph —
+    cluster_id = the minimum node id reachable through pair edges. This is
+    the step that turns pairwise near-dup evidence into a deduplicated
+    corpus (keep one representative per cluster).
+
+    Implementation: iterative min-label propagation (the dataframe core of
+    the large-star/small-star CC algorithm): each round joins labels across
+    edges and takes the per-node min; stops at fixpoint (checked with one
+    count per round) or `max_iter`. Rounds needed = graph diameter in
+    label-space — near-dup clusters are small and dense, so a handful.
+    `localCheckpoint` truncates the growing lineage each round (the loop is
+    driver-side control flow, the data never leaves executors).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

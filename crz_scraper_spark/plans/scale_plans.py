@@ -195,6 +195,48 @@ WHERE round(({agree}) / {nh}.0, 6) >= {_MH_THRESHOLD}
 
 
 # ---------------------------------------------------------------------------
+# near_dup_clusters — connected components over the portable-hash LSH pairs
+# (operators/dedup.py::connected_components): cluster_id = min reachable doc
+# id. The oracle computes the identical edges (same hash family) and walks
+# the transitive closure with a recursive CTE — the whole
+# pairs→clusters→canonical-doc dedup path is hash-verified end to end.
+# ---------------------------------------------------------------------------
+
+
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.operators.dedup import connected_components
+
+    pairs = minhash_near_dup_md5(spark, sf_dir)
+    return connected_components(pairs, "id_a", "id_b")
+
+
+def _near_dup_clusters_sql() -> str:
+    pairs_sql = _minhash_md5_sql().strip()
+    # Re-head the pairs query as CTEs of a recursive closure query.
+    body = pairs_sql[len("WITH ") :]
+    head, final_select = body.rsplit(")\nSELECT", 1)
+    final_select = "SELECT" + final_select
+    return f"""
+WITH RECURSIVE {head}),
+pairs AS (
+{final_select}
+),
+bi AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, dst FROM bi
+  UNION
+  SELECT rr.node, b.dst FROM reach rr JOIN bi b ON rr.r = b.src
+)
+SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
 # ngram_jaccard_consecutive — exact n-gram (word bigram) Jaccard similarity
 # for adjacent doc-id pairs: a linear, fully-SQL-expressible slice of the
 # near-dup surface (the LSH pipelines above are its scale path).
@@ -341,6 +383,7 @@ QUERIES: dict = {
     "ann_ivf_topk": (ivf_ann_topk_q, None),
     "minhash_near_dup": (minhash_near_dup, None),
     "minhash_near_dup_md5": (minhash_near_dup_md5, _minhash_md5_sql()),
+    "near_dup_clusters": (near_dup_clusters, _near_dup_clusters_sql()),
     "simhash_near_dup": (simhash_near_dup, None),
     "ngram_jaccard_consecutive": (ngram_jaccard_consecutive, NGRAM_JACCARD_SQL),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),

@@ -176,3 +176,19 @@ def test_transform_with_state_counts(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     want = {r.user_id: r["count"] for r in events.groupBy("user_id").count().collect()}
     assert got == want
+
+
+def test_connected_components_chain_and_triangle(spark):
+    """Min-label propagation finds components across multi-hop chains: a
+    4-node chain (10-11-12-13), a triangle (20,21,22), one isolated pair."""
+    from crz_scraper_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (20, 21), (21, 22), (20, 22), (30, 31)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
