@@ -371,13 +371,26 @@ def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_text(_doc_binaries(spark, sf_dir))
 
 
+# The X1 stub derives its text purely from sha256(payload) and the payload
+# is the document's UTF-8 bytes — DuckDB's sha256(VARCHAR) hashes the same
+# bytes, so even this pandas-UDF path gets a full value oracle (the fake
+# text is never empty, so the P13 fallback always resolves to 'direct').
+PDF_TEXT_EXTRACT_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(doc_id AS VARCHAR) || '.pdf' AS filename,
+       'extracted text ' || substr(sha256(text), 1, 16) AS text,
+       'direct' AS method
+FROM documents
+"""
+
+
 def pdf_table_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_tables(_doc_binaries(spark, sf_dir))
 
 
 QUERIES: dict = {
     "cosine_topk_bruteforce": (cosine_topk_bruteforce, COSINE_TOPK_SQL),
-    "pdf_text_extract": (pdf_text_extract, None),
+    "pdf_text_extract": (pdf_text_extract, PDF_TEXT_EXTRACT_SQL),
     "pdf_table_detect": (pdf_table_detect, None),
     "ann_lsh_topk": (ann_lsh_topk_q, None),
     "ann_ivf_topk": (ivf_ann_topk_q, None),
