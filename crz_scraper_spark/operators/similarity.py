@@ -119,15 +119,23 @@ def lsh_ann_topk(
     n_planes: int = 4,
     dim: int = 64,
     seed: int = 42,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket candidates.
 
     With `n_planes` bits the corpus splits into 2^n buckets; the candidate
     join is equi on the signature (hash-partitioned, skew-free for isotropic
-    embeddings). Recall < 1.0 by construction — this is the 100 TB path where
-    the exact cross-scan is unaffordable; multi-probe (flipping one bit) is a
-    natural extension.
+    embeddings). Recall < 1.0 by construction — this is the 100 TB path
+    where the exact cross-scan is unaffordable.
+
+    `multiprobe=m` additionally probes every bucket within Hamming distance
+    1..m of the query's signature (the standard multi-probe LSH recall
+    lever): each query row explodes to 1 + C(n_planes, ≤m) probe buckets —
+    query-side fan-out only, the corpus is never duplicated, and the join
+    stays equi on the bucket id.
     """
+    from itertools import combinations
+
     planes = hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -139,6 +147,19 @@ def lsh_ann_topk(
         F.col(vec_col).alias("__qvec"),
         bucket_signature(F.col(vec_col), planes).alias("__bucket"),
     )
+    if multiprobe > 0:
+        masks = [0] + [
+            sum(1 << b for b in bits)
+            for r in range(1, multiprobe + 1)
+            for bits in combinations(range(n_planes), r)
+        ]
+        q = q.select(
+            "query_id",
+            "__qvec",
+            F.explode(
+                F.array(*[F.col("__bucket").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("__bucket"),
+        )
     scored = (
         c.join(F.broadcast(q), "__bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

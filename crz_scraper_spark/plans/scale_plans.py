@@ -79,7 +79,9 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 8)
-    return lsh_ann_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=4, dim=64)
+    return lsh_ann_topk(
+        emb, queries, "vec_id", "embedding", k=5, n_planes=4, dim=64, multiprobe=1
+    )
 
 
 def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:

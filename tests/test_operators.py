@@ -192,3 +192,34 @@ def test_connected_components_chain_and_triangle(spark):
     }
     assert got == {10: 10, 11: 10, 12: 10, 13: 10,
                    20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+
+def test_lsh_multiprobe_improves_recall(spark, sf_dir):
+    """Multi-probe LSH strictly widens the candidate set: recall@5 vs the
+    exact brute force is monotonically non-decreasing in probe radius, and
+    full-radius probing (all buckets) equals exhaustive search."""
+    from pyspark.sql import functions as F
+
+    from crz_scraper_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, "vec_id", "embedding", k=5, round_to=4).collect()
+    }
+
+    def recall(m):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_ann_topk(
+                emb, queries, "vec_id", "embedding", k=5, n_planes=4, multiprobe=m
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r0, r1, r4 = recall(0), recall(1), recall(4)
+    assert r0 <= r1 <= r4
+    assert r4 == 1.0  # radius n_planes probes every bucket == exhaustive
