@@ -86,8 +86,87 @@ SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# trailing_hour_stats — time-interval RANGE frame: per event, the sum/count
+# of the same user's events in the trailing hour (inclusive). Spark RANGE
+# frames need a numeric order key, so the frame runs over unix_micros(ts)
+# with a ±microsecond bound — exactly DuckDB's
+# `RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`. A RANGE frame
+# over equal timestamps includes all peers, so no tiebreaker is needed; the
+# in-frame sum is decimal-exact (order-independent).
+# ---------------------------------------------------------------------------
+
+
+def trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 2
+        ).alias("trailing_hr_value"),
+        F.count("*").over(w).alias("trailing_hr_events"),
+    )
+
+
+TRAILING_HOUR_STATS_SQL = """
+SELECT user_id, event_id, ts,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 2)
+         AS trailing_hr_value,
+       count(*) OVER w AS trailing_hr_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+# ---------------------------------------------------------------------------
+# event_value_distribution — rank-family analytics (ntile / percent_rank /
+# cume_dist) per event type. The order key includes event_id so ranks are
+# tie-free and the rank-derived ratios are bit-identical across engines
+# (identical integer operands → identical double quotients).
+# ---------------------------------------------------------------------------
+
+
+def event_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return events.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
+EVENT_VALUE_DISTRIBUTION_SQL = """
+SELECT event_type, event_id, value,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 9) AS pct_rank,
+       round(cume_dist() OVER w, 9) AS cume
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
 QUERIES: dict = {
     "sliding_window_counts": (sliding_window_counts, SLIDING_WINDOW_COUNTS_SQL),
     "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),
     "streaming_stateful_counts": (streaming_stateful_counts, STREAMING_STATEFUL_COUNTS_SQL),
+    "trailing_hour_stats": (trailing_hour_stats, TRAILING_HOUR_STATS_SQL),
+    "event_value_distribution": (
+        event_value_distribution,
+        EVENT_VALUE_DISTRIBUTION_SQL,
+    ),
 }
