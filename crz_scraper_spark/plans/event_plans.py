@@ -58,6 +58,31 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming_enriched_segments — stream-static broadcast join (event stream ⋈
+# static customer dim) feeding a watermarked tumbling agg per market
+# segment; the join is stateless so the oracle is the plain batch join +
+# time_bucket rollup.
+# ---------------------------------------------------------------------------
+
+
+def streaming_enriched_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.streaming.windows import streaming_enriched_segments
+
+    return streaming_enriched_segments(spark, sf_dir, "1 hour", "2 hours")
+
+
+STREAMING_ENRICHED_SEGMENTS_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
+       c.c_mktsegment,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # sessionization — gap-based sessions (30 min), the batch window form:
 # lag → gap flag → cumulative session index → per-session rollup
 # (pyspark_guide 'Sessionization'; streaming equivalent is session_window).
@@ -258,6 +283,10 @@ QUERIES: dict = {
     "range_click_purchase": (range_click_purchase, RANGE_CLICK_PURCHASE_SQL),
     "tumbling_hourly": (tumbling_hourly, TUMBLING_HOURLY_SQL),
     "streaming_tumbling_hourly": (streaming_tumbling_hourly, TUMBLING_HOURLY_SQL),
+    "streaming_enriched_segments": (
+        streaming_enriched_segments_q,
+        STREAMING_ENRICHED_SEGMENTS_SQL,
+    ),
     "sessionization": (sessionization, SESSIONIZATION_SQL),
     "props_json_rollup": (props_json_rollup, PROPS_JSON_ROLLUP_SQL),
     "user_running_totals": (user_running_totals, USER_RUNNING_TOTALS_SQL),

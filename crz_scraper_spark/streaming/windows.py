@@ -130,6 +130,58 @@ def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_enriched_segments(
+    spark: SparkSession,
+    sf_dir: str,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (user_id = c_custkey), then a watermarked tumbling
+    count/sum per market segment. Stream-static equi-joins are stateless in
+    Structured Streaming — the static side is planned like any batch
+    relation (broadcast here), so this adds no state store beyond the
+    windowed agg. At 100 TB the static side is the slowly-changing dim
+    snapshot; re-planning per micro-batch picks up metastore refreshes.
+    """
+    import os
+
+    customer = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .select("c_custkey", "c_mktsegment")
+    )
+    src = _events_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", watermark)
+        .join(F.broadcast(customer), src.user_id == customer.c_custkey)
+        .groupBy(F.window("ts", window_len).alias("w"), F.col("c_mktsegment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def streaming_dedup(
     spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
 ) -> DataFrame:
