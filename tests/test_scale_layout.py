@@ -121,3 +121,43 @@ def test_pricing_summary_plan_properties(spark):
     read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "l_orderkey" not in read_schema  # column pruning
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_forecast_revenue_plan_properties(spark):
+    """Q6 shape: all three predicates reach the scan as PushedFilters and
+    the read schema is exactly the four referenced columns."""
+    from crz_scraper_spark.plans.tpch_plans import forecast_revenue
+
+    plan = _plan(forecast_revenue(spark, "/root/testdata/sf0.001"))
+    pushed = plan.split("PushedFilters:", 1)[1].splitlines()[0]
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "LessThan(l_quantity,24.0)" in pushed
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_lonely_returning_supplier_plan_properties(spark):
+    """Q21 shape: the EXISTS / NOT EXISTS pair compiles to one LeftSemi and
+    one LeftAnti join (no nested-loop fallback), and the returnflag filter
+    is pushed into the lineitem scans."""
+    from crz_scraper_spark.plans.tpch_plans import lonely_returning_supplier
+
+    plan = _plan(lonely_returning_supplier(spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "NestedLoop" not in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_rich_inactive_customers_plan_properties(spark):
+    """Q22 shape: the anti side's date filter is pushed into the orders
+    scan (at 100 TB with a date-partitioned layout this becomes partition
+    pruning) and the join is a LeftAnti."""
+    from crz_scraper_spark.plans.tpch_plans import rich_inactive_customers
+
+    plan = _plan(rich_inactive_customers(spark, "/root/testdata/sf0.001"))
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate,2000-01-01" in plan
