@@ -290,8 +290,73 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# tf_idf_top_terms — corpus-weighted term importance: term frequency per
+# (doc, word) × ln(N/df), top-3 terms per document. The training-pipeline
+# "what is this document about" primitive. Two shuffles total (tf group-by,
+# df group-by — the df side is word-keyed and reused via broadcast), and
+# the per-doc top-3 compiles to a WindowGroupLimit (map-side partial
+# top-k). Ranking is on the ROUNDED score so engines differing in the last
+# ulp of ln() cannot reorder the cut; word breaks exact ties.
+# ---------------------------------------------------------------------------
+
+
+def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(tokens_nonempty("text")).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "word", "tf", "tfidf", "rnk")
+    )
+
+
+TF_IDF_TOP_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+),
+df AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY word
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, word, tf, tfidf, rnk
+FROM (
+  SELECT t.doc_id, t.word, t.tf,
+         round(t.tf * ln(n.n_docs::DOUBLE / d.df), 6) AS tfidf,
+         row_number() OVER (
+             PARTITION BY t.doc_id
+             ORDER BY round(t.tf * ln(n.n_docs::DOUBLE / d.df), 6) DESC,
+                      t.word) AS rnk
+  FROM tf t JOIN df d USING (word) CROSS JOIN n
+)
+WHERE rnk <= 3
+"""
+
+
 QUERIES: dict = {
     "word_frequency": (word_frequency, WORD_FREQUENCY_SQL),
+    "tf_idf_top_terms": (tf_idf_top_terms, TF_IDF_TOP_TERMS_SQL),
     "keyword_tagging": (keyword_tagging, _keyword_tagging_sql()),
     "subject_extract_600": (subject_extract_600, SUBJECT_EXTRACT_600_SQL),
     "contains_theta_join": (contains_theta_join, CONTAINS_THETA_JOIN_SQL),
