@@ -69,6 +69,30 @@ def test_partition_pruning(spark, sf_dir, tmp_path):
     assert back.count() == expected
 
 
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact to a filtered dim on the partition column
+    injects a runtime partition filter (dynamicpruning subquery reusing the
+    dim's broadcast) — at 100 TB this is what keeps a fact⋈dim join from
+    scanning every date partition when the dim filter only selects a few."""
+    fact_path = str(tmp_path / "orders_part")
+    dim_path = str(tmp_path / "year_dim")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.withColumn("order_year", F.year("o_orderdate")).write.mode(
+        "overwrite"
+    ).partitionBy("order_year").parquet(fact_path)
+    spark.createDataFrame(
+        [(y, "pick" if y == 1997 else "skip") for y in range(1995, 2002)],
+        "yr int, tag string",
+    ).write.mode("overwrite").parquet(dim_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("tag") == "pick")
+    joined = fact.join(dim, fact.order_year == dim.yr)
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    expected = orders.filter(F.year("o_orderdate") == 1997).count()
+    assert joined.count() == expected
+
+
 def test_broadcast_threshold_respected(spark, sf_dir):
     """Small dims broadcast automatically under the engine session config."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
