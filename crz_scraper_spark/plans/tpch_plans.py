@@ -145,6 +145,59 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 
 
 # ---------------------------------------------------------------------------
+# regional_local_volume — Q5 proper: revenue from lineitems where customer
+# and supplier sit in the SAME nation, within one region. The
+# c_nationkey = s_nationkey predicate ties two broadcast dims to each other
+# across the fact row — a join-graph cycle Catalyst resolves as a post-join
+# filter; region→nation pre-filters the nation broadcast so only 1/5 of
+# nations survive into the join.
+# ---------------------------------------------------------------------------
+
+
+def regional_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(asia_nations),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+REGIONAL_LOCAL_VOLUME_SQL = """
+SELECT n.n_name,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # forecast_revenue — Q6 shape: pure scan-filter-aggregate, zero joins, zero
 # shuffle beyond the single-row final agg. The canonical pushdown showcase:
 # all three predicates reach the parquet scan as PushedFilters and only
@@ -557,6 +610,7 @@ QUERIES: dict = {
     ),
     "priority_by_shipwindow": (priority_by_shipwindow, PRIORITY_BY_SHIPWINDOW_SQL),
     "large_volume_orders": (large_volume_orders, LARGE_VOLUME_ORDERS_SQL),
+    "regional_local_volume": (regional_local_volume, REGIONAL_LOCAL_VOLUME_SQL),
     "forecast_revenue": (forecast_revenue, FORECAST_REVENUE_SQL),
     "order_priority_semijoin": (
         order_priority_semijoin,
