@@ -78,6 +78,40 @@ def test_keyword_tag_batched_equivalence(spark, sf_dir):
     assert rows_a == rows_b
 
 
+def test_keyword_tag_ac_equivalence(spark, sf_dir):
+    """The one-pass Aho-Corasick path (10⁴-keyword scale) must match the
+    JVM-expression path exactly, including on nested/overlapping keywords
+    where the non-overlap guard is load-bearing."""
+    from crz_scraper_spark.operators.tagging import keyword_tag_ac
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    a = keyword_tag(docs, "doc_id", "text", DEFAULT_TAXONOMY)
+    c = keyword_tag_ac(docs, "doc_id", "text", DEFAULT_TAXONOMY)
+    assert a.columns == c.columns
+    rows_a = {r["doc_id"]: tuple(r) for r in a.collect()}
+    rows_c = {r["doc_id"]: tuple(r) for r in c.collect()}
+    assert rows_a == rows_c
+
+
+def test_aho_corasick_str_count_semantics():
+    """AhoCorasick.counts ≡ Python str.count per keyword, on adversarial
+    inputs: self-overlapping keywords (aa in aaaa → 2, not 3), keywords
+    that are prefixes/suffixes/infixes of each other, and shared-suffix
+    emission through failure links."""
+    import random
+
+    from crz_scraper_spark.operators.tagging import AhoCorasick
+
+    kws = ["a", "aa", "aaa", "ab", "ba", "aba", "bab", "abab", "b", "bb"]
+    ac = AhoCorasick(kws)
+    rng = random.Random(7)
+    for _ in range(200):
+        text = "".join(rng.choice("ab") for _ in range(rng.randrange(0, 40)))
+        got = ac.counts(text)
+        want = [text.count(k) for k in kws]
+        assert got == want, (text, dict(zip(kws, got)), dict(zip(kws, want)))
+
+
 def test_natural_sort_key(spark):
     df = spark.createDataFrame(
         [("file10.txt",), ("file2.txt",), ("file1.txt",), ("afile.txt",)],
