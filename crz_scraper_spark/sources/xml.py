@@ -103,6 +103,27 @@ def read_contracts_xml(
     )
 
 
+def stream_contracts_xml(
+    spark: SparkSession, dir_path: str, row_tag: str = "contract"
+) -> DataFrame:
+    """Streaming form of the dump source: the daily-dump drop directory
+    consumed as a Structured Streaming file source (the engine's
+    incremental model for `00_download_CRZ_DB.py:179-220`'s re-run-for-new-
+    dates loop — each day's dump file is one new micro-batch; checkpointing
+    makes re-runs exactly-once instead of the reference's manual date
+    bookkeeping). Same schema, permissive mode, and corrupt-record routing
+    as the batch reader; downstream stage-2 filters compose unchanged since
+    they are stateless row operations."""
+    return (
+        spark.readStream.format("xml")
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .schema(CONTRACT_SCHEMA)
+        .load(dir_path)
+    )
+
+
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean, corrupt) — route bad records like `Corrupted_XML_files/`.
 
