@@ -172,6 +172,31 @@ GROUP BY event_type
 """
 
 # ---------------------------------------------------------------------------
+# props_variant_rollup — the same semi-structured rollup through Spark 4's
+# VariantType (`parse_json` once → binary-encoded variant → typed
+# `try_variant_get` access). At 100 TB variant beats per-access
+# get_json_object: the JSON text is parsed once per row, not once per
+# extracted path, and parquet can store the variant column shredded.
+# Same oracle as the JSON-string form — the access path is the difference.
+# ---------------------------------------------------------------------------
+
+
+def props_variant_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "k", F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("k").isNotNull(), 1)).alias("n_with_k"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # user_running_totals — analytic window frame (running sum + lag delta):
 # the full Window surface the reference lacks (SURVEY §2.5 note).
 # ---------------------------------------------------------------------------
@@ -289,5 +314,6 @@ QUERIES: dict = {
     ),
     "sessionization": (sessionization, SESSIONIZATION_SQL),
     "props_json_rollup": (props_json_rollup, PROPS_JSON_ROLLUP_SQL),
+    "props_variant_rollup": (props_variant_rollup, PROPS_JSON_ROLLUP_SQL),
     "user_running_totals": (user_running_totals, USER_RUNNING_TOTALS_SQL),
 }

@@ -342,6 +342,30 @@ def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# approx_percentile_profile — quantile sketch beside the exact quantile:
+# per event_type, approx_percentile (fixed-size mergeable state — the only
+# affordable per-segment quantile at 100 TB) next to the exact interpolated
+# percentile as the audit column. Rows-only check (sketch algorithms differ
+# across engines by design); tests/test_operators.py bounds the error
+# against the exact value instead.
+# ---------------------------------------------------------------------------
+
+
+def approx_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pct = F.percentile(F.col("value"), F.array(F.lit(0.5), F.lit(0.95)))
+    apct = F.percentile_approx(
+        F.col("value"), F.array(F.lit(0.5), F.lit(0.95)), 10000
+    )
+    return events.groupBy("event_type").agg(
+        F.round(F.element_at(apct, 1), 6).alias("approx_p50"),
+        F.round(F.element_at(pct, 1), 6).alias("exact_p50"),
+        F.round(F.element_at(apct, 2), 6).alias("approx_p95"),
+        F.round(F.element_at(pct, 2), 6).alias("exact_p95"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # status_priority_grouping_sets — explicit GROUPING SETS (the exact shape
 # SURVEY §2.4 A2/A3 prescribes for kw/cat/total in one pass): (status,
 # priority), (status), and grand total computed in a single aggregation;
@@ -375,6 +399,7 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 
 QUERIES: dict = {
     "approx_distinct_profile": (approx_distinct_profile, None),
+    "approx_percentile_profile": (approx_percentile_profile, None),
     "status_priority_grouping_sets": (
         status_priority_grouping_sets,
         STATUS_PRIORITY_GROUPING_SETS_SQL,

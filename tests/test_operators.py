@@ -197,6 +197,31 @@ def test_approx_distinct_within_error_bound(spark, sf_dir):
         )
 
 
+def test_approx_percentile_within_rank_bound(spark, sf_dir):
+    """The quantile sketch returns an actual element whose RANK is within
+    the accuracy guarantee — so the right bound is a rank window, not a
+    value distance (in a sparse tail adjacent order statistics can sit far
+    apart). Assert each approx percentile lies within the exact value range
+    of ±2 rank percentage points."""
+    from crz_scraper_spark.plans.extra_plans import approx_percentile_profile
+
+    rows = approx_percentile_profile(spark, sf_dir).collect()
+    assert rows
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo_hi = F.percentile(
+        F.col("value"),
+        F.array(F.lit(0.48), F.lit(0.52), F.lit(0.93), F.lit(0.97)),
+    )
+    windows = {
+        r.event_type: r.w
+        for r in events.groupBy("event_type").agg(lo_hi.alias("w")).collect()
+    }
+    for r in rows:
+        w = windows[r.event_type]
+        assert w[0] - 1e-9 <= r.approx_p50 <= w[1] + 1e-9, (r, w)
+        assert w[2] - 1e-9 <= r.approx_p95 <= w[3] + 1e-9, (r, w)
+
+
 def test_transform_with_state_counts(spark, sf_dir):
     """Spark-4 transformWithStateInPandas stateful counts ≡ batch group
     counts (runs only where the protobuf dependency exists)."""
