@@ -256,6 +256,86 @@ def simhash_near_pairs(
     return pairs
 
 
+SIMHASH_MD5_BITS = 60  # fits the signed-bigint-safe 15-hex-char md5 hash
+
+
+def simhash_md5(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) on the engine-portable md5 token hash — every step a
+    built-in JVM expression (no UDF), so the hash is reproducible in any
+    engine: per token take the 60-bit md5 prefix, per bit position count
+    +1/-1 over tokens, set the bit where the count is ≥ 0.
+
+    Distributed form: explode (token → 60 bit rows) then two hash
+    aggregations — both partial/final map-side combinable, so the 60×
+    intermediate never leaves the executor unaggregated. `simhash`
+    (FNV/numpy) stays the production path; this is the correctness witness.
+    Docs with zero tokens produce no row (the oracle's unnest does the
+    same)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_nonempty(text_col)).alias("t")
+    )
+    hashed = toks.select(id_col, _md5_hash64(F.col("t")).alias("h"))
+    bits = hashed.select(
+        id_col,
+        "h",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(SIMHASH_MD5_BITS - 1))
+        ).alias("b"),
+    )
+    counts = bits.groupBy(id_col, "b").agg(
+        F.sum(
+            F.when(F.expr("(shiftright(h, b) & 1) = 1"), 1).otherwise(-1)
+        ).alias("c")
+    )
+    return counts.groupBy(id_col).agg(
+        F.expr(
+            "sum(CASE WHEN c >= 0 THEN shiftleft(1L, b) ELSE 0L END)"
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs_md5(
+    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """`simhash_near_pairs` on the portable hash: 15-bit block keys
+    (pigeonhole over 4 blocks of the 60-bit hash covers Hamming ≤ 3),
+    equi-join on (block, value), exact Hamming verify via bit_count(xor).
+    Fully oracle-able — DuckDB reproduces every intermediate."""
+    sh = simhash_md5(docs, id_col, text_col).persist()
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.shiftright(F.col("simhash"), q * 15)
+                .bitwiseAND(F.lit(0x7FFF))
+                .alias("qv"),
+            )
+            for q in range(4)
+        ]
+    )
+    blocked = sh.select(
+        id_col, "simhash", F.explode(blocks).alias("qq")
+    ).select(id_col, "simhash", "qq.q", "qq.qv")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qv") == F.col("b.qv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime for the Carter-Wegman family
 
 

@@ -20,6 +20,7 @@ from crz_scraper_spark.operators.dedup import (
     minhash_dedup,
     minhash_pairs_md5,
     simhash_near_pairs,
+    simhash_near_pairs_md5,
 )
 from crz_scraper_spark.operators.extraction import detect_tables, extract_text
 from crz_scraper_spark.operators.multimodal import (
@@ -114,6 +115,57 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# simhash_near_dup_md5 — the SAME block→equi-join→hamming-verify pipeline on
+# the engine-portable md5 token hash, every step a built-in expression:
+# signatures, block keys, candidate pairs, and Hamming distances all
+# hash-match the DuckDB oracle. xxhash64/FNV (`simhash_near_dup`) stays the
+# production hash; this is the structural correctness witness.
+# ---------------------------------------------------------------------------
+
+_SH_MAX_HAMMING = 3
+
+
+def simhash_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return simhash_near_pairs_md5(
+        docs, "doc_id", "text", max_hamming=_SH_MAX_HAMMING
+    )
+
+
+def _simhash_md5_sql() -> str:
+    from crz_scraper_spark.operators.dedup import SIMHASH_MD5_BITS
+
+    toks = (
+        "list_filter(regexp_split_to_array(lower(text), '"
+        + WORD_SEPARATOR_RE
+        + "'), w -> w <> '')"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS t FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(t),1,15))::BIGINT AS h FROM toks
+),
+bits AS (
+  SELECT doc_id, r.b AS b,
+         sum(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+  FROM h CROSS JOIN range({SIMHASH_MD5_BITS}) r(b)
+  GROUP BY doc_id, r.b
+),
+sh AS (
+  SELECT doc_id, sum(CASE WHEN c >= 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)
+           AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SH_MAX_HAMMING}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -400,6 +452,7 @@ QUERIES: dict = {
     "minhash_near_dup_md5": (minhash_near_dup_md5, _minhash_md5_sql()),
     "near_dup_clusters": (near_dup_clusters, _near_dup_clusters_sql()),
     "simhash_near_dup": (simhash_near_dup, None),
+    "simhash_near_dup_md5": (simhash_near_dup_md5, _simhash_md5_sql()),
     "ngram_jaccard_consecutive": (ngram_jaccard_consecutive, NGRAM_JACCARD_SQL),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
     "multimodal_frame_features": (multimodal_frame_features, None),
