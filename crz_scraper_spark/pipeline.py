@@ -58,6 +58,39 @@ def contracts_pipeline(
     return clean, audit, corrupt
 
 
+def observe_discards(audit: DataFrame, name: str = "stage2_audit"):
+    """Attach one-pass audit counters to the stage-2 audit DataFrame — the
+    Spark replacement for the reference's per-row progress printouts and
+    discard tallies (`02_filter_by_CIN.py:270-298`). The counts ride the
+    SAME action that materializes the DataFrame (Observation metrics are
+    collected by the executors during the job), so the audit costs zero
+    extra scans; at 100 TB a second counting pass would be a second read of
+    the whole table. Returns (observed_df, observation); read
+    `observation.get` after any action on observed_df.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    reasons = {
+        "kept": 0,
+        "no_attachments": 2,
+        "resort_miss": -1,
+        "cin_miss": 1,
+        "price_reject": 3,
+        "date_reject": 4,
+        "duplicate": 5,
+    }
+    observed = audit.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_total"),
+        *[
+            F.count(F.when(F.col("discard_reason") == code, 1)).alias(label)
+            for label, code in reasons.items()
+        ],
+    )
+    return observed, obs
+
+
 def documents_pipeline(
     docs: DataFrame,
     id_col: str = "doc_id",

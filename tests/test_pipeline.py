@@ -324,3 +324,26 @@ def test_streaming_xml_ingest_matches_batch(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) == 3
+
+
+def test_observe_discards_one_pass_audit(spark, contracts_df):
+    """Observation metrics equal the group-by tallies, collected by the
+    same job that materializes the audit (no second scan)."""
+    from crz_scraper_spark.pipeline import observe_discards
+
+    audit = stage2_filter(
+        contracts_df, COMPANIES, RESORTS, price_min=1000.0,
+        date_min="2024-01-01",
+    )
+    observed, obs = observe_discards(audit)
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    want = {
+        r["discard_reason"]: r["count"]
+        for r in audit.groupBy("discard_reason").count().collect()
+    }
+    assert m["rows_total"] == sum(want.values())
+    assert m["kept"] == want.get(0, 0)
+    assert m["no_attachments"] == want.get(2, 0)
+    assert m["duplicate"] == want.get(5, 0)
+    assert m["price_reject"] == want.get(3, 0)
