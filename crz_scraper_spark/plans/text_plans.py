@@ -354,9 +354,107 @@ WHERE rnk <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# train_test_split — deterministic hash-based dataset split: bucket =
+# md5(doc_id) mod 100, train iff bucket < 80. The curation primitive every
+# training pipeline needs: stable under re-runs, insertion-order-free,
+# join-free (any table derived from doc_id lands in the same split), and
+# embarrassingly parallel — no shuffle at all, the split is a per-row
+# expression. Oracled bit-for-bit via the same md5 arithmetic in DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = F.when(bucket < 80, F.lit("train")).otherwise(F.lit("test"))
+    return (
+        docs.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.min("bucket").alias("min_bucket"),
+             F.max("bucket").alias("max_bucket"))
+    )
+
+
+TRAIN_TEST_SPLIT_SQL = """
+SELECT split, count(*) AS n_docs, min(bucket) AS min_bucket,
+       max(bucket) AS max_bucket
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS bucket,
+         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 < 80
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents
+)
+GROUP BY split
+"""
+
+# ---------------------------------------------------------------------------
+# sequence_packing — greedy sequential context packing: documents in a
+# deterministic order are assigned to fixed-capacity bins by
+# floor(exclusive-prefix-token-count / capacity) — the standard
+# approximate packing for LLM training batches (a doc may straddle a
+# boundary; the bin id is where it starts). One window pass, running sum
+# over integral counts (exact in any order of partial evaluation since the
+# frame order is total).
+# ---------------------------------------------------------------------------
+
+_PACK_CAPACITY = 8192
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(tokens_nonempty("text")).alias("n_tokens")
+    )
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_CAPACITY
+        ).alias("bin_id"),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents
+),
+packed AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) // {_PACK_CAPACITY} AS bin_id
+  FROM toks
+)
+SELECT bin_id, count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM packed
+GROUP BY bin_id
+"""
+
+
 QUERIES: dict = {
     "word_frequency": (word_frequency, WORD_FREQUENCY_SQL),
     "tf_idf_top_terms": (tf_idf_top_terms, TF_IDF_TOP_TERMS_SQL),
+    "train_test_split": (train_test_split, TRAIN_TEST_SPLIT_SQL),
+    "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "keyword_tagging": (keyword_tagging, _keyword_tagging_sql()),
     "subject_extract_600": (subject_extract_600, SUBJECT_EXTRACT_600_SQL),
     "contains_theta_join": (contains_theta_join, CONTAINS_THETA_JOIN_SQL),
