@@ -120,6 +120,7 @@ def lsh_ann_topk(
     dim: int = 64,
     seed: int = 42,
     multiprobe: int = 0,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket candidates.
 
@@ -160,14 +161,13 @@ def lsh_ann_topk(
                 F.array(*[F.col("__bucket").bitwiseXOR(F.lit(m)) for m in masks])
             ).alias("__bucket"),
         )
+    sim = cosine(F.col("__qvec"), F.col("__cvec"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
     scored = (
         c.join(F.broadcast(q), "__bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("__qvec"), F.col("__cvec")).alias("cos_sim"),
-        )
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

@@ -70,9 +70,16 @@ WHERE rank <= 5
 
 # ---------------------------------------------------------------------------
 # ann_lsh_topk — the approximate scale path (signed-random-projection
-# buckets). Deterministic (fixed-seed planes) but xxhash-free; rows-only
-# check because DuckDB has no equivalent of the bucket pipeline.
+# buckets, multi-probe Hamming-1). FULLY oracled: the plane matrix is a
+# deterministic fixed-seed literal, so DuckDB reproduces the bucket
+# signatures, the probe set, the candidate join, and the rounded-rank
+# top-k bit-for-bit from the same constants.
 # ---------------------------------------------------------------------------
+
+_LSH_PLANES = 4
+_LSH_DIM = 64
+_LSH_K = 5
+_LSH_MULTIPROBE = 1
 
 
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,8 +88,69 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.filter(F.col("vec_id") < 8)
     return lsh_ann_topk(
-        emb, queries, "vec_id", "embedding", k=5, n_planes=4, dim=64, multiprobe=1
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=_LSH_K,
+        n_planes=_LSH_PLANES,
+        dim=_LSH_DIM,
+        multiprobe=_LSH_MULTIPROBE,
+        round_to=4,
     )
+
+
+def _ann_lsh_sql() -> str:
+    from itertools import combinations
+
+    from crz_scraper_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(_LSH_DIM, _LSH_PLANES, seed=42)
+    plane_rows = ",\n    ".join(
+        f"({pid}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for pid, p in enumerate(planes)
+    )
+    masks = [0] + [
+        sum(1 << b for b in bits)
+        for r in range(1, _LSH_MULTIPROBE + 1)
+        for bits in combinations(range(_LSH_PLANES), r)
+    ]
+    mask_rows = ", ".join(f"({m})" for m in masks)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+planes(pid, p) AS (
+  VALUES
+    {plane_rows}
+),
+sig AS (
+  SELECT e.vec_id, any_value(e.v) AS v,
+         CAST(sum(CASE WHEN list_inner_product(e.v, pl.p) >= 0
+                       THEN (1 << pl.pid) ELSE 0 END) AS INT) AS bucket
+  FROM emb e CROSS JOIN planes pl
+  GROUP BY e.vec_id
+),
+probes AS (
+  SELECT q.vec_id AS query_id, q.v AS qv, xor(q.bucket, m.m) AS bucket
+  FROM sig q CROSS JOIN (VALUES {mask_rows}) m(m)
+  WHERE q.vec_id < 8
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.qv, c.v), 4) AS cos_sim
+  FROM probes p JOIN sig c USING (bucket)
+  WHERE c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {_LSH_K}
+"""
 
 
 def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,7 +514,7 @@ QUERIES: dict = {
     "cosine_topk_bruteforce": (cosine_topk_bruteforce, COSINE_TOPK_SQL),
     "pdf_text_extract": (pdf_text_extract, PDF_TEXT_EXTRACT_SQL),
     "pdf_table_detect": (pdf_table_detect, None),
-    "ann_lsh_topk": (ann_lsh_topk_q, None),
+    "ann_lsh_topk": (ann_lsh_topk_q, _ann_lsh_sql()),
     "ann_ivf_topk": (ivf_ann_topk_q, None),
     "minhash_near_dup": (minhash_near_dup, None),
     "minhash_near_dup_md5": (minhash_near_dup_md5, _minhash_md5_sql()),
