@@ -206,6 +206,50 @@ def streaming_dedup(
     return spark.table(name)
 
 
+def stream_to_partitioned_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+) -> None:
+    """Production sink pattern (S10's idempotent re-save, done right): the
+    watermarked tumbling aggregation lands in date-partitioned parquet via
+    `foreachBatch` with dynamic partition overwrite — each micro-batch
+    rewrites exactly the partitions it touches, so re-running a batch after
+    failure is idempotent (the reference instead rewrote its whole CSV
+    after every contract, `06_extract_tables.py:246`). In update mode only
+    windows changed by the batch flow through, bounding each rewrite to
+    recent partitions once the watermark passes.
+    """
+    src = _events_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.to_date(F.col("w.start")).alias("window_date"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("window_date")
+            .parquet(out_dir)
+        )
+
+    q = agg.writeStream.outputMode("update").foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def stateful_user_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running count via `transformWithStateInPandas` — Spark 4's
     native stateful-processor API (typed ValueState on the RocksDB state

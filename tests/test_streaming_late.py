@@ -88,3 +88,39 @@ def test_watermark_drops_late_row(spark, tmp_path):
         if p.get("stateOperators")
     )
     assert dropped == 1, progress
+
+
+def test_stream_to_partitioned_parquet_idempotent(spark, tmp_path):
+    """The foreachBatch dynamic-partition-overwrite sink produces exactly
+    the batch aggregation, lands it date-partitioned, and re-running the
+    whole stream over the same input leaves the result unchanged
+    (idempotent recovery semantics)."""
+    from pyspark.sql import functions as F
+
+    from crz_scraper_spark.streaming.windows import (
+        stream_to_partitioned_parquet,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = str(tmp_path / "agg_parquet")
+    stream_to_partitioned_parquet(spark, sf_dir, out)
+    back = spark.read.parquet(out)
+    assert "window_date=" in [p.name for p in (tmp_path / "agg_parquet").iterdir() if p.is_dir()][0]
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    want = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    got1 = sorted(map(tuple, back.select("window_start", "event_type", "n_events").collect()))
+    assert got1 == sorted(map(tuple, want.collect()))
+
+    # Re-run the whole stream into the same directory: dynamic overwrite
+    # replaces each touched partition, result identical.
+    stream_to_partitioned_parquet(spark, sf_dir, out)
+    got2 = sorted(map(tuple, spark.read.parquet(out)
+                      .select("window_start", "event_type", "n_events").collect()))
+    assert got2 == got1
