@@ -409,7 +409,12 @@ _PACK_CAPACITY = 8192
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    # Tokenize distributed (fan_out), THEN run the global ordered window
+    # over the narrow (doc_id, n_tokens) rows — the single-partition stage
+    # a global prefix sum requires only ever sees two small columns. (At
+    # 100 TB, replace the global window with per-partition prefix sums +
+    # a driver-side offset per partition — same two-phase scan pattern.)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.size(tokens_nonempty("text")).alias("n_tokens")
     )
