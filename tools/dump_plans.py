@@ -20,6 +20,9 @@ SHOWCASE = [
     "cosine_topk_bruteforce",
     "minhash_near_dup",
     "word_frequency",
+    "forecast_revenue",
+    "tf_idf_top_terms",
+    "lonely_returning_supplier",
 ]
 
 
