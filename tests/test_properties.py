@@ -100,3 +100,22 @@ def test_price_filter_monotonic(spark, prices, t1, t2):
     keep_lo = {r.i for r in df.filter(F.col("price") >= lo).collect()}
     keep_hi = {r.i for r in df.filter(F.col("price") >= hi).collect()}
     assert keep_hi <= keep_lo
+
+
+@given(
+    kws=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=4),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    ),
+    text=st.text(alphabet="abc", max_size=200),
+)
+@settings(max_examples=300, deadline=None)
+def test_aho_corasick_counts_equal_str_count(kws, text):
+    """AhoCorasick.counts ≡ [text.count(k) for k in kws] on arbitrary
+    keyword sets over a tiny alphabet (maximizes nesting/overlap/failure-
+    link traffic). Pure Python — no Spark job per example."""
+    from crz_scraper_spark.operators.tagging import AhoCorasick
+
+    assert AhoCorasick(kws).counts(text) == [text.count(k) for k in kws]
