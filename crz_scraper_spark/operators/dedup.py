@@ -458,6 +458,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every node in the near-dup pair graph —
     cluster_id = the minimum node id reachable through pair edges. This is
@@ -474,6 +475,14 @@ def connected_components(
     detected with a filter-count on the carried old_label (no extra join),
     and `localCheckpoint` truncates the growing lineage each round (the
     loop is driver-side control flow, the data never leaves executors).
+
+    Scale strategy (the broadcast-join analog for graphs): a near-dup pair
+    graph is usually TINY relative to the corpus — LSH emits edges only
+    for actual near-duplicates. Below `driver_max_edges` the edge set is
+    collected and solved with driver-side union-find (microseconds, two
+    Spark jobs total); the iterative loop is the path for genuinely large
+    pair graphs, where each round's joins are worth their scheduling cost.
+    Both paths produce identical (doc_id, min-reachable-id) labels.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -483,6 +492,39 @@ def connected_components(
         .distinct()
         .persist()
     )
+    n_edges = edges.count()
+    if n_edges <= driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.collect():
+            a, b = r.src, r.dst
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        members: dict = {}
+        for node in parent:
+            members.setdefault(find(node), []).append(node)
+        rows = [
+            (node, min(group))
+            for group in members.values()
+            for node in group
+        ]
+        out_schema = (
+            pairs.select(
+                F.col(id_a).alias("doc_id"), F.col(id_a).alias("cluster_id")
+            ).schema
+        )
+        return pairs.sparkSession.createDataFrame(rows, out_schema)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

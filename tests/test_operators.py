@@ -246,11 +246,19 @@ def test_connected_components_chain_and_triangle(spark):
         [(10, 11), (11, 12), (12, 13), (20, 21), (21, 22), (20, 22), (30, 31)],
         "id_a bigint, id_b bigint",
     )
+    want = {10: 10, 11: 10, 12: 10, 13: 10,
+            20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+    # Driver union-find path (small graph)...
     got = {
         r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
     }
-    assert got == {10: 10, 11: 10, 12: 10, 13: 10,
-                   20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+    assert got == want
+    # ...and the distributed pointer-jumping loop (forced), identical.
+    got_loop = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert got_loop == want
 
 
 def test_lsh_multiprobe_improves_recall(spark, sf_dir):
