@@ -113,7 +113,7 @@ _ANCHORS = ("customer", "window")
 
 
 def subject_extract_600(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", subject_extract("text", _ANCHORS, 600).alias("subject")
     )
@@ -163,7 +163,7 @@ CONTAINS_THETA_JOIN_SQL = (
 
 
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_score(load_table(spark, sf_dir, "documents"))
+    return quality_score(fan_out(load_table(spark, sf_dir, "documents")))
 
 
 def _doc_quality_sql() -> str:
@@ -205,7 +205,7 @@ FROM (
 
 
 def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return token_count(load_table(spark, sf_dir, "documents"))
+    return token_count(fan_out(load_table(spark, sf_dir, "documents")))
 
 
 TOKEN_COUNT_STATS_SQL = r"""
@@ -220,7 +220,7 @@ FROM documents
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # xxhash64 is Spark-specific — the oracle-checked surface is the md5
     # content hash; the 64-bit variant stays available on the operator.
-    return fingerprint(load_table(spark, sf_dir, "documents")).select(
+    return fingerprint(fan_out(load_table(spark, sf_dir, "documents"))).select(
         "doc_id", "content_md5"
     )
 
@@ -232,7 +232,7 @@ FROM documents
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lang_id_scores(load_table(spark, sf_dir, "documents"))
+    return lang_id_scores(fan_out(load_table(spark, sf_dir, "documents")))
 
 
 def _lang_id_sql() -> str:
@@ -269,7 +269,7 @@ FROM (
 
 
 def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return (
         docs.select(F.col("doc_id"), F.md5(norm).alias("content_md5"))
