@@ -104,6 +104,44 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# keyword_hits_unpivot — the wide→long inverse of the tagging pivot: melt
+# the per-keyword hit columns back to (doc_id, keyword, hits) rows via the
+# native unpivot operator (Spark `Expand` — each input row emits one row
+# per keyword column with zero shuffle), keeping nonzero hits. The long
+# form is what the profiling/suggestion operators consume (A10/X7).
+# ---------------------------------------------------------------------------
+
+
+def keyword_hits_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    wide = keyword_tag(docs, "doc_id", "text", DEFAULT_TAXONOMY)
+    kw_cols = [
+        f"kw_{_safe(kw)}" for kws in DEFAULT_TAXONOMY.values() for kw in kws
+    ]
+    return (
+        wide.unpivot("doc_id", kw_cols, "keyword", "hits")
+        .filter(F.col("hits") > 0)
+    )
+
+
+def _keyword_hits_unpivot_sql() -> str:
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, 'kw_{_safe(kw)}' AS keyword, kw_{_safe(kw)} AS hits"
+        " FROM wide"
+        for kws in DEFAULT_TAXONOMY.values()
+        for kw in kws
+    )
+    return f"""
+WITH wide AS (
+{_keyword_tagging_sql().strip()}
+)
+SELECT doc_id, keyword, hits FROM (
+{arms}
+) WHERE hits > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # subject_extract_600 — O5: first-anchor 600-char window
 # (`08_extract_subject.py:42-57`), anchors adapted to the synthetic corpus
 # vocabulary ('customer' primary, 'window' fallback).
@@ -461,6 +499,7 @@ QUERIES: dict = {
     "train_test_split": (train_test_split, TRAIN_TEST_SPLIT_SQL),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "keyword_tagging": (keyword_tagging, _keyword_tagging_sql()),
+    "keyword_hits_unpivot": (keyword_hits_unpivot, _keyword_hits_unpivot_sql()),
     "subject_extract_600": (subject_extract_600, SUBJECT_EXTRACT_600_SQL),
     "contains_theta_join": (contains_theta_join, CONTAINS_THETA_JOIN_SQL),
     "doc_quality": (doc_quality, _doc_quality_sql()),
