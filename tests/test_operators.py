@@ -261,6 +261,33 @@ def test_connected_components_chain_and_triangle(spark):
     assert got_loop == want
 
 
+def test_connected_components_paths_agree_on_random_graphs(spark):
+    """The distributed pointer-jumping loop and the driver union-find must
+    produce identical labels on random graphs (chains, stars, cycles,
+    isolated pairs all arise at these densities)."""
+    import random
+
+    from crz_scraper_spark.operators.dedup import connected_components
+
+    for seed, n_nodes, n_edges in ((1, 30, 18), (2, 40, 55), (3, 25, 10)):
+        rng = random.Random(seed)
+        edges = list(
+            {
+                tuple(sorted(rng.sample(range(n_nodes), 2)))
+                for _ in range(n_edges)
+            }
+        )
+        pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        uf = {
+            r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
+        }
+        loop = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(pairs, driver_max_edges=0).collect()
+        }
+        assert uf == loop, (seed, uf, loop)
+
+
 def test_lsh_multiprobe_improves_recall(spark, sf_dir):
     """Multi-probe LSH strictly widens the candidate set: recall@5 vs the
     exact brute force is monotonically non-decreasing in probe radius, and
