@@ -64,8 +64,10 @@ def _fake_page_count(payload: bytes) -> int:
 
 def _fake_tables(payload: bytes, page: int) -> list[tuple[int, int, float]]:
     """STUB for camelot per-page detection (X5): 0..2 tables per page,
-    deterministic in (payload, page). Returns (n_rows, n_cols, accuracy)."""
-    h = hashlib.sha256(payload + page.to_bytes(4, "big")).digest()
+    deterministic in (payload, page). Returns (n_rows, n_cols, accuracy).
+    The page suffix is text-safe (no NUL bytes) so the stub is portable:
+    DuckDB's sha256(VARCHAR) reproduces the digest for the value oracle."""
+    h = hashlib.sha256(payload + f"|page:{page}".encode()).digest()
     n_tables = h[0] % 3
     return [
         (2 + h[1 + i] % 8, 1 + h[4 + i] % 5, round(0.5 + (h[8 + i] % 50) / 100, 2))

@@ -212,8 +212,9 @@ FROM per_doc p JOIN documents d USING (doc_id)
 # tables_per_contract — A12: per-contract table/page statistics over the X5
 # flat-map output (`06_extract_tables.py:242-254` maintains Pocet_stran /
 # Pocet_tabuliek / Tabulky_strany columns). One hash agg; the pages list is
-# the reference's Tabulky_strany array, sorted for determinism. Rows-only
-# check: the detector is the deterministic stub (camelot absent).
+# the reference's Tabulky_strany array, sorted for determinism. Full value
+# oracle: the X5 stub is sha256-derived (text-safe page suffix), so DuckDB
+# rebuilds the detector output and aggregates it identically.
 # ---------------------------------------------------------------------------
 
 
@@ -226,6 +227,30 @@ def tables_per_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_set("page")).cast("array<string>"), ","
         ).alias("table_pages"),
     )
+
+
+TABLES_PER_CONTRACT_SQL = """
+WITH pages AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, text,
+         unnest(range(1, greatest(octet_length(encode(text)) // 64, 1) + 1)) AS page
+  FROM documents
+),
+hashed AS (
+  SELECT id, page, sha256(text || '|page:' || CAST(page AS VARCHAR)) AS hx
+  FROM pages
+),
+counted AS (
+  SELECT id, page, ('0x' || substr(hx, 1, 2))::INT % 3 AS n_tables FROM hashed
+),
+det AS (
+  SELECT id, page, unnest(range(0, n_tables)) AS tbl_i
+  FROM counted WHERE n_tables > 0
+)
+SELECT id, count(*) AS n_tables, count(DISTINCT page) AS n_pages_with_tables,
+       array_to_string(list_sort(list(DISTINCT page)), ',') AS table_pages
+FROM det
+GROUP BY id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -292,7 +317,7 @@ QUERIES: dict = {
         path_derived_metadata_join,
         PATH_DERIVED_METADATA_JOIN_SQL,
     ),
-    "tables_per_contract": (tables_per_contract, None),
+    "tables_per_contract": (tables_per_contract, TABLES_PER_CONTRACT_SQL),
     "embedding_cosine_near_dup": (
         embedding_cosine_near_dup,
         EMBEDDING_COSINE_NEAR_DUP_SQL,

@@ -510,10 +510,51 @@ def pdf_table_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_tables(_doc_binaries(spark, sf_dir))
 
 
+# The X5 stub is sha256-derived with a text-safe page suffix, so even the
+# flat-map table detector gets a full value oracle: DuckDB reproduces the
+# digest per (doc, page), the 0..2 emission count, and every cell metric.
+_TABLE_DETECT_CTE = """
+pages AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         CAST(doc_id AS VARCHAR) || '.pdf' AS filename,
+         text,
+         unnest(range(1, greatest(octet_length(encode(text)) // 64, 1) + 1)) AS page
+  FROM documents
+),
+hashed AS (
+  SELECT id, filename, page,
+         sha256(text || '|page:' || CAST(page AS VARCHAR)) AS hx
+  FROM pages
+),
+counted AS (
+  SELECT *, ('0x' || substr(hx, 1, 2))::INT % 3 AS n_tables FROM hashed
+),
+tbl AS (
+  SELECT id, filename, page, unnest(range(0, n_tables)) AS tbl_i, hx
+  FROM counted WHERE n_tables > 0
+),
+det AS (
+  SELECT id, filename, page,
+         CAST(row_number() OVER (PARTITION BY id ORDER BY page, tbl_i) AS INT)
+           AS table_no,
+         2 + ('0x' || substr(hx, 2*(1+tbl_i)+1, 2))::INT % 8 AS n_rows,
+         1 + ('0x' || substr(hx, 2*(4+tbl_i)+1, 2))::INT % 5 AS n_cols,
+         round(0.5 + (('0x' || substr(hx, 2*(8+tbl_i)+1, 2))::INT % 50) / 100.0, 2)
+           AS accuracy
+  FROM tbl
+)
+"""
+
+PDF_TABLE_DETECT_SQL = f"""
+WITH {_TABLE_DETECT_CTE}
+SELECT id, filename, page, table_no, n_rows, n_cols, accuracy FROM det
+"""
+
+
 QUERIES: dict = {
     "cosine_topk_bruteforce": (cosine_topk_bruteforce, COSINE_TOPK_SQL),
     "pdf_text_extract": (pdf_text_extract, PDF_TEXT_EXTRACT_SQL),
-    "pdf_table_detect": (pdf_table_detect, None),
+    "pdf_table_detect": (pdf_table_detect, PDF_TABLE_DETECT_SQL),
     "ann_lsh_topk": (ann_lsh_topk_q, _ann_lsh_sql()),
     "ann_ivf_topk": (ivf_ann_topk_q, None),
     "minhash_near_dup": (minhash_near_dup, None),
