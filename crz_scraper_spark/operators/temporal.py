@@ -110,11 +110,17 @@ def range_join(
     # consecutive buckets — each left row probes exactly 2 equi-join keys.
     offsets = [0, 1]
 
-    def bucket(ts, shift_s: int = 0):
-        # cast-to-double = fractional epoch seconds: keeps microsecond
+    def epoch_s(ts):
+        # Fractional epoch seconds via unix_micros: keeps microsecond
         # precision (unix_timestamp truncates to whole seconds, which would
         # misplace boundary rows vs. the exact range predicate below).
-        return F.floor((ts.cast("double") + F.lit(shift_s)) / F.lit(span))
+        # The timestamp cast normalizes TIMESTAMP_NTZ inputs — ANSI mode
+        # forbids a direct numeric cast on them; both sides go through the
+        # same session-tz interpretation so bucket and predicate agree.
+        return F.unix_micros(ts.cast("timestamp")) / F.lit(1000000.0)
+
+    def bucket(ts, shift_s: int = 0):
+        return F.floor((epoch_s(ts) + F.lit(shift_s)) / F.lit(span))
 
     l = left.select(
         *[F.col(c) for c in left.columns],
@@ -132,9 +138,9 @@ def range_join(
         ],
         bucket(F.col("__rts")).alias("__bucket"),
     )
-    lo = F.col(ts_col).cast("double") + F.lit(lower_s)
-    hi = F.col(ts_col).cast("double") + F.lit(upper_s)
-    rts = F.col("__rts").cast("double")
+    lo = epoch_s(F.col(ts_col)) + F.lit(lower_s)
+    hi = epoch_s(F.col(ts_col)) + F.lit(upper_s)
+    rts = epoch_s(F.col("__rts"))
     return (
         l.join(r, (F.col(by) == F.col("__rby")) & (l["__bucket"] == r["__bucket"]))
         .filter((rts >= lo) & (rts <= hi))

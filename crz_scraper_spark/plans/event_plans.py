@@ -95,7 +95,10 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundary; microseconds are lossless for µs-precision timestamps.
     events = load_table(spark, sf_dir, "events")
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    # cast normalizes TIMESTAMP_NTZ (unix_micros requires TIMESTAMP; with the
+    # UTC session tz the cast is numerically a no-op, and the gap/duration
+    # arithmetic below is offset-invariant anyway).
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     with_gap = events.withColumn(
         "new_session",
         F.when(us - F.lag(us).over(by_user) > 30 * 60 * 1_000_000, 1)
@@ -112,7 +115,8 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.expr(
-            "(max(unix_micros(ts)) - min(unix_micros(ts))) DIV 1000000"
+            "(max(unix_micros(cast(ts as timestamp)))"
+            " - min(unix_micros(cast(ts as timestamp)))) DIV 1000000"
         ).alias("duration_sec"),
     )
 

@@ -20,28 +20,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# ts is declared LongType: the testdata parquet stores TIMESTAMP(NANOS),
-# which Spark reads as long nanos under spark.sql.legacy.parquet.nanosAsLong
-# (session.py); `_events_stream` converts to a µs timestamp on read.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Streaming file sources require an explicit schema; probe it from the
+    parquet footer via a batch read (footer-only, no data scan). Testdata
+    generations have stored ts as TIMESTAMP(NANOS) (→ long under
+    spark.sql.legacy.parquet.nanosAsLong) or TIMESTAMP(MICROS) (→ ntz);
+    probing keeps the stream source agnostic to the on-disk encoding."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = _events_schema(spark, sf_dir)
     src = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return src.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in schema.fields)
+    if ts_type.get("ts") == "bigint":
+        # nanos-as-long era: integer-DIV truncate to µs (exceeds double's
+        # 53-bit mantissa, so no float division).
+        return src.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # µs parquet reads as TIMESTAMP_NTZ; normalize to TIMESTAMP for the
+    # watermark/window machinery (UTC session tz ⇒ numerically a no-op).
+    return src.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_tumbling_agg(

@@ -107,9 +107,9 @@ def test_stream_to_partitioned_parquet_idempotent(spark, tmp_path):
     back = spark.read.parquet(out)
     assert "window_date=" in [p.name for p in (tmp_path / "agg_parquet").iterdir() if p.is_dir()][0]
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    from crz_scraper_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
     want = (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"))
