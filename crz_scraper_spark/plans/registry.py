@@ -21,6 +21,7 @@ from crz_scraper_spark.plans import (
     scale_plans,
     text_plans,
     tpch_plans,
+    tpch2_plans,
     window_plans,
 )
 
@@ -36,6 +37,7 @@ for group in (
     window_plans,
     parity_plans,
     tpch_plans,
+    tpch2_plans,
 ):
     for name, entry in group.QUERIES.items():
         if name in REGISTRY:
