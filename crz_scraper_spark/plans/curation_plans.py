@@ -1,0 +1,298 @@
+"""Training-data curation operators beyond the reference (BASELINE.json's
+large-scale-pipeline mandate): PII redaction, repetition-based quality
+signals (Gopher-style), deterministic stratified sampling, and eval-set
+n-gram decontamination.
+
+The reference's closest analogues are its keyword tagging / quality
+thresholds (`04_tag_text_contracts.py:98-212`, `09_clean_tables.py:180-215`);
+these plans generalize that "score every document, filter on the score"
+pattern to the signals a 100 TB LLM-pretraining pipeline actually computes.
+
+All four are fully oracle-checked: the only nondeterminism risks are float
+division (rounded to 6 both sides; IEEE division of identical doubles is
+exact) and hash choice (md5, portable to DuckDB — same idiom as
+`train_test_split`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crz_scraper_spark.catalog import fan_out, load_table
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), ' +'), w -> w <> '')"
+_TOKS_SPARK = "filter(split(lower(text), ' +'), w -> w <> '')"
+
+# ---------------------------------------------------------------------------
+# pii_redact — regex PII scrubbing. The synthetic corpus contains no PII, so
+# a deterministic contact string derived from doc_id is appended first (both
+# engines synthesize the identical augmentation); the operator under test is
+# the redact-and-count: global regexp_replace + regexp_count for emails and
+# phone numbers. Embarrassingly parallel — no shuffle, scales linearly; at
+# 100 TB this runs as a map-only stage fused into the scan.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+\d{3}-\d{8}"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +421-"),
+        F.lpad((F.col("doc_id") % 100000000).cast("string"), 8, "0"),
+        F.lit("."),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).alias("redacted_len"),
+    )
+
+
+PII_REDACT_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' Contact: user' || doc_id::VARCHAR || '@example.com or +421-'
+              || lpad((doc_id % 100000000)::VARCHAR, 8, '0') || '.' AS a
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(a, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(a, '{_PHONE_RE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(a, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5,
+       len(regexp_replace(regexp_replace(a, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_len
+FROM aug
+"""
+
+# ---------------------------------------------------------------------------
+# repetition_stats — Gopher-style repetition quality signals per document:
+# distinct-token ratio, most-frequent-token fraction, duplicate-bigram
+# fraction. The per-word counts go explode → two-level hash agg (partial
+# combine on (doc, word) keeps the shuffle narrow); the bigram part stays
+# array-side (higher-order functions, no explode). Low-quality docs are the
+# ones with high top_word_frac / dup_bigram_frac — the downstream filter is
+# a plain predicate on this output.
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.expr(_TOKS_SPARK).alias("toks")
+    )
+    word_counts = (
+        docs.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .count()
+    )
+    word_stats = word_counts.groupBy("doc_id").agg(
+        F.sum("count").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("count").alias("top_word_n"),
+    )
+    # Spark's sequence(1, n) is bidirectional (n = -1 yields [1, 0, -1]),
+    # so short docs need an explicit guard; DuckDB's generate_series is
+    # empty when stop < start and needs none.
+    bigram_stats = docs.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(toks) >= 2 THEN"
+            "  transform(sequence(1, size(toks) - 1),"
+            "            i -> concat(element_at(toks, i), ' ',"
+            "                        element_at(toks, i + 1)))"
+            " ELSE array() END"
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        F.size("bg").alias("n_bigrams"),
+        F.size(F.array_distinct("bg")).alias("n_bigrams_distinct"),
+    )
+    return (
+        word_stats.join(bigram_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.col("top_word_n") / F.col("n_tokens"), 6).alias(
+                "top_word_frac"
+            ),
+            F.when(F.col("n_bigrams") > 0,
+                   F.round(1 - F.col("n_bigrams_distinct") / F.col("n_bigrams"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_frac"),
+        )
+    )
+
+
+REPETITION_STATS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+word_stats AS (
+  SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_distinct,
+         max(cnt) AS top_word_n
+  FROM (
+    SELECT doc_id, w, count(*) AS cnt
+    FROM toks, unnest(t) AS u(w)
+    GROUP BY doc_id, w
+  )
+  GROUP BY doc_id
+),
+bigram_stats AS (
+  SELECT doc_id,
+         len(bg) AS n_bigrams,
+         len(list_distinct(bg)) AS n_bigrams_distinct
+  FROM (
+    SELECT doc_id,
+           list_transform(generate_series(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i + 1]) AS bg
+    FROM toks
+  )
+)
+SELECT w.doc_id, w.n_tokens,
+       round(w.n_distinct / CAST(w.n_tokens AS DOUBLE), 6) AS distinct_ratio,
+       round(w.top_word_n / CAST(w.n_tokens AS DOUBLE), 6) AS top_word_frac,
+       CASE WHEN b.n_bigrams > 0
+            THEN round(1 - b.n_bigrams_distinct / CAST(b.n_bigrams AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_bigram_frac
+FROM word_stats w JOIN bigram_stats b USING (doc_id)
+"""
+
+# ---------------------------------------------------------------------------
+# stratified_sample — deterministic per-stratum downsampling: each language
+# keeps a configured percentage, decided per row by an md5 bucket of the
+# doc_id under a sampling-specific salt (independent of the train/test
+# split's hash). Shuffle-free sampling; the reported per-stratum totals are
+# one hash aggregate. The 100 TB posture: sampling decisions must be
+# reproducible row-local expressions, never rand() — re-runs and spills
+# can't change membership.
+# ---------------------------------------------------------------------------
+
+_STRATA_RATES = {"en": 50, "de": 20, "fr": 20, "zh": 10, "sk": 10}
+_DEFAULT_RATE = 20
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    keep = (bucket < rate).cast("int")
+    return (
+        docs.select("lang", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("keep").alias("n_sampled"),
+        )
+    )
+
+
+_RATE_CASE_SQL = " ".join(
+    f"WHEN lang = '{lang}' THEN {r}" for lang, r in _STRATA_RATES.items()
+)
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100
+                     < (CASE {_RATE_CASE_SQL} ELSE {_DEFAULT_RATE} END)
+                THEN 1 ELSE 0 END) AS n_sampled
+FROM documents
+GROUP BY lang
+"""
+
+# ---------------------------------------------------------------------------
+# eval_contamination — benchmark decontamination: which training documents
+# share at least one word-level n-gram with a held-out eval document
+# (eval set := doc_id % 97 == 0)? n = 4 here so the synthetic word-soup
+# corpus yields a nonzero answer at the driver's sf0.01 gate; real
+# decontamination uses 8-13 (the n is one constant). Both sides explode their 8-gram sets,
+# meet in a shuffle hash join keyed on the n-gram string, and the distinct
+# shared-gram count per (train, eval) pair comes from one aggregate. This
+# is the standard exact-substring decontamination pipeline; at 100 TB the
+# join key should be the n-gram's 64-bit hash (xxhash64) instead of the
+# string — same plan, 10× narrower shuffle — and hot n-grams (boilerplate)
+# get frequency-capped before the join.
+# ---------------------------------------------------------------------------
+
+_NGRAM_N = 4
+
+
+def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _NGRAM_N
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.expr(_TOKS_SPARK).alias("toks")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {n} THEN"
+                f"  array_distinct(transform(sequence(1, size(toks) - {n - 1}),"
+                f"            i -> concat_ws(' ', slice(toks, i, {n}))))"
+                " ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_grams = grams.filter(is_eval).withColumnRenamed("doc_id", "eval_doc")
+    train_grams = grams.filter(~is_eval).withColumnRenamed("doc_id", "train_doc")
+    return (
+        train_grams.join(eval_grams, "gram")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+EVAL_CONTAMINATION_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, g AS gram
+  FROM (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, len(t) - {_NGRAM_N - 1}),
+               i -> array_to_string(t[i:i + {_NGRAM_N - 1}], ' '))) AS gs
+    FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    WHERE len(t) >= {_NGRAM_N}
+  ), unnest(gs) AS u(g)
+)
+SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+       count(*) AS n_shared_grams
+FROM grams t
+JOIN grams e ON t.gram = e.gram
+WHERE e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+GROUP BY 1, 2
+"""
+
+
+QUERIES: dict = {
+    "pii_redact": (pii_redact, PII_REDACT_SQL),
+    "repetition_stats": (repetition_stats, REPETITION_STATS_SQL),
+    "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "eval_contamination": (eval_contamination, EVAL_CONTAMINATION_SQL),
+}

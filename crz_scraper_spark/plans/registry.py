@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from crz_scraper_spark.plans import (
     core_plans,
+    curation_plans,
     event_plans,
     extra_plans,
     parity_plans,
@@ -30,6 +31,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 for group in (
     core_plans,
+    curation_plans,
     text_plans,
     event_plans,
     scale_plans,
