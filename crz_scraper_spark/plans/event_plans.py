@@ -146,6 +146,43 @@ GROUP BY user_id, session_id
 """
 
 # ---------------------------------------------------------------------------
+# scd2_intervals — slowly-changing-dimension type-2 history build: each
+# event's value is valid from its timestamp until the user's next event
+# (half-open [valid_from, valid_to)), the last one flagged current. One
+# window pass (lead over the user partition) — the standard way to turn an
+# append-only change log into an interval dimension; the reference's
+# closest analogue is the idempotent whole-table re-save S10
+# (`06_extract_tables.py:246,257`), which SCD2 replaces with history that
+# supports as-of lookups (see asof_last_purchase). Scales as one shuffle
+# on user_id; no state beyond the sort within each partition.
+# ---------------------------------------------------------------------------
+
+
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return events.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        "value",
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )
+
+
+SCD2_INTERVALS_SQL = """
+SELECT user_id, event_id, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       value,
+       CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+         AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+# ---------------------------------------------------------------------------
 # props_json_rollup — typed JSON access replacing the reference's
 # list-literal cells (F11 → from_json mapping, SURVEY §1).
 # ---------------------------------------------------------------------------
@@ -317,6 +354,7 @@ QUERIES: dict = {
         STREAMING_ENRICHED_SEGMENTS_SQL,
     ),
     "sessionization": (sessionization, SESSIONIZATION_SQL),
+    "scd2_intervals": (scd2_intervals, SCD2_INTERVALS_SQL),
     "props_json_rollup": (props_json_rollup, PROPS_JSON_ROLLUP_SQL),
     "props_variant_rollup": (props_variant_rollup, PROPS_JSON_ROLLUP_SQL),
     "user_running_totals": (user_running_totals, USER_RUNNING_TOTALS_SQL),
