@@ -154,3 +154,33 @@ def detect_tables(binaries: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return binaries.mapInPandas(batches, TABLES_SCHEMA)
+
+
+def detect_tables_udtf(binaries: DataFrame) -> DataFrame:
+    """X5 through Spark 4's native Python UDTF surface (`@udtf` + LATERAL
+    join) — the same flat-map semantics as `detect_tables`, expressed as
+    the official table-function API instead of mapInPandas multi-row
+    emission. Arrow-optimized (`useArrow=True`); still per-row eval, so
+    the mapInPandas form remains the 100 TB hot path — this variant
+    exists because a user of a table-function API (camelot-as-UDTF) gets
+    the one-to-many contract with per-row lateral semantics for free,
+    composable inside any SQL FROM clause."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=TABLES_SCHEMA, useArrow=True)
+    class DetectTablesUDTF:
+        def eval(self, id: str, filename: str, content: bytes):  # noqa: A002
+            p = content if content is not None else b""
+            table_no = 0
+            for page in range(1, _fake_page_count(p) + 1):
+                for nr, nc, acc in _fake_tables(p, page):
+                    table_no += 1
+                    yield (id, filename, page, table_no, nr, nc, acc)
+
+    spark = binaries.sparkSession
+    spark.udtf.register("detect_tables_udtf_fn", DetectTablesUDTF)
+    binaries.createOrReplaceTempView("__detect_tables_udtf_input")
+    return spark.sql(
+        "SELECT t.* FROM __detect_tables_udtf_input, "
+        "LATERAL detect_tables_udtf_fn(id, filename, content) t"
+    )

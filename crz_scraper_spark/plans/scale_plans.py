@@ -22,7 +22,11 @@ from crz_scraper_spark.operators.dedup import (
     simhash_near_pairs,
     simhash_near_pairs_md5,
 )
-from crz_scraper_spark.operators.extraction import detect_tables, extract_text
+from crz_scraper_spark.operators.extraction import (
+    detect_tables,
+    detect_tables_udtf,
+    extract_text,
+)
 from crz_scraper_spark.operators.multimodal import (
     decode_documents,
     extract_features,
@@ -510,6 +514,13 @@ def pdf_table_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_tables(_doc_binaries(spark, sf_dir))
 
 
+def pdf_table_detect_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same X5 flat-map through Spark 4's native Python UDTF + LATERAL
+    join (operators/extraction.py::detect_tables_udtf) — proven row-equal
+    to the mapInPandas form and sharing its full value oracle."""
+    return detect_tables_udtf(_doc_binaries(spark, sf_dir))
+
+
 # The X5 stub is sha256-derived with a text-safe page suffix, so even the
 # flat-map table detector gets a full value oracle: DuckDB reproduces the
 # digest per (doc, page), the 0..2 emission count, and every cell metric.
@@ -555,6 +566,7 @@ QUERIES: dict = {
     "cosine_topk_bruteforce": (cosine_topk_bruteforce, COSINE_TOPK_SQL),
     "pdf_text_extract": (pdf_text_extract, PDF_TEXT_EXTRACT_SQL),
     "pdf_table_detect": (pdf_table_detect, PDF_TABLE_DETECT_SQL),
+    "pdf_table_detect_udtf": (pdf_table_detect_udtf, PDF_TABLE_DETECT_SQL),
     "ann_lsh_topk": (ann_lsh_topk_q, _ann_lsh_sql()),
     "ann_ivf_topk": (ivf_ann_topk_q, None),
     "minhash_near_dup": (minhash_near_dup, None),
