@@ -1,0 +1,149 @@
+"""Spark 4 Python DataSource for the CRZ daily-dump drop directory.
+
+The reference's stage 0 (`00_download_CRZ_DB.py:179-220`) enumerates a date
+range, downloads one zip per day, and unzips it next to the previous days;
+stage 1 then parses whatever is on disk. This source makes that layout a
+first-class `spark.read.format("crz_dump")` table:
+
+- one input partition per daily file → file-level **date-range pruning**
+  (options `start_date`/`end_date` replace the reference's 130-line
+  calendar clamp, S9) and natural task parallelism across days;
+- reads the dumps **as the reference stores them** — `.zip` archives with
+  the XML inside — which the built-in XML source cannot (it needs the
+  files pre-extracted; codecs cover gzip, not zip archives);
+- lxml-`recover=True` semantics (S2): an unparseable file yields one row
+  with the error in `_corrupt_record` instead of failing the scan, and a
+  `dump_date` column carries the file's date partition key.
+
+This is the supported engine-extension surface for "a source Spark lacks"
+— pure Python, registered per-session, executors receive pickled reader
+instances; no JVM code. The nested attachment links survive as a proper
+`array<string>` column. At 100 TB (decades × daily files) `partitions()`
+returns thousands of file splits; pruning happens before any task launches.
+
+Schema mirrors the flat 22-column contracts table of `01_parse_xml.py:202`
+(FIXTURES.md §B1); heavy nested supplements stay with the native-XML reader
+(`sources/xml.py`) — both sources feed the same stage-2 filter chain.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import io
+import os
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_SCALAR_FIELDS = [
+    "nazov", "id", "inner_id",
+    "objednavatel_ico", "objednavatel", "objednavatel_adresa",
+    "dodavatel_ico", "dodavatel", "dodavatel_adresa",
+    "datum_zverejnenia", "datum_podpisu", "datum_platnosti",
+    "datum_ucinnosti", "posledna_zmena",
+    "cena_konecna", "cena_podpisana", "rezort", "typ", "stav",
+]
+
+DUMP_SCHEMA = (
+    ", ".join(f"{f} string" for f in _SCALAR_FIELDS)
+    + ", prilohy_odkazy array<string>, n_prilohy int"
+    + ", dump_date date, _corrupt_record string"
+)
+
+_DATE_RE = re.compile(r"(\d{4}-\d{2}-\d{2})")
+
+
+class DumpFilePartition(InputPartition):
+    def __init__(self, path: str, dump_date: _dt.date):
+        self.path = path
+        self.dump_date = dump_date
+
+
+def _parse_contracts(xml_bytes: bytes, dump_date: _dt.date):
+    """One daily dump's bytes → row tuples (ElementTree; a ParseError is
+    surfaced as one corrupt-record row, cf. `01_parse_xml.py:18-21`)."""
+    try:
+        root = ET.fromstring(xml_bytes)
+    except ET.ParseError as exc:
+        yield tuple(
+            [None] * len(_SCALAR_FIELDS) + [None, None, dump_date, str(exc)]
+        )
+        return
+    contracts = (
+        [root] if root.tag == "contract" else root.iter("contract")
+    )
+    for c in contracts:
+        row = [
+            (c.findtext(f) or None) for f in _SCALAR_FIELDS
+        ]
+        links = [
+            a.findtext("odkaz")
+            for a in c.findall("./prilohy/priloha")
+            if a.findtext("odkaz") is not None
+        ]
+        yield tuple(row + [links, len(links), dump_date, None])
+
+
+class CRZDumpReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("crz_dump: 'path' option (or load(path)) required")
+        self.start = options.get("start_date")
+        self.end = options.get("end_date")
+
+    def partitions(self):
+        parts = []
+        for name in sorted(os.listdir(self.path)):
+            if not name.endswith((".xml", ".zip")):
+                continue
+            m = _DATE_RE.search(name)
+            if not m:
+                continue
+            day = m.group(1)
+            # S9 date clamp as partition pruning: out-of-range files are
+            # never opened and never become tasks.
+            if (self.start and day < self.start) or (self.end and day > self.end):
+                continue
+            parts.append(
+                DumpFilePartition(
+                    os.path.join(self.path, name), _dt.date.fromisoformat(day)
+                )
+            )
+        return parts
+
+    def read(self, partition: DumpFilePartition):
+        path = partition.path
+        if path.endswith(".zip"):
+            # The reference stores each day as a zip archive with the XML
+            # inside (00_download_CRZ_DB.py:201-216) — read members
+            # in-process; no pre-extraction step.
+            with zipfile.ZipFile(path) as zf:
+                for member in zf.namelist():
+                    if member.endswith(".xml"):
+                        with zf.open(member) as fh:
+                            yield from _parse_contracts(
+                                fh.read(), partition.dump_date
+                            )
+        else:
+            with io.open(path, "rb") as fh:
+                yield from _parse_contracts(fh.read(), partition.dump_date)
+
+
+class CRZDumpDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "crz_dump"
+
+    def schema(self) -> str:
+        return DUMP_SCHEMA
+
+    def reader(self, schema) -> CRZDumpReader:
+        return CRZDumpReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the format for this session: `spark.read.format("crz_dump")`."""
+    spark.dataSource.register(CRZDumpDataSource)

@@ -1,0 +1,88 @@
+"""Python DataSource (`crz_dump`) tests: zip + xml daily dumps, file-level
+date pruning, corrupt-file routing, and parity with the native XML reader
+on the same contracts."""
+
+from __future__ import annotations
+
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.test_pipeline import _contract_xml
+
+
+def _dump_bytes(*cids: str) -> bytes:
+    body = "\n".join(_contract_xml(c) for c in cids)
+    return (
+        "<?xml version='1.0' encoding='UTF-8'?>\n<dump>\n"
+        + body
+        + "\n</dump>"
+    ).encode()
+
+
+@pytest.fixture(scope="module")
+def drop_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("drop")
+    (d / "2024-06-01.xml").write_bytes(_dump_bytes("1", "2"))
+    with zipfile.ZipFile(d / "2024-06-02.zip", "w") as zf:
+        zf.writestr("2024-06-02.xml", _dump_bytes("3"))
+    (d / "2024-06-03.xml").write_bytes(b"<dump><contract><nazov>broken")
+    (d / "notes.txt").write_bytes(b"ignored")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    from crz_scraper_spark.sources.crz_datasource import register
+
+    register(spark)
+    return spark
+
+
+def test_reads_xml_and_zip_days(registered, drop_dir):
+    df = registered.read.format("crz_dump").load(drop_dir).cache()
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    assert sorted(r["id"] for r in clean.select("id").collect()) == ["1", "2", "3"]
+    # the zipped day parsed without pre-extraction
+    assert (
+        clean.filter(F.col("dump_date") == "2024-06-02").first()["id"] == "3"
+    )
+    # typed nested output + partition-key column
+    row = clean.filter(F.col("id") == "1").first()
+    assert row["prilohy_odkazy"] == ["https://x/a.pdf"] and row["n_prilohy"] == 1
+    assert str(row["dump_date"]) == "2024-06-01"
+
+
+def test_corrupt_file_routed_not_fatal(registered, drop_dir):
+    df = registered.read.format("crz_dump").load(drop_dir)
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(bad) == 1 and str(bad[0]["dump_date"]) == "2024-06-03"
+
+
+def test_date_range_prunes_files(registered, drop_dir):
+    df = (
+        registered.read.format("crz_dump")
+        .option("start_date", "2024-06-02")
+        .option("end_date", "2024-06-02")
+        .load(drop_dir)
+    )
+    assert [str(r["dump_date"]) for r in df.collect()] == ["2024-06-02"]
+
+
+def test_parity_with_native_xml_reader(registered, drop_dir, tmp_path):
+    from crz_scraper_spark.sources.xml import read_contracts_xml, split_corrupt
+
+    (tmp_path / "day.xml").write_bytes(_dump_bytes("1", "2"))
+    native, _ = split_corrupt(
+        read_contracts_xml(registered, str(tmp_path / "day.xml"))
+    )
+    ds = (
+        registered.read.format("crz_dump")
+        .option("end_date", "2024-06-01")
+        .load(drop_dir)
+    )
+    cols = ["id", "nazov", "dodavatel_ico", "cena_konecna", "datum_zverejnenia"]
+    a = sorted(map(tuple, native.select(*cols).collect()))
+    b = sorted(map(tuple, ds.select(*cols).collect()))
+    assert a == b
