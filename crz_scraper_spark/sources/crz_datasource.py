@@ -35,7 +35,12 @@ import re
 import zipfile
 import xml.etree.ElementTree as ET
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _SCALAR_FIELDS = [
     "nazov", "id", "inner_id",
@@ -115,21 +120,81 @@ class CRZDumpReader(DataSourceReader):
         return parts
 
     def read(self, partition: DumpFilePartition):
-        path = partition.path
-        if path.endswith(".zip"):
-            # The reference stores each day as a zip archive with the XML
-            # inside (00_download_CRZ_DB.py:201-216) — read members
-            # in-process; no pre-extraction step.
-            with zipfile.ZipFile(path) as zf:
-                for member in zf.namelist():
-                    if member.endswith(".xml"):
-                        with zf.open(member) as fh:
-                            yield from _parse_contracts(
-                                fh.read(), partition.dump_date
-                            )
-        else:
-            with io.open(path, "rb") as fh:
-                yield from _parse_contracts(fh.read(), partition.dump_date)
+        # The reference stores each day as a zip archive with the XML inside
+        # (00_download_CRZ_DB.py:201-216) — _read_dump_file opens members
+        # in-process; no pre-extraction step.
+        yield from _read_dump_file(partition.path, partition.dump_date)
+
+
+def _read_dump_file(path: str, dump_date: _dt.date):
+    if path.endswith(".zip"):
+        with zipfile.ZipFile(path) as zf:
+            for member in zf.namelist():
+                if member.endswith(".xml"):
+                    with zf.open(member) as fh:
+                        yield from _parse_contracts(fh.read(), dump_date)
+    else:
+        with io.open(path, "rb") as fh:
+            yield from _parse_contracts(fh.read(), dump_date)
+
+
+class CRZDumpStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the drop-dir source: each new daily file is a
+    micro-batch (the reference's re-run-for-new-dates loop,
+    `00_download_CRZ_DB.py:47-117`, with the checkpoint replacing its
+    manual date bookkeeping). The offset is the lexicographically-last
+    consumed filename — date-named files make name order = date order —
+    so restart/replay (`readBetweenOffsets`) is exact: the files in
+    (start, end] are re-parsed deterministically."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("crz_dump: 'path' option (or load(path)) required")
+        self.start_date = options.get("start_date")
+        self.end_date = options.get("end_date")
+
+    def _eligible(self) -> list[str]:
+        out = []
+        for name in sorted(os.listdir(self.path)):
+            if not name.endswith((".xml", ".zip")):
+                continue
+            m = _DATE_RE.search(name)
+            if not m:
+                continue
+            day = m.group(1)
+            if (self.start_date and day < self.start_date) or (
+                self.end_date and day > self.end_date
+            ):
+                continue
+            out.append(name)
+        return out
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def _rows_for(self, names: list[str]):
+        # Materialized list behind an iterator — the simple-stream harness
+        # requires the iterator protocol AND pickles the batch for its
+        # prefetch cache (a list_iterator pickles; a generator does not).
+        # A daily dump is bounded, so per-micro-batch materialization is
+        # the intended tradeoff of the "simple" reader API.
+        rows: list[tuple] = []
+        for name in names:
+            day = _dt.date.fromisoformat(_DATE_RE.search(name).group(1))
+            rows.extend(_read_dump_file(os.path.join(self.path, name), day))
+        return iter(rows)
+
+    def read(self, start: dict):
+        names = [n for n in self._eligible() if n > start.get("last", "")]
+        end = {"last": names[-1]} if names else dict(start)
+        return self._rows_for(names), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lo, hi = start.get("last", ""), end.get("last", "")
+        return self._rows_for(
+            [n for n in self._eligible() if lo < n <= hi]
+        )
 
 
 class CRZDumpDataSource(DataSource):
@@ -142,6 +207,9 @@ class CRZDumpDataSource(DataSource):
 
     def reader(self, schema) -> CRZDumpReader:
         return CRZDumpReader(self.options)
+
+    def simpleStreamReader(self, schema) -> CRZDumpStreamReader:
+        return CRZDumpStreamReader(self.options)
 
 
 def register(spark) -> None:

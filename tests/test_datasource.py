@@ -86,3 +86,34 @@ def test_parity_with_native_xml_reader(registered, drop_dir, tmp_path):
     a = sorted(map(tuple, native.select(*cols).collect()))
     b = sorted(map(tuple, ds.select(*cols).collect()))
     assert a == b
+
+
+def test_streaming_incremental_days(registered, tmp_path):
+    """Each newly-dropped daily file becomes one micro-batch; the offset
+    (last consumed filename) makes re-processing exactly-once."""
+    d = tmp_path / "stream_drop"
+    d.mkdir()
+    (d / "2024-06-01.xml").write_bytes(_dump_bytes("1", "2"))
+    q = (
+        registered.readStream.format("crz_dump")
+        .load(str(d))
+        .writeStream.format("memory")
+        .queryName("crz_stream_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = sorted(
+            r["id"] for r in registered.table("crz_stream_test").collect()
+        )
+        assert got1 == ["1", "2"]
+        with zipfile.ZipFile(d / "2024-06-02.zip", "w") as zf:
+            zf.writestr("2024-06-02.xml", _dump_bytes("3"))
+        q.processAllAvailable()
+        got2 = sorted(
+            r["id"] for r in registered.table("crz_stream_test").collect()
+        )
+        assert got2 == ["1", "2", "3"]  # day 1 NOT re-emitted
+    finally:
+        q.stop()
