@@ -1,0 +1,65 @@
+"""Key-level upsert into a partitioned parquet table (copy-on-write MERGE).
+
+The reference's only table-maintenance primitive is rewriting the WHOLE
+growing CSV after every processed contract (S10,
+`06_extract_tables.py:246,257`). At 100 TB the equivalent must touch only
+the data that changed: this operator reads ONLY the partitions the updates
+land in (partition pruning from the update keys themselves), merges with
+update-wins semantics, and writes back ONLY those partitions via dynamic
+partition overwrite. The untouched tail of the table is never read, never
+shuffled, never written.
+
+This is the same copy-on-write pattern Delta/Iceberg `MERGE INTO` executes
+under the hood; on plain parquet directories it needs exactly the three
+steps below. Concurrent writers need a table format's log — out of scope
+for a single-pipeline engine, noted for production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def upsert_by_key(
+    spark: SparkSession,
+    base_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+) -> None:
+    """Merge `updates` into the parquet table at `base_path` partitioned by
+    `partition_col`: rows whose `key_cols` match an update are replaced,
+    new keys are inserted, everything else is byte-untouched.
+
+    Requirements: `updates` carries the table's full schema including
+    `partition_col`; a key must not move between partitions (same contract
+    as Hive-style dynamic overwrite). Update-wins is deterministic — a
+    priority column, not `dropDuplicates`'s arbitrary survivor.
+    """
+    touched = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    if not touched:
+        return
+    base = (
+        spark.read.parquet(base_path)
+        # partition pruning: only the touched directories are scanned
+        .filter(F.col(partition_col).isin(touched))
+        .withColumn("__prio", F.lit(1))
+    )
+    upd = updates.withColumn("__prio", F.lit(0))
+    w = Window.partitionBy(*key_cols).orderBy("__prio")
+    merged = (
+        base.unionByName(upd)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__prio", "__rn")
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(base_path)
+    )

@@ -20,6 +20,8 @@ from crz_scraper_spark.functions.text import (
 )
 from crz_scraper_spark.operators.dedup import first_wins_dedup
 
+from tests.conftest import SF_DIR
+
 _SETTINGS = dict(
     max_examples=8,
     deadline=None,
@@ -119,3 +121,59 @@ def test_aho_corasick_counts_equal_str_count(kws, text):
     from crz_scraper_spark.operators.tagging import AhoCorasick
 
     assert AhoCorasick(kws).counts(text) == [text.count(k) for k in kws]
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            st.characters(
+                codec="utf-8", categories=("L", "N", "P", "Zs")
+            ).filter(lambda c: c != "\x00"),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_pii_redaction_idempotent(spark, texts):
+    """Redacting already-redacted text is a fixpoint: the replacement
+    tokens contain no match for either PII pattern, so a second pass
+    changes nothing (and counts drop to zero)."""
+    from crz_scraper_spark.plans.curation_plans import _EMAIL_RE, _PHONE_RE
+
+    df = spark.createDataFrame(
+        [(i, t + f" user{i}@example.com +421-12345678") for i, t in enumerate(texts)],
+        "doc_id bigint, text string",
+    )
+    once = df.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+        ).alias("text"),
+    )
+    twice = once.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+        ).alias("text"),
+    )
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+    leftover = once.filter(
+        F.col("text").rlike(_EMAIL_RE) | F.col("text").rlike(_PHONE_RE)
+    ).count()
+    assert leftover == 0
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    """Membership is a pure function of doc_id: two runs agree row-for-row,
+    and each stratum's sampled count never exceeds its total."""
+    from crz_scraper_spark.plans.curation_plans import stratified_sample
+
+    a = sorted(map(tuple, stratified_sample(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, stratified_sample(spark, SF_DIR).collect()))
+    assert a == b
+    for _lang, n_docs, n_sampled in a:
+        assert 0 <= n_sampled <= n_docs

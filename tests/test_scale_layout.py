@@ -185,3 +185,59 @@ def test_rich_inactive_customers_plan_properties(spark):
     plan = _plan(rich_inactive_customers(spark, "/root/testdata/sf0.001"))
     assert "LeftAnti" in plan
     assert "GreaterThanOrEqual(o_orderdate,2000-01-01" in plan
+
+
+def test_upsert_by_key_touches_only_affected_partitions(spark, tmp_path):
+    """Copy-on-write upsert: replaced + inserted keys land, untouched
+    partitions' files are byte-identical (never read, never rewritten)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from crz_scraper_spark.operators.upsert import upsert_by_key
+
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-01", 20.0),
+         (3, "2024-01-02", 30.0), (4, "2024-01-03", 40.0)],
+        "k bigint, day string, v double",
+    )
+    path = str(tmp_path / "tbl")
+    base.write.partitionBy("day").parquet(path)
+
+    def files_state(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    untouched_before = files_state("2024-01-03")
+
+    updates = spark.createDataFrame(
+        [(2, "2024-01-01", 21.0),   # replace existing key
+         (5, "2024-01-02", 50.0)],  # insert new key
+        "k bigint, day string, v double",
+    )
+    upsert_by_key(spark, path, updates, key_cols=["k"], partition_col="day")
+
+    # partition values are type-inferred on read -> normalize to str
+    got = {
+        (r["k"], str(r["day"])): r["v"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, "2024-01-01"): 10.0,
+        (2, "2024-01-01"): 21.0,   # updated
+        (3, "2024-01-02"): 30.0,
+        (5, "2024-01-02"): 50.0,   # inserted
+        (4, "2024-01-03"): 40.0,   # untouched partition intact
+    }
+    assert files_state("2024-01-03") == untouched_before
+
+    # Idempotence: re-applying the same updates changes nothing.
+    upsert_by_key(spark, path, updates, key_cols=["k"], partition_col="day")
+    got2 = {
+        (r["k"], str(r["day"])): r["v"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got2 == got
