@@ -183,6 +183,126 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 # ---------------------------------------------------------------------------
+# funnel_conversion — ordered-sequence funnel (view → click → purchase):
+# per user, the earliest view, the earliest click AFTER that view, the
+# earliest purchase AFTER that click; then stage-completion counts. Each
+# stage min depends on the previous stage's result, so it's three window
+# passes over ONE user_id partitioning — one shuffle total, no self-joins
+# (the naive form is a 3-way self-join of events). The product-analytics
+# staple the reference has no analogue for.
+# ---------------------------------------------------------------------------
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s1 = events.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_purchase").alias("n_purchased_after_click"),
+    )
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+              OVER (PARTITION BY user_id) AS t_view
+  FROM events
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+              OVER (PARTITION BY user_id) AS t_click
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+              OVER (PARTITION BY user_id) AS t_purchase
+  FROM s2
+),
+per_user AS (
+  SELECT user_id, max(t_view) AS t_view, max(t_click) AS t_click,
+         max(t_purchase) AS t_purchase
+  FROM s3 GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       count(t_view) AS n_viewed,
+       count(t_click) AS n_clicked_after_view,
+       count(t_purchase) AS n_purchased_after_click
+FROM per_user
+"""
+
+# ---------------------------------------------------------------------------
+# weekly_retention — cohort retention: users grouped by first-activity week,
+# counted as retained in each later week they were active. first-week via
+# one window min; activity grid via distinct (user, week); offset in whole
+# weeks. Two narrow shuffles (user window, cohort-cell agg) — at 100 TB the
+# distinct collapses the event volume to |users|×|weeks| before the agg.
+# ---------------------------------------------------------------------------
+
+
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    marked = events.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).alias("week"),
+    ).withColumn("cohort_week", F.min("week").over(w))
+    grid = marked.distinct()
+    return (
+        grid.withColumn(
+            "week_offset",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .groupBy(F.to_date("cohort_week").alias("cohort_week"), "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+WEEKLY_RETENTION_SQL = """
+WITH marked AS (
+  SELECT user_id,
+         date_trunc('week', ts) AS week,
+         min(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cohort_week
+  FROM events
+),
+grid AS (SELECT DISTINCT user_id, week, cohort_week FROM marked)
+SELECT CAST(cohort_week AS DATE) AS cohort_week,
+       CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS week_offset,
+       count(DISTINCT user_id) AS n_active
+FROM grid
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
 # props_json_rollup — typed JSON access replacing the reference's
 # list-literal cells (F11 → from_json mapping, SURVEY §1).
 # ---------------------------------------------------------------------------
@@ -355,6 +475,8 @@ QUERIES: dict = {
     ),
     "sessionization": (sessionization, SESSIONIZATION_SQL),
     "scd2_intervals": (scd2_intervals, SCD2_INTERVALS_SQL),
+    "funnel_conversion": (funnel_conversion, FUNNEL_CONVERSION_SQL),
+    "weekly_retention": (weekly_retention, WEEKLY_RETENTION_SQL),
     "props_json_rollup": (props_json_rollup, PROPS_JSON_ROLLUP_SQL),
     "props_variant_rollup": (props_variant_rollup, PROPS_JSON_ROLLUP_SQL),
     "user_running_totals": (user_running_totals, USER_RUNNING_TOTALS_SQL),
