@@ -206,6 +206,95 @@ FROM agg
 """
 
 # ---------------------------------------------------------------------------
+# value_outliers — per-user z-score anomaly flagging: each user's mean/std
+# from decimal-exact window moments (same discipline as value_stats — plain
+# stddev over doubles is summation-order-dependent and would not oracle-
+# match), z computed row-local, |z| > 2.5 kept. One window shuffle on
+# user_id; at 100 TB this is the standard per-entity anomaly scan shape.
+# ---------------------------------------------------------------------------
+
+
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    dec = F.col("value").cast("decimal(18,4)")
+    s = F.sum(dec).over(w).cast("double")
+    s2 = F.sum(dec * dec).over(w).cast("double")
+    n = F.count("*").over(w)
+    mean = s / n
+    std = F.sqrt((s2 - s * s / n) / (n - 1))
+    z = F.round((F.col("value") - mean) / std, 4)
+    return (
+        events.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select("user_id", "event_id", "value", "z")
+    )
+
+
+VALUE_OUTLIERS_SQL = """
+WITH scored AS (
+  SELECT user_id, event_id, value,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s,
+         CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+              OVER w AS DOUBLE) AS s2,
+         count(*) OVER w AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id)
+)
+SELECT user_id, event_id, value,
+       round((value - s / n) / sqrt((s2 - s * s / n) / (n - 1)), 4) AS z
+FROM scored
+WHERE abs(round((value - s / n) / sqrt((s2 - s * s / n) / (n - 1)), 4)) > 2.5
+"""
+
+# ---------------------------------------------------------------------------
+# table_profile — one-pass whole-table column profile (the A9 "count
+# non-empty / distinct per column" loop of `09_clean_tables.py:180-215`
+# generalized): stack pivots columns into (column, value-as-string) long
+# form map-side, then one hash agg yields null and distinct counts per
+# column. The column list drives BOTH engines from one Python constant.
+# Counts only — no stringified min/max, whose double/timestamp formatting
+# is engine-specific and would break the hash match.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    stack_args = ", ".join(
+        f"'{c}', cast({c} as string)" for c in _PROFILE_COLS
+    )
+    long = orders.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) as (col_name, value)"
+        )
+    )
+    return long.groupBy("col_name").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_nulls"),
+        F.countDistinct("value").alias("n_distinct"),
+    )
+
+
+TABLE_PROFILE_SQL = (
+    "SELECT col_name, count(*) AS n_rows,\n"
+    "       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_nulls,\n"
+    "       count(DISTINCT value) AS n_distinct\n"
+    "FROM (\n"
+    + "\n  UNION ALL\n".join(
+        f"  SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS value FROM orders"
+        for c in _PROFILE_COLS
+    )
+    + "\n)\nGROUP BY col_name"
+)
+
+# ---------------------------------------------------------------------------
 # monthly_revenue_growth — date_trunc + lag analytic over months (F9 date
 # machinery + the full window surface).
 # ---------------------------------------------------------------------------
@@ -409,6 +498,8 @@ QUERIES: dict = {
     "cube_status_priority": (cube_status_priority, CUBE_STATUS_PRIORITY_SQL),
     "session_window_agg": (session_window_agg, SESSION_WINDOW_AGG_SQL),
     "value_stats": (value_stats, VALUE_STATS_SQL),
+    "value_outliers": (value_outliers, VALUE_OUTLIERS_SQL),
+    "table_profile": (table_profile, TABLE_PROFILE_SQL),
     "monthly_revenue_growth": (monthly_revenue_growth, MONTHLY_REVENUE_GROWTH_SQL),
     "brand_part_rollup": (brand_part_rollup, BRAND_PART_ROLLUP_SQL),
     "events_dedup_first": (events_dedup_first, EVENTS_DEDUP_FIRST_SQL),
