@@ -157,6 +157,99 @@ WHERE rank <= {_LSH_K}
 """
 
 
+def embedding_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column and its top-k
+    recall cost, fully in higher-order functions: per-vector scale =
+    max|x|/127, q = round(x/scale) ∈ [-127, 127] (4 bytes → 1 byte per
+    dim — the 100 TB embedding-store tradeoff), then the exact top-5 and
+    the quantized top-5 per query and the per-query overlap. Cosine is
+    scale-invariant, so the int arrays score directly — no dequantize
+    pass. round(sim, 4) before ranking is the established cross-engine
+    tie discipline (cosine_topk_bruteforce)."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scale = F.greatest(
+        F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / F.lit(127.0),
+        F.lit(1e-12),
+    )
+    qv = F.transform(F.col("v"), lambda x: F.round(x / scale))
+    base = emb.select("vec_id", "v", qv.alias("q")).cache()
+    exact = cosine_topk(
+        base.select("vec_id", F.col("v").alias("embedding")),
+        base.filter(F.col("vec_id") < 8).select(
+            "vec_id", F.col("v").alias("embedding")
+        ),
+        k=5,
+        round_to=4,
+    )
+    quant = cosine_topk(
+        base.select("vec_id", F.col("q").alias("embedding")),
+        base.filter(F.col("vec_id") < 8).select(
+            "vec_id", F.col("q").alias("embedding")
+        ),
+        k=5,
+        round_to=4,
+    )
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(
+            quant.select(
+                "query_id", F.col("neighbor_id").alias("q_neighbor_id")
+            ),
+            (F.col("neighbor_id") == F.col("q_neighbor_id"))
+            & (exact.query_id == quant.query_id),
+            "left",
+        )
+        .groupBy(exact.query_id)
+        .agg(F.count("q_neighbor_id").alias("n_common"))
+        .select(F.col("query_id"), "n_common")
+    )
+
+
+_QUANT_TOPK_CTE = """
+base AS (
+  SELECT vec_id, embedding AS v,
+         list_transform(embedding,
+           x -> round(x / greatest(
+                  list_max(list_transform(embedding, y -> abs(y))) / 127.0,
+                  1e-12))) AS q
+  FROM embeddings
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY qs.vec_id
+             ORDER BY round(list_cosine_similarity(qs.v, c.v), 4) DESC,
+                      c.vec_id) AS rank
+    FROM base qs JOIN base c ON c.vec_id <> qs.vec_id
+    WHERE qs.vec_id < 8)
+  WHERE rank <= 5
+),
+quant AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY qs.vec_id
+             ORDER BY round(list_cosine_similarity(qs.q, c.q), 4) DESC,
+                      c.vec_id) AS rank
+    FROM base qs JOIN base c ON c.vec_id <> qs.vec_id
+    WHERE qs.vec_id < 8)
+  WHERE rank <= 5
+)
+"""
+
+EMBEDDING_QUANTIZATION_RECALL_SQL = f"""
+WITH {_QUANT_TOPK_CTE}
+SELECT e.query_id, count(q.neighbor_id) AS n_common
+FROM exact e
+LEFT JOIN quant q
+  ON e.query_id = q.query_id AND e.neighbor_id = q.neighbor_id
+GROUP BY e.query_id
+"""
+
+
 def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF variant of the ANN scale path (k-means cells + nprobe probing;
     operators/similarity.py::ivf_topk). Rows-only check: the k-means
@@ -568,6 +661,10 @@ QUERIES: dict = {
     "pdf_table_detect": (pdf_table_detect, PDF_TABLE_DETECT_SQL),
     "pdf_table_detect_udtf": (pdf_table_detect_udtf, PDF_TABLE_DETECT_SQL),
     "ann_lsh_topk": (ann_lsh_topk_q, _ann_lsh_sql()),
+    "embedding_quantization_recall": (
+        embedding_quantization_recall,
+        EMBEDDING_QUANTIZATION_RECALL_SQL,
+    ),
     "ann_ivf_topk": (ivf_ann_topk_q, None),
     "minhash_near_dup": (minhash_near_dup, None),
     "minhash_near_dup_md5": (minhash_near_dup_md5, _minhash_md5_sql()),
