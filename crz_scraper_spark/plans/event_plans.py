@@ -57,6 +57,19 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_tumbling_agg(spark, sf_dir, "1 hour", "2 hours")
 
 
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (clicks ⋈ same-user purchases within
+    30 min) executed by the streaming engine with watermark-bounded join
+    state; equals the batch range join on bounded input, so it shares
+    RANGE_CLICK_PURCHASE_SQL as its oracle
+    (streaming/windows.py::stream_stream_interval_join)."""
+    from crz_scraper_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    return stream_stream_interval_join(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # streaming_enriched_segments — stream-static broadcast join (event stream ⋈
 # static customer dim) feeding a watermarked tumbling agg per market
@@ -467,6 +480,10 @@ JOIN events p
 QUERIES: dict = {
     "asof_last_purchase": (asof_last_purchase, ASOF_LAST_PURCHASE_SQL),
     "range_click_purchase": (range_click_purchase, RANGE_CLICK_PURCHASE_SQL),
+    "streaming_interval_join": (
+        streaming_interval_join,
+        RANGE_CLICK_PURCHASE_SQL,
+    ),
     "tumbling_hourly": (tumbling_hourly, TUMBLING_HOURLY_SQL),
     "streaming_tumbling_hourly": (streaming_tumbling_hourly, TUMBLING_HOURLY_SQL),
     "streaming_enriched_segments": (

@@ -309,3 +309,64 @@ def stateful_user_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_stream_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    lower_s: int = 0,
+    upper_s: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    clicks joined to the same user's purchases within (lower_s, upper_s]
+    seconds — both sides are live streams (two file-source readers over
+    the same drop), both watermarked so the join state is BOUNDED: a
+    buffered click can be dropped once the purchase-side watermark passes
+    click_ts + upper_s (Structured Streaming derives the state TTL from
+    the time-bound condition; without it the buffers grow forever).
+    Append mode + processAllAvailable over the bounded local input makes
+    the result equal to the batch range join (the driver's oracle —
+    RANGE_CLICK_PURCHASE_SQL / operators/temporal.py::range_join)."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"c_user_id = p_user_id"
+            f" AND purchase_ts >= click_ts + interval {lower_s} seconds"
+            f" AND purchase_ts <= click_ts + interval {upper_s} seconds"
+        ),
+    ).select(
+        "click_id", F.col("c_user_id").alias("user_id"), "purchase_id"
+    )
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
