@@ -316,6 +316,56 @@ GROUP BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
+# rolling_active_users — DAU + trailing-7-day distinct users per day. A
+# rolling DISTINCT cannot ride a window frame (frames aggregate values,
+# not sets); the scalable shape is: collapse events to the distinct
+# (user, day) grid FIRST (one shuffle that shrinks 100 TB of events to
+# |users|×|days| rows), then a small range join of the grid against the
+# day list re-counts each trailing window. The day list broadcasts; the
+# grid is the only data that moves.
+# ---------------------------------------------------------------------------
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    days = daily.select("day").distinct()
+    dau = daily.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    rolling = (
+        daily.alias("d")
+        .join(
+            F.broadcast(days.alias("g")),
+            (F.col("d.day") > F.date_sub(F.col("g.day"), 7))
+            & (F.col("d.day") <= F.col("g.day")),
+        )
+        .groupBy(F.col("g.day").alias("day"))
+        .agg(F.countDistinct("d.user_id").alias("active_7d"))
+    )
+    return dau.join(rolling, "day").select("day", "dau", "active_7d")
+
+
+ROLLING_ACTIVE_USERS_SQL = """
+WITH daily AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM daily),
+dau AS (
+  SELECT day, count(DISTINCT user_id) AS dau FROM daily GROUP BY day
+),
+rolling AS (
+  SELECT g.day, count(DISTINCT d.user_id) AS active_7d
+  FROM daily d JOIN days g
+    ON d.day > g.day - INTERVAL 7 DAY AND d.day <= g.day
+  GROUP BY g.day
+)
+SELECT day, dau, active_7d FROM dau JOIN rolling USING (day)
+"""
+
+# ---------------------------------------------------------------------------
 # props_json_rollup — typed JSON access replacing the reference's
 # list-literal cells (F11 → from_json mapping, SURVEY §1).
 # ---------------------------------------------------------------------------
@@ -494,6 +544,7 @@ QUERIES: dict = {
     "scd2_intervals": (scd2_intervals, SCD2_INTERVALS_SQL),
     "funnel_conversion": (funnel_conversion, FUNNEL_CONVERSION_SQL),
     "weekly_retention": (weekly_retention, WEEKLY_RETENTION_SQL),
+    "rolling_active_users": (rolling_active_users, ROLLING_ACTIVE_USERS_SQL),
     "props_json_rollup": (props_json_rollup, PROPS_JSON_ROLLUP_SQL),
     "props_variant_rollup": (props_variant_rollup, PROPS_JSON_ROLLUP_SQL),
     "user_running_totals": (user_running_totals, USER_RUNNING_TOTALS_SQL),

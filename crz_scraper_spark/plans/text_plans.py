@@ -493,8 +493,106 @@ GROUP BY bin_id
 """
 
 
+# ---------------------------------------------------------------------------
+# bm25_search — ranked full-text retrieval over the corpus for a fixed
+# term set (Okapi BM25, k1=1.2 b=0.75): tf from the exploded token table
+# (filtered to the query terms BEFORE the shuffle — the posting-list
+# subset, not the full index), df and avgdl as 1-row/row-per-term
+# broadcasts, per-doc score as one small agg, top-10 on the rounded score
+# (same ln()/round-6 cross-engine discipline as tf_idf_top_terms). The
+# IR-ranking companion to the keyword-count tagging of stage 4b.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "join", "filter"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(tokens_nonempty("text")).alias("word")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("word").isin(_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = F.round(
+        idf
+        * (F.col("tf") * (_BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 4).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("doc_id", "score", "rnk")
+    )
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM toks
+  WHERE word IN ({terms}) GROUP BY doc_id, word
+),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+scored AS (
+  SELECT t.doc_id,
+         round(sum(round(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * ({_BM25_K1} + 1))
+           / (t.tf + {_BM25_K1}
+              * (1 - {_BM25_B} + {_BM25_B} * l.dl / s.avgdl)), 6)), 4)
+           AS score
+  FROM tf t JOIN df d USING (word) JOIN dl l USING (doc_id) CROSS JOIN stats s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, score, rnk FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= 10
+"""
+
+
 QUERIES: dict = {
     "word_frequency": (word_frequency, WORD_FREQUENCY_SQL),
+    "bm25_search": (bm25_search, _bm25_sql()),
     "tf_idf_top_terms": (tf_idf_top_terms, TF_IDF_TOP_TERMS_SQL),
     "train_test_split": (train_test_split, TRAIN_TEST_SPLIT_SQL),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
