@@ -290,8 +290,47 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# per_class_sample — deterministic K-per-group sampling: rank rows inside
+# each (lang) stratum by a salted md5 of the key and keep the first K —
+# "give me N examples per class" with membership that survives re-runs,
+# task retries, and spills (rand() would not). One shuffle on the group
+# key; the hash ranking compiles to the same WindowGroupLimit map-side
+# top-K as first_wins_dedup.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_PER_CLASS = 20
+
+
+def per_class_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("pcs:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _SAMPLE_PER_CLASS)
+        .select("lang", "doc_id", "rnk")
+    )
+
+
+PER_CLASS_SAMPLE_SQL = f"""
+SELECT lang, doc_id, rnk FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+             PARTITION BY lang
+             ORDER BY md5('pcs:' || doc_id::VARCHAR), doc_id) AS rnk
+  FROM documents
+)
+WHERE rnk <= {_SAMPLE_PER_CLASS}
+"""
+
+
 QUERIES: dict = {
     "pii_redact": (pii_redact, PII_REDACT_SQL),
+    "per_class_sample": (per_class_sample, PER_CLASS_SAMPLE_SQL),
     "repetition_stats": (repetition_stats, REPETITION_STATS_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "eval_contamination": (eval_contamination, EVAL_CONTAMINATION_SQL),

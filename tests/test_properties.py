@@ -177,3 +177,51 @@ def test_stratified_sample_deterministic_and_bounded(spark):
     assert a == b
     for _lang, n_docs, n_sampled in a:
         assert 0 <= n_sampled <= n_docs
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),   # key
+                st.integers(min_value=0, max_value=2),   # partition
+                st.integers(min_value=0, max_value=999), # value
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_upsert_by_key_equals_dict_semantics(spark, tmp_path_factory, batches):
+    """A sequence of upsert batches applied to a partitioned table equals
+    plain last-write-wins dict replay (a key stays in its first-seen
+    partition, matching the operator's no-key-movement contract)."""
+    from crz_scraper_spark.operators.upsert import upsert_by_key
+
+    tmp = tmp_path_factory.mktemp("upsert_prop")
+    path = str(tmp / "tbl")
+    expect: dict[int, tuple[str, int]] = {}
+    schema = "k bigint, part string, v bigint"
+    first = True
+    for batch in batches:
+        rows = {}
+        for k, p, v in batch:  # last occurrence inside a batch wins
+            part = expect.get(k, (f"p{p}",))[0]  # pin key to its partition
+            rows[k] = (k, part, v)
+        for k, (_, part, v) in rows.items():
+            expect[k] = (part, v)
+        df = spark.createDataFrame(list(rows.values()), schema)
+        if first:
+            df.write.partitionBy("part").parquet(path)
+            first = False
+        else:
+            upsert_by_key(spark, path, df, key_cols=["k"], partition_col="part")
+    got = {
+        r["k"]: (r["part"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == expect
