@@ -241,3 +241,44 @@ def test_upsert_by_key_touches_only_affected_partitions(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert got2 == got
+
+
+def test_min_cost_supplier_plan_properties(spark):
+    """Q2 shape: every dimension broadcast (never a sort-merge join of the
+    fact table), both dimension filters pushed to their scans, and the
+    correlated MIN realized as ONE window over the pair aggregate — no
+    second scan of lineitem."""
+    from crz_scraper_spark.plans.tpch2_plans import min_cost_supplier
+
+    plan = _plan(min_cost_supplier(spark, "/root/testdata/sf0.001"))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "EqualTo(r_name,EUROPE)" in plan
+    assert "EqualTo(p_type,LARGE)" in plan
+    # formatted explain prints each node twice (tree + details)
+    assert plan.count("Scan parquet") == 2 * 5  # each table exactly once
+
+
+def test_funnel_conversion_plan_properties(spark):
+    """Three staged window mins must reuse ONE user_id hash partitioning —
+    a single fact exchange, not one per stage, and no self-join of
+    events."""
+    from crz_scraper_spark.plans.event_plans import funnel_conversion
+
+    plan = _plan(funnel_conversion(spark, "/root/testdata/sf0.001"))
+    # formatted explain prints each node twice (tree + details)
+    assert plan.count("Scan parquet") == 2 * 1
+    # one shuffle shared by all three windows AND the per-user aggregate
+    # (which reuses the window partitioning), plus the final 1-row agg
+    assert plan.count("Exchange") <= 2 * 2
+    assert plan.count("Window") == 2 * 3
+
+
+def test_eval_contamination_plan_properties(spark):
+    """Decontamination joins gram-to-gram: an equi hash join, never a
+    cartesian/nested-loop product of the corpus with itself."""
+    from crz_scraper_spark.plans.curation_plans import eval_contamination
+
+    plan = _plan(eval_contamination(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
