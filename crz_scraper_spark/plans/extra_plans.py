@@ -295,6 +295,40 @@ TABLE_PROFILE_SQL = (
 )
 
 # ---------------------------------------------------------------------------
+# value_histogram — fixed-width histogram of order totals (50k buckets):
+# bucket id is a row-local floor division, so the whole histogram is one
+# map-side-combined hash agg — the constant-memory distribution profile
+# that replaces collecting values to the driver at 100 TB.
+# ---------------------------------------------------------------------------
+
+_HIST_STEP = 50_000.0
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / _HIST_STEP).cast("int")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            "bucket",
+            (F.col("bucket") * _HIST_STEP).cast("bigint").alias("bucket_lo"),
+            "n_orders",
+        )
+    )
+
+
+VALUE_HISTOGRAM_SQL = f"""
+SELECT bucket, CAST(bucket * {_HIST_STEP} AS BIGINT) AS bucket_lo,
+       count(*) AS n_orders
+FROM (
+  SELECT CAST(floor(o_totalprice / {_HIST_STEP}) AS INT) AS bucket
+  FROM orders
+)
+GROUP BY bucket
+"""
+
+# ---------------------------------------------------------------------------
 # monthly_revenue_growth — date_trunc + lag analytic over months (F9 date
 # machinery + the full window surface).
 # ---------------------------------------------------------------------------
@@ -500,6 +534,7 @@ QUERIES: dict = {
     "value_stats": (value_stats, VALUE_STATS_SQL),
     "value_outliers": (value_outliers, VALUE_OUTLIERS_SQL),
     "table_profile": (table_profile, TABLE_PROFILE_SQL),
+    "value_histogram": (value_histogram, VALUE_HISTOGRAM_SQL),
     "monthly_revenue_growth": (monthly_revenue_growth, MONTHLY_REVENUE_GROWTH_SQL),
     "brand_part_rollup": (brand_part_rollup, BRAND_PART_ROLLUP_SQL),
     "events_dedup_first": (events_dedup_first, EVENTS_DEDUP_FIRST_SQL),
