@@ -116,4 +116,52 @@ def documents_pipeline(
     return tagged.join(subjects, id_col).join(quality, id_col).join(langs, id_col)
 
 
-__all__ = ["contracts_pipeline", "documents_pipeline"]
+def tables_pipeline(
+    cells: DataFrame,
+    keywords: list[str],
+    numeric_threshold: float = 0.75,
+    header_threshold: int = 2,
+) -> dict[str, DataFrame]:
+    """Entry 3 (stages 6→7→9, `SURVEY.md §3`): extracted-table cells in the
+    long (table_id, col, row_no, cell) format — the output shape of the
+    Camelot flat-map (`operators/extraction.py::detect_tables` upstream) —
+    through keyword tagging + the disjunctive keep filter (stage 7, P9/A1),
+    column classification (stage 9, A9), best-price-column selection (O4)
+    and keyword suggestion (A10). One groupBy over the cells does all the
+    per-column profiling; every later step works on the small classified
+    table. Returns the intermediate AND final frames (the reference wrote
+    one CSV per stage; consumers here pick what they persist):
+
+    - `classified` — per (table_id, col) ratios + flags
+    - `kept_tables` — table ids passing the stage-7 disjunctive filter
+      (any keyword hit in any header, `07_keyword_tag&filter_tables.py:184-198`)
+    - `best_price_col` — top numeric column per table (`09:263-309`)
+    - `suggested_keywords` — header words weighted by column score (`09:310-324`)
+    """
+    from crz_scraper_spark.operators.profiling import (
+        best_column_per_table,
+        classify_columns,
+        suggest_keywords,
+    )
+
+    classified = classify_columns(
+        cells, keywords, numeric_threshold, header_threshold
+    )
+    kept_tables = (
+        classified.groupBy("table_id")
+        .agg(F.sum("header_kw_hits").alias("kw_hits"))
+        .filter(F.col("kw_hits") > 0)
+        .select("table_id", "kw_hits")
+    )
+    best_price_col = best_column_per_table(
+        classified.filter(F.col("is_numeric_col") == 1), "digit_ratio"
+    )
+    return {
+        "classified": classified,
+        "kept_tables": kept_tables,
+        "best_price_col": best_price_col,
+        "suggested_keywords": suggest_keywords(cells, classified),
+    }
+
+
+__all__ = ["contracts_pipeline", "documents_pipeline", "tables_pipeline"]

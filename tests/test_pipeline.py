@@ -347,3 +347,32 @@ def test_observe_discards_one_pass_audit(spark, contracts_df):
     assert m["no_attachments"] == want.get(2, 0)
     assert m["duplicate"] == want.get(5, 0)
     assert m["price_reject"] == want.get(3, 0)
+
+
+def test_tables_pipeline_end_to_end(spark):
+    """Entry 3 (stages 6→7→9) as one call: classification, the stage-7
+    disjunctive keep filter, price-column pick, and keyword suggestions all
+    derive from one cells pass (fixture mirrors tests/test_operators.py)."""
+    from pyspark.sql import Row
+
+    from crz_scraper_spark.pipeline import tables_pipeline
+
+    rows = []
+
+    def add(table, col, values, header):
+        rows.append(Row(table_id=table, col=col, row_no=0, cell=header))
+        for i, v in enumerate(values, start=1):
+            rows.append(Row(table_id=table, col=col, row_no=i, cell=v))
+
+    add("t1", "c1", ["engineer", "driver", "cook", "welder"], "pozicia praca cena")
+    add("t1", "c2", ["1200", "900", "750", "1100"], "cena spolu")
+    add("t1", "c3", ["", "", "", ""], "poznamka")
+    add("t2", "c1", ["lorem", "ipsum", "dolor", "sit"], "text")
+    cells = spark.createDataFrame(rows)
+
+    out = tables_pipeline(cells, ["pozícia", "pozicia", "cena", "praca"])
+    assert [r["table_id"] for r in out["kept_tables"].collect()] == ["t1"]
+    best = {r["table_id"]: r["col"] for r in out["best_price_col"].collect()}
+    assert best == {"t1": "c2"}  # the >75%-digits column
+    sugg = {r["word"] for r in out["suggested_keywords"].collect()}
+    assert "cena" in sugg
