@@ -63,3 +63,59 @@ def upsert_by_key(
         .partitionBy(partition_col)
         .parquet(base_path)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two table snapshots — the question a daily-dump
+    consumer actually asks ("what changed since yesterday's dump?"; the
+    reference re-downloads and re-processes everything,
+    `00_download_CRZ_DB.py:179-220`). One full outer join on the key;
+    change detection compares a single xxhash64 over the compared columns
+    (null-tagged so NULL≠'' and column boundaries can't alias), so wide
+    rows shuffle once and compare as one long. Output: the key columns +
+    `change_type` ∈ {inserted, deleted, changed} (unchanged rows are
+    dropped — at 100 TB they are almost everything, and they leave the
+    plan at the join).
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in key_cols]
+
+    def content_hash(df: DataFrame):
+        tagged = [
+            F.concat(
+                F.lit(f"{c}="),
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00null")),
+            )
+            for c in compare_cols
+        ]
+        return F.xxhash64(*tagged)
+
+    o = old.select(
+        *[F.col(c).alias(f"__ok_{c}") for c in key_cols],
+        content_hash(old).alias("__oh"),
+    )
+    n = new.select(
+        *[F.col(c) for c in key_cols], content_hash(new).alias("__nh")
+    )
+    cond = F.lit(True)
+    for c in key_cols:
+        cond = cond & (F.col(c) == F.col(f"__ok_{c}"))
+    joined = n.join(o, cond, "full_outer")
+    change = (
+        F.when(F.col("__oh").isNull(), F.lit("inserted"))
+        .when(F.col("__nh").isNull(), F.lit("deleted"))
+        .when(F.col("__oh") != F.col("__nh"), F.lit("changed"))
+    )
+    keys_out = [
+        F.coalesce(F.col(c), F.col(f"__ok_{c}")).alias(c) for c in key_cols
+    ]
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*keys_out, "change_type")
+    )

@@ -295,6 +295,61 @@ TABLE_PROFILE_SQL = (
 )
 
 # ---------------------------------------------------------------------------
+# orders_snapshot_diff — snapshot diff as a query: "yesterday's dump" =
+# orders before 2001-01-01, "today's" = all orders with urgent totals
+# re-priced (both derived deterministically from the one orders table), and
+# the operator reports inserted/changed keys (operators/upsert.py::
+# snapshot_diff — one full outer join, xxhash64 content compare). The
+# oracle detects changes by direct column comparison: agreement also
+# validates that the hash compare introduces no false negatives here.
+# ---------------------------------------------------------------------------
+
+
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.operators.upsert import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(
+        F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp")
+    )
+    new = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+ORDERS_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01'
+),
+new AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderpriority = '1-URGENT'
+              THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END
+           AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders
+)
+SELECT o_orderkey, change_type FROM (
+  SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+              WHEN n.o_orderkey IS NULL THEN 'deleted'
+              WHEN (n.o_custkey, n.o_orderstatus, n.o_totalprice,
+                    n.o_orderdate, n.o_orderpriority)
+                   IS DISTINCT FROM
+                   (o.o_custkey, o.o_orderstatus, o.o_totalprice,
+                    o.o_orderdate, o.o_orderpriority)
+                   THEN 'changed' END AS change_type
+  FROM new n FULL OUTER JOIN old o ON n.o_orderkey = o.o_orderkey
+)
+WHERE change_type IS NOT NULL
+"""
+
+# ---------------------------------------------------------------------------
 # value_histogram — fixed-width histogram of order totals (50k buckets):
 # bucket id is a row-local floor division, so the whole histogram is one
 # map-side-combined hash agg — the constant-memory distribution profile
@@ -535,6 +590,7 @@ QUERIES: dict = {
     "value_outliers": (value_outliers, VALUE_OUTLIERS_SQL),
     "table_profile": (table_profile, TABLE_PROFILE_SQL),
     "value_histogram": (value_histogram, VALUE_HISTOGRAM_SQL),
+    "orders_snapshot_diff": (orders_snapshot_diff, ORDERS_SNAPSHOT_DIFF_SQL),
     "monthly_revenue_growth": (monthly_revenue_growth, MONTHLY_REVENUE_GROWTH_SQL),
     "brand_part_rollup": (brand_part_rollup, BRAND_PART_ROLLUP_SQL),
     "events_dedup_first": (events_dedup_first, EVENTS_DEDUP_FIRST_SQL),

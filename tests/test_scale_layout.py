@@ -282,3 +282,26 @@ def test_eval_contamination_plan_properties(spark):
     plan = _plan(eval_contamination(spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_diff(spark):
+    """inserted/deleted/changed detected; unchanged rows dropped; NULL and
+    empty string don't alias in the content hash."""
+    from crz_scraper_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0), (4, "", 4.0)],
+        "k bigint, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),      # unchanged -> dropped
+         (2, "B", 2.0),      # changed
+         (3, "", 3.0),       # NULL -> '' must register as changed
+         (5, "e", 5.0)],     # inserted; 4 deleted
+        "k bigint, s string, v double",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {2: "changed", 3: "changed", 4: "deleted", 5: "inserted"}
