@@ -414,8 +414,61 @@ WHERE s.s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_5'
 """
 
 
+# ---------------------------------------------------------------------------
+# part_affinity — market-basket co-occurrence: the top part pairs bought in
+# the same order. The self-join keys on l_orderkey, so pair generation is
+# LOCAL to each order after one shuffle, and the p1 < p2 ordering keeps
+# each unordered pair exactly once; blow-up is bounded by lines-per-order
+# squared (single digits), never corpus². distinct before pairing so a
+# part repeated within an order can't double-count.
+# ---------------------------------------------------------------------------
+
+
+def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, (a.l_orderkey == b.__ok) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    w = Window.orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("part_a", "part_b", "n_orders", "rnk")
+    )
+
+
+PART_AFFINITY_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS n_orders
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_orders, rnk FROM (
+  SELECT part_a, part_b, n_orders,
+         row_number() OVER (ORDER BY n_orders DESC, part_a, part_b) AS rnk
+  FROM pairs
+)
+WHERE rnk <= 20
+"""
+
+
 QUERIES: dict = {
     "min_cost_supplier": (min_cost_supplier, MIN_COST_SUPPLIER_SQL),
+    "part_affinity": (part_affinity, PART_AFFINITY_SQL),
     "nation_market_share": (nation_market_share, NATION_MARKET_SHARE_SQL),
     "product_profit": (product_profit, PRODUCT_PROFIT_SQL),
     "important_part_value": (important_part_value, IMPORTANT_PART_VALUE_SQL),

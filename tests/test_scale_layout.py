@@ -305,3 +305,23 @@ def test_snapshot_diff(spark):
         for r in snapshot_diff(old, new, ["k"]).collect()
     }
     assert got == {2: "changed", 3: "changed", 4: "deleted", 5: "inserted"}
+
+
+def test_compact_partitions(spark, tmp_path):
+    """Many small files per partition collapse to one, values unchanged."""
+    from crz_scraper_spark.operators.upsert import compact_partitions
+
+    path = str(tmp_path / "frag")
+    base = spark.createDataFrame(
+        [(i, f"d{i % 2}", float(i)) for i in range(40)],
+        "k bigint, day string, v double",
+    )
+    # fragment: 10 files per partition
+    base.repartition(10).write.partitionBy("day").parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    stats = compact_partitions(spark, path, "day")
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= 2  # one per partition
