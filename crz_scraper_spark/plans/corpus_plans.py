@@ -1,0 +1,273 @@
+"""Corpus-preparation plans: chunking, boilerplate n-gram filtering, n-gram
+language-model count tables, and quantile-band quality filtering.
+
+These extend the curation surface (curation_plans.py) with the remaining
+operations a 100 TB pretraining pipeline runs between raw documents and
+training shards. The reference's closest analogues are its fixed-window
+substring extraction (`08_extract_subject.py:42-57` — a single anchored
+window per document; `doc_chunking` generalizes to ALL strided windows) and
+its corpus word-frequency dictionary (`05_build_special_dictionary.py:99-141`
+— unigram counts; `ngram_lm_counts` generalizes to conditional bigram
+statistics with Kneser-Ney-style continuation counts).
+
+All four are fully oracle-checked. Chunk boundaries, gram sets, and
+thresholds are integer/string-deterministic; the only floats are ratios of
+integers rounded to 6 on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crz_scraper_spark.catalog import fan_out, load_table
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), ' +'), w -> w <> '')"
+_TOKS_SPARK = "filter(split(lower(text), ' +'), w -> w <> '')"
+
+# ---------------------------------------------------------------------------
+# doc_chunking — strided fixed-size context windows. Every document becomes
+# ceil(n_words / stride) chunks of up to CHUNK_WORDS words starting at
+# 1, 1+stride, 2*stride+1, ...; consecutive chunks overlap by
+# CHUNK_WORDS - stride words (the standard training-context overlap so no
+# boundary token loses its left context). Map-side only: sequence +
+# explode + slice never shuffles — at 100 TB this fuses into the scan and
+# scales linearly with input bytes. The chunk text itself is carried as an
+# md5 (the driver compare would otherwise ship megabytes of text); real
+# pipelines write the chunk string to the training shard sink.
+# ---------------------------------------------------------------------------
+
+_CHUNK_WORDS = 64
+_CHUNK_STRIDE = 48
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(1, size(toks), {_CHUNK_STRIDE})")
+        ).alias("chunk_start"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        ((F.col("chunk_start") - 1) / _CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        "chunk_start",
+        F.size(F.expr(f"slice(toks, chunk_start, {_CHUNK_WORDS})")).alias(
+            "chunk_words"
+        ),
+        F.md5(
+            F.expr(f"concat_ws(' ', slice(toks, chunk_start, {_CHUNK_WORDS}))")
+        ).alias("chunk_md5"),
+    )
+
+
+DOC_CHUNKING_SQL = f"""
+SELECT doc_id,
+       CAST((chunk_start - 1) / {_CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+       chunk_start,
+       len(t[chunk_start : chunk_start + {_CHUNK_WORDS - 1}]) AS chunk_words,
+       md5(array_to_string(t[chunk_start : chunk_start + {_CHUNK_WORDS - 1}], ' '))
+         AS chunk_md5
+FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+     unnest(generate_series(1, len(t), {_CHUNK_STRIDE})) AS s(chunk_start)
+WHERE len(t) > 0
+"""
+
+# ---------------------------------------------------------------------------
+# boilerplate_ngram_filter — C4-style boilerplate suppression: a 5-gram that
+# appears in many DISTINCT documents is boilerplate (headers, footers,
+# licence blurbs); documents dominated by such grams are dropped. Pass 1
+# computes per-gram document frequency from each doc's distinct gram set;
+# the blacklist (grams in > BOILERPLATE_DOC_FRAC of docs) is tiny by
+# construction — frequency-capped — so the join back to per-doc gram sets
+# broadcasts at any scale. Per doc: boilerplate_ratio = |blacklisted grams|
+# / |grams|, keep iff ratio <= 0.5. Two shuffles total (gram DF count, per-
+# doc ratio agg), both on uniform hash keys.
+# ---------------------------------------------------------------------------
+
+_BP_N = 3
+_BP_DOC_FRAC = 0.20  # gram is boilerplate if in > 20% of documents
+
+
+def boilerplate_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _BP_N
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    grams = (
+        docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, size(toks) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(toks, i, {n}))))"
+                )
+            ).alias("gram"),
+        )
+    )
+    n_docs = docs.count()  # scalar; metadata-cheap and exact
+    blacklist = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _BP_DOC_FRAC * n_docs)
+        .select("gram")
+    )
+    flagged = grams.join(
+        F.broadcast(blacklist).withColumn("is_bp", F.lit(1)), "gram", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_bp"), F.lit(0))).alias("n_boilerplate"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boilerplate",
+            F.round(F.col("n_boilerplate") / F.col("n_grams"), 6).alias(
+                "boilerplate_ratio"
+            ),
+            (F.col("n_boilerplate") / F.col("n_grams") <= 0.5).alias("keep"),
+        )
+    )
+
+
+BOILERPLATE_NGRAM_FILTER_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, g AS gram
+  FROM (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, len(t) - {_BP_N - 1}),
+               i -> array_to_string(t[i:i + {_BP_N - 1}], ' '))) AS gs
+    FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    WHERE len(t) >= {_BP_N}
+  ), unnest(gs) AS u(g)
+),
+blacklist AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING count(*) > {_BP_DOC_FRAC} * (SELECT count(*) FROM documents)
+)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_boilerplate,
+       round(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 6) AS boilerplate_ratio,
+       sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*) <= 0.5 AS keep
+FROM grams g LEFT JOIN blacklist b USING (gram)
+GROUP BY g.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# ngram_lm_counts — corpus bigram statistics for n-gram LM estimation:
+# raw count c(w1,w2) plus the Kneser-Ney continuation count N1+(*, w2) =
+# |{w1 : c(w1,w2) > 0}| — "how many distinct left contexts does w2 appear
+# in". One explode + one groupBy(w1,w2) count (map-side partial agg), then
+# the continuation table derives FROM the bigram aggregate (already tiny —
+# vocabulary-sized, not corpus-sized) and broadcasts back. The corpus-sized
+# data shuffles exactly once.
+# ---------------------------------------------------------------------------
+
+_LM_MIN_COUNT = 5
+
+
+def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    bigrams = (
+        docs.select(F.expr(_TOKS_SPARK).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) AS w1,"
+                    "             element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+    )
+    continuation = bigrams.groupBy("w2").agg(
+        F.count("*").alias("w2_continuations")
+    )
+    return (
+        bigrams.filter(F.col("cnt") >= _LM_MIN_COUNT)
+        .join(F.broadcast(continuation), "w2")
+        .select("w1", "w2", "cnt", "w2_continuations")
+    )
+
+
+NGRAM_LM_COUNTS_SQL = f"""
+WITH bigrams AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS cnt
+  FROM (SELECT {_TOKS_SQL} AS t FROM documents),
+       unnest(generate_series(1, len(t) - 1)) AS s(i)
+  WHERE len(t) >= 2
+  GROUP BY 1, 2
+),
+continuation AS (
+  SELECT w2, count(*) AS w2_continuations FROM bigrams GROUP BY w2
+)
+SELECT b.w1, b.w2, b.cnt, c.w2_continuations
+FROM bigrams b JOIN continuation c USING (w2)
+WHERE b.cnt >= {_LM_MIN_COUNT}
+"""
+
+# ---------------------------------------------------------------------------
+# quality_band_filter — quantile-band outlier trimming: drop the shortest 5%
+# and longest 5% of documents (truncated/concatenated crawl artifacts).
+# percentile_disc picks ACTUAL data values (no interpolation — integer-exact
+# on both engines, no float-comparison risk). The two scalars come from one
+# tiny aggregate and broadcast into the scan filter. At 100 TB the exact
+# within-group percentile becomes approx_percentile (sketch-mergeable, one
+# pass) — the band-filter plan shape is identical, which is why the exact
+# form is the oracled one.
+# ---------------------------------------------------------------------------
+
+
+def quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    band = docs.select(
+        F.expr(
+            "percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars)"
+        ).alias("lo"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)"
+        ).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(band))
+        .filter(F.col("n_chars").between(F.col("lo"), F.col("hi")))
+        .select("doc_id", "n_chars", "lo", "hi")
+    )
+
+
+QUALITY_BAND_FILTER_SQL = """
+WITH band AS (
+  SELECT quantile_disc(n_chars, 0.05) AS lo,
+         quantile_disc(n_chars, 0.95) AS hi
+  FROM documents
+)
+SELECT doc_id, n_chars, lo, hi
+FROM documents, band
+WHERE n_chars BETWEEN lo AND hi
+"""
+
+
+QUERIES: dict = {
+    "doc_chunking": (doc_chunking, DOC_CHUNKING_SQL),
+    "boilerplate_ngram_filter": (
+        boilerplate_ngram_filter,
+        BOILERPLATE_NGRAM_FILTER_SQL,
+    ),
+    "ngram_lm_counts": (ngram_lm_counts, NGRAM_LM_COUNTS_SQL),
+    "quality_band_filter": (quality_band_filter, QUALITY_BAND_FILTER_SQL),
+}

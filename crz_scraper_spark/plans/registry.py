@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from crz_scraper_spark.plans import (
     core_plans,
+    corpus_plans,
     curation_plans,
     event_plans,
     extra_plans,
@@ -31,6 +32,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 for group in (
     core_plans,
+    corpus_plans,
     curation_plans,
     text_plans,
     event_plans,
