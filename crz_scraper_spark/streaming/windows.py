@@ -14,11 +14,52 @@ batch tumbling aggregation.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _run_bounded(df: DataFrame, output_mode: str, name_prefix: str) -> DataFrame:
+    """Run a streaming DataFrame to completion over the bounded local input
+    (memory sink + processAllAvailable) and return the materialized result.
+
+    Stateful operators hash-partition their state by
+    `spark.sql.shuffle.partitions` *captured at query start*, and every
+    micro-batch commits one state-store delta file per partition per store
+    (a stream-stream join keeps FOUR stores per partition). Inheriting the
+    batch default (32) means ~128 file commits per micro-batch for a join
+    whose whole state fits in one page — pure fixed overhead locally, and
+    the same sizing mistake a real deployment makes when it lets state
+    partitioning default instead of sizing it to stateful-key cardinality /
+    throughput. We size it explicitly (SPARK_GRAFT_STREAM_STATE_PARTS,
+    default 8 for the local bounded drops; a production stream sets it to
+    O(cores × state volume) before the FIRST start, since it is fixed into
+    the checkpoint thereafter) and restore the batch setting afterwards.
+    Partition count never affects results — only state-file fan-out.
+    """
+    spark = df.sparkSession
+    batch_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    state_parts = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "8")
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.shuffle.partitions", state_parts)
+    try:
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", batch_parts)
+    return spark.table(name)
+
 
 def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     """Streaming file sources require an explicit schema; probe it from the
@@ -76,20 +117,9 @@ def streaming_tumbling_agg(
             "sum_value",
         )
     )
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     # Materialize: the memory sink table is session-scoped and stable once
     # the query is stopped.
-    return spark.table(name)
+    return _run_bounded(agg, "complete", "stream_out")
 
 
 def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,18 +148,7 @@ def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = f"stream_state_{uuid.uuid4().hex[:8]}"
-    q = (
-        counted.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return _run_bounded(counted, "update", "stream_state")
 
 
 def streaming_enriched_segments(
@@ -170,18 +189,7 @@ def streaming_enriched_segments(
             "sum_value",
         )
     )
-    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return _run_bounded(agg, "complete", "stream_enrich")
 
 
 def streaming_dedup(
@@ -194,18 +202,7 @@ def streaming_dedup(
     dedup = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        dedup.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return _run_bounded(dedup, "append", "stream_dedup")
 
 
 def stream_to_partitioned_parquet(
@@ -297,18 +294,7 @@ def stateful_user_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
-    name = f"stream_tws_{uuid.uuid4().hex[:8]}"
-    q = (
-        counted.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return _run_bounded(counted, "update", "stream_tws")
 
 
 def stream_stream_interval_join(
@@ -358,15 +344,4 @@ def stream_stream_interval_join(
     ).select(
         "click_id", F.col("c_user_id").alias("user_id"), "purchase_id"
     )
-    name = f"stream_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return _run_bounded(joined, "append", "stream_join")
