@@ -484,16 +484,14 @@ def connected_components(
     pair graphs, where each round's joins are worth their scheduling cost.
     Both paths produce identical (doc_id, min-reachable-id) labels.
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-        )
-        .distinct()
-        .persist()
-    )
-    n_edges = edges.count()
-    if n_edges <= driver_max_edges:
+    pairs = pairs.persist()
+    n_pairs = pairs.count()
+    if 2 * n_pairs <= driver_max_edges:
+        # Driver path works on the RAW pair list — union-find neither needs
+        # the symmetrized edge set nor a distinct (duplicate edges are
+        # no-op unions), so skipping the union+distinct shuffle saves a
+        # full stage; the pipeline materializes exactly once (count), and
+        # collect() re-reads the persisted pairs.
         parent: dict = {}
 
         def find(x):
@@ -504,8 +502,8 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in edges.collect():
-            a, b = r.src, r.dst
+        for r in pairs.select(id_a, id_b).collect():
+            a, b = r[0], r[1]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -525,6 +523,14 @@ def connected_components(
             ).schema
         )
         return pairs.sparkSession.createDataFrame(rows, out_schema)
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
