@@ -1,0 +1,229 @@
+"""Data-integrity and incremental-maintenance plans: per-partition
+checksums, mergeable incremental rollups, min-max pruning indexes, and
+space-filling-curve layout keys.
+
+At 100 TB a table is thousands of partitions maintained over months; the
+operational questions become "did this partition replicate correctly"
+(checksum), "can I update yesterday's aggregate without rescanning history"
+(incremental merge), "which files can this query skip" (min-max index), and
+"how should rows be co-located for multi-column skipping" (Z-order). The
+reference's analogue is its rewrite-everything checkpoint
+(`06_extract_tables.py:246,257`) — these plans are the at-scale replacements,
+complementing operators/upsert.py (partition-scoped upsert, snapshot diff,
+compaction).
+
+All four are fully oracle-checked. Hashes use the engine-portable md5→bigint
+idiom (same as minhash_near_dup_md5); sums of row hashes accumulate in
+DECIMAL(38,0) (order-independent, overflow-free for ~10^19 rows × 60-bit
+hashes); money/value sums use the decimal pattern from functions/casts.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crz_scraper_spark.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# table_checksum — order-independent per-partition content checksum: one
+# 60-bit hash per row (md5 of the stable key fields), SUMmed per day
+# partition. SUM is commutative ⇒ the checksum is independent of row order,
+# task count, and merge order, and partial checksums from partial scans
+# merge by addition — replica comparison at 100 TB is then a per-partition
+# equality join of two tiny checksum tables (the snapshot_diff fast path:
+# only partitions whose checksums differ need the row-level diff).
+# One map-side partial agg + one exchange of day-sized groups.
+# ---------------------------------------------------------------------------
+
+
+def _row_hash_spark() -> F.Column:
+    s = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+    )
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("decimal(38,0)")
+
+
+_ROW_HASH_SQL = (
+    "('0x' || substr(md5(concat_ws('|', event_id::VARCHAR, user_id::VARCHAR,"
+    " event_type, epoch_us(ts)::VARCHAR)), 1, 15))::BIGINT::DECIMAL(38,0)"
+)
+
+
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.to_date(F.col("ts").cast("timestamp")).alias("day"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(_row_hash_spark()).alias("checksum"),
+        )
+    )
+
+
+TABLE_CHECKSUM_SQL = f"""
+SELECT CAST(ts AS DATE) AS day,
+       count(*) AS n_rows,
+       sum({_ROW_HASH_SQL}) AS checksum
+FROM events
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# incremental_daily_rollup — incremental aggregate maintenance: the standing
+# per-(day, event_type) rollup is NOT recomputed from history when a new day
+# arrives; the base aggregate (ts < cutoff, i.e. "yesterday's materialized
+# rollup") and the delta aggregate (ts >= cutoff, the new increment) are
+# each computed over disjoint inputs and MERGED by re-aggregating their
+# union — count and decimal-sum are mergeable partials, so merged == direct
+# full aggregate, which is exactly what the oracle computes directly. At
+# 100 TB the base side is a saved table (no scan at all); daily cost is
+# O(increment), not O(history).
+# ---------------------------------------------------------------------------
+
+_ROLLUP_CUTOFF = "2024-03-01"
+
+
+def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        "event_type",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count("*").alias("n"), F.sum("v").alias("sv")
+        )
+
+    base = partial(events.filter(F.col("day") < F.lit(_ROLLUP_CUTOFF)))
+    delta = partial(events.filter(F.col("day") >= F.lit(_ROLLUP_CUTOFF)))
+    return (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n_events"), F.sum("sv").alias("sum_partial"))
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            F.round(F.col("sum_partial"), 2).cast("double").alias("sum_value"),
+        )
+    )
+
+
+INCREMENTAL_DAILY_ROLLUP_SQL = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# partition_minmax_index — the file-skipping index: per partition, min/max
+# of the columns queries filter on (what parquet stores per row group and
+# what partition pruning consults). A query with `value BETWEEN a AND b`
+# touches only partitions whose [vmin, vmax] intersects — the index table
+# is thousands of rows regardless of data volume. Single partial+final agg.
+# ---------------------------------------------------------------------------
+
+
+def partition_minmax_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.to_date(F.col("ts").cast("timestamp")).alias("day"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("user_id").alias("user_min"),
+            F.max("user_id").alias("user_max"),
+            F.round(F.min("value"), 6).alias("value_min"),
+            F.round(F.max("value"), 6).alias("value_max"),
+        )
+    )
+
+
+PARTITION_MINMAX_INDEX_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       count(*) AS n_rows,
+       min(user_id) AS user_min,
+       max(user_id) AS user_max,
+       round(min(value), 6) AS value_min,
+       round(max(value), 6) AS value_max
+FROM events
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# zorder_layout_key — multi-column clustering key: interleave the bits of
+# the two filter columns (user_id, day-ordinal) so that sorting by the key
+# co-locates rows close in BOTH dimensions — min-max ranges per file then
+# stay tight for either filter, the property Delta/Iceberg OPTIMIZE ZORDER
+# exploits. The interleave is 16 unrolled shift-or terms per column — pure
+# codegen scalar math, generated from one Python loop so the Spark
+# expression and the oracle SQL cannot drift. Map-only; the actual layout
+# rewrite is `df.repartitionByRange(zkey).sortWithinPartitions(zkey)`.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+
+
+def _z_terms(a: str, b: str) -> tuple[str, str]:
+    """(spark_expr, duckdb_expr) interleaving the low _Z_BITS of a and b."""
+    spark_terms, duck_terms = [], []
+    for i in range(_Z_BITS):
+        # bit i of a → position 2i ; bit i of b → position 2i+1
+        spark_terms.append(f"shiftleft(({a} >> {i}) & 1, {2 * i})")
+        spark_terms.append(f"shiftleft(({b} >> {i}) & 1, {2 * i + 1})")
+        duck_terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        duck_terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(spark_terms), " + ".join(duck_terms)
+
+
+def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    day_ord = "datediff(to_date(cast(ts as timestamp)), date'2024-01-01')"
+    z_spark, _ = _z_terms("user_id", "day_ord")
+    return (
+        events.select(
+            "event_id",
+            F.col("user_id"),
+            F.expr(day_ord).cast("bigint").alias("day_ord"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "day_ord",
+            F.expr(z_spark).cast("bigint").alias("zkey"),
+        )
+    )
+
+
+def _zorder_sql() -> str:
+    _, z_duck = _z_terms("user_id", "day_ord")
+    return f"""
+SELECT event_id, user_id, day_ord, CAST({z_duck} AS BIGINT) AS zkey
+FROM (
+  SELECT event_id, user_id,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS day_ord
+  FROM events
+)
+"""
+
+
+QUERIES: dict = {
+    "table_checksum": (table_checksum, TABLE_CHECKSUM_SQL),
+    "incremental_daily_rollup": (
+        incremental_daily_rollup,
+        INCREMENTAL_DAILY_ROLLUP_SQL,
+    ),
+    "partition_minmax_index": (
+        partition_minmax_index,
+        PARTITION_MINMAX_INDEX_SQL,
+    ),
+    "zorder_layout_key": (zorder_layout_key, _zorder_sql()),
+}

@@ -19,6 +19,7 @@ from crz_scraper_spark.plans import (
     curation_plans,
     event_plans,
     extra_plans,
+    integrity_plans,
     parity_plans,
     scale_plans,
     text_plans,
@@ -38,6 +39,7 @@ for group in (
     event_plans,
     scale_plans,
     extra_plans,
+    integrity_plans,
     window_plans,
     parity_plans,
     tpch_plans,
