@@ -1,0 +1,134 @@
+"""Property tests for the integrity/maintenance and corpus-prep operators
+(integrity_plans.py, corpus_plans.py) — the invariants that make them safe
+to run incrementally at 100 TB, beyond the value-hash parity the oracle
+gate already proves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crz_scraper_spark.catalog import load_table
+from crz_scraper_spark.plans.corpus_plans import (
+    _CHUNK_STRIDE,
+    _CHUNK_WORDS,
+    doc_chunking,
+)
+from crz_scraper_spark.plans.integrity_plans import (
+    _Z_BITS,
+    _row_hash_spark,
+    incremental_daily_rollup,
+    table_checksum,
+    zorder_layout_key,
+)
+
+from tests.conftest import SF_DIR
+
+
+def test_checksum_merges_by_addition(spark):
+    """checksum(A ∪ B) == checksum(A) + checksum(B) for a disjoint split —
+    the property that lets replica comparison sum partial scans instead of
+    rescanning a partition in one task."""
+    events = load_table(spark, SF_DIR, "events")
+    whole = (
+        events.agg(F.sum(_row_hash_spark()).alias("c")).first()["c"]
+    )
+    parts = (
+        events.groupBy((F.col("event_id") % 2).alias("half"))
+        .agg(F.sum(_row_hash_spark()).alias("c"))
+        .collect()
+    )
+    assert len(parts) == 2
+    assert sum(r["c"] for r in parts) == whole
+
+
+def test_checksum_detects_single_row_change(spark):
+    """Flipping one row's content changes that day's checksum and no
+    other's."""
+    base = {r["day"]: r["checksum"] for r in table_checksum(spark, SF_DIR).collect()}
+    events = load_table(spark, SF_DIR, "events")
+    tampered = events.withColumn(
+        "user_id",
+        F.when(F.col("event_id") == 0, F.col("user_id") + 1).otherwise(
+            F.col("user_id")
+        ),
+    )
+    changed_day = (
+        events.filter(F.col("event_id") == 0)
+        .select(F.to_date(F.col("ts").cast("timestamp")).alias("d"))
+        .first()["d"]
+    )
+    after = {
+        r["day"]: r["checksum"]
+        for r in tampered.groupBy(
+            F.to_date(F.col("ts").cast("timestamp")).alias("day")
+        )
+        .agg(F.count("*").alias("n_rows"), F.sum(_row_hash_spark()).alias("checksum"))
+        .collect()
+    }
+    assert after[changed_day] != base[changed_day]
+    assert all(after[d] == base[d] for d in base if d != changed_day)
+
+
+def test_incremental_rollup_equals_direct(spark):
+    """Merged base+delta partials must equal the direct full aggregate —
+    the invariant that makes O(increment) daily maintenance sound."""
+    inc = {
+        (r["day"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in incremental_daily_rollup(spark, SF_DIR).collect()
+    }
+    events = load_table(spark, SF_DIR, "events")
+    direct = {
+        (r["day"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in events.groupBy(
+            F.to_date(F.col("ts").cast("timestamp")).alias("day"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    assert inc == direct
+
+
+def test_zorder_key_roundtrip(spark):
+    """De-interleaving the even/odd bits of zkey recovers the low 16 bits
+    of both inputs — the key really encodes both dimensions."""
+    rows = zorder_layout_key(spark, SF_DIR).limit(200).collect()
+    assert rows
+    mask = (1 << _Z_BITS) - 1
+    for r in rows:
+        a = b = 0
+        for i in range(_Z_BITS):
+            a |= ((r["zkey"] >> (2 * i)) & 1) << i
+            b |= ((r["zkey"] >> (2 * i + 1)) & 1) << i
+        assert a == (r["user_id"] & mask)
+        assert b == (r["day_ord"] & mask)
+
+
+def test_chunking_covers_every_word_once_per_stride(spark):
+    """Chunk starts are exactly 1, 1+stride, ...; the union of chunk spans
+    covers [1, n_words]; every chunk except the last is full-length iff
+    enough words remain."""
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        F.size(F.expr("filter(split(lower(text), ' +'), w -> w <> '')")).alias(
+            "n"
+        ),
+    )
+    n_words = {r["doc_id"]: r["n"] for r in docs.collect()}
+    by_doc: dict = {}
+    for r in doc_chunking(spark, SF_DIR).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, chunks in by_doc.items():
+        n = n_words[doc_id]
+        starts = sorted(c["chunk_start"] for c in chunks)
+        assert starts == list(range(1, n + 1, _CHUNK_STRIDE))
+        covered = max(c["chunk_start"] + c["chunk_words"] - 1 for c in chunks)
+        assert covered == n  # spans reach exactly the last word
+        for c in chunks:
+            expected = min(_CHUNK_WORDS, n - c["chunk_start"] + 1)
+            assert c["chunk_words"] == expected
