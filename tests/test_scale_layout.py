@@ -325,3 +325,51 @@ def test_compact_partitions(spark, tmp_path):
     assert after == before
     assert stats["files_after"] < stats["files_before"]
     assert stats["files_after"] <= 2  # one per partition
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """When a dim-side filter is selective and the join must shuffle (no
+    broadcast), the optimizer injects a runtime Bloom filter on the fact
+    side — at 100 TB this is what keeps a lineitem⋈filtered-orders join
+    from shuffling lineitem rows whose orderkey cannot match. The local
+    thresholds are lowered only because testdata is KB-sized; the conf
+    names and plan shape are exactly the production mechanism."""
+    from crz_scraper_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        orders = load_table(spark, "/root/testdata/sf0.001", "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+        # and the result is still correct
+        n = j.collect()[0]["count"]
+        expected = (
+            li.join(orders.hint("broadcast"), li.l_orderkey == orders.o_orderkey)
+            .count()
+        )
+        assert n == expected
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
