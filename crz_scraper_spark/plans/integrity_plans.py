@@ -215,8 +215,111 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# range_split_points — how a range-partitioned layout picks its boundaries
+# (what repartitionByRange's sampled RangePartitioner estimates, computed
+# exactly): the i/R equi-depth quantiles of the sort key, plus the exact
+# row count at-or-below each boundary as the balance audit. percentile_disc
+# returns actual data values (integer-exact). The quantile aggregate is one
+# pass; the audit join is a boundary-count-sized broadcast. At 100 TB the
+# boundaries come from approx_percentile over a sample — same shape.
+# ---------------------------------------------------------------------------
+
+_RANGE_BUCKETS = 8
+
+
+def range_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    fracs = [i / _RANGE_BUCKETS for i in range(1, _RANGE_BUCKETS)]
+    bounds = events.select(
+        *[
+            F.expr(
+                f"percentile_disc({f}) WITHIN GROUP (ORDER BY user_id)"
+            ).alias(f"b{i}")
+            for i, f in enumerate(fracs, 1)
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bucket_id"),
+                        F.col(f"b{i}").alias("boundary"),
+                    )
+                    for i in range(1, _RANGE_BUCKETS)
+                ]
+            )
+        ).alias("s")
+    ).select("s.bucket_id", "s.boundary")
+    return (
+        events.join(F.broadcast(bounds))
+        .filter(F.col("user_id") <= F.col("boundary"))
+        .groupBy("bucket_id", "boundary")
+        .agg(F.count("*").alias("n_rows_le"))
+    )
+
+
+def _range_split_points_sql() -> str:
+    fracs = ", ".join(
+        f"quantile_disc(user_id, {i / _RANGE_BUCKETS}) AS b{i}"
+        for i in range(1, _RANGE_BUCKETS)
+    )
+    arms = ", ".join(
+        f"({i}, (SELECT b{i} FROM bounds))" for i in range(1, _RANGE_BUCKETS)
+    )
+    return f"""
+WITH bounds AS (SELECT {fracs} FROM events),
+pts(bucket_id, boundary) AS (VALUES {arms})
+SELECT p.bucket_id, p.boundary, count(*) AS n_rows_le
+FROM events e JOIN pts p ON e.user_id <= p.boundary
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# mixture_weights — temperature-scaled source mixture (the multinomial
+# sampling weights a pretraining run assigns per data source): raw share
+# n_s/N is flattened with exponent 1/T and renormalized; T=2 ⇒ sqrt, which
+# is correctly-rounded IEEE on both engines (a general pow() could differ
+# in the last ulp). The whole computation runs on the source-count table —
+# one corpus-sized count agg, then scalar math on ~20 rows.
+# ---------------------------------------------------------------------------
+
+
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("total"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("z"),
+    )
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("total"), 6).alias("raw_share"),
+            F.round(
+                F.sqrt(F.col("n_docs").cast("double")) / F.col("z"), 6
+            ).alias("t2_weight"),
+        )
+    )
+
+
+MIXTURE_WEIGHTS_SQL = """
+WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT sum(n_docs) AS total, sum(sqrt(n_docs)) AS z FROM counts)
+SELECT source, n_docs,
+       round(n_docs / total, 6) AS raw_share,
+       round(sqrt(n_docs) / z, 6) AS t2_weight
+FROM counts, tot
+"""
+
+
 QUERIES: dict = {
     "table_checksum": (table_checksum, TABLE_CHECKSUM_SQL),
+    "range_split_points": (range_split_points, _range_split_points_sql()),
+    "mixture_weights": (mixture_weights, MIXTURE_WEIGHTS_SQL),
     "incremental_daily_rollup": (
         incremental_daily_rollup,
         INCREMENTAL_DAILY_ROLLUP_SQL,
