@@ -281,3 +281,125 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m_subspaces: int = 8,
+    ksub: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """Product-quantization approximate top-k (the memory-bound ANN scale
+    path): each vector is encoded as `m_subspaces` one-byte codes — a 64-dim
+    float vector (256 B) compresses to 8 B, so a 100 TB embedding corpus
+    becomes a ~3 TB code table that scans from memory — and queries rank
+    neighbors by asymmetric distance (ADC): exact query subvector vs the
+    centroid the code names, d(q,x) ≈ Σ_m ||q_m − C_m[code_m(x)]||².
+
+    Build mirrors `ivf_topk`'s FAISS shape: per-subspace k-means trains
+    driver-side on a bounded deterministic sample; encoding is ONE
+    scalar-only scan (argmin over each subspace's centroid literal — pure
+    codegen, no UDF, no shuffle). Scoring precomputes each query's
+    m×ksub distance table driver-side (queries are few; the table is index
+    metadata) and evaluates Σ_m table[m][code_m] per corpus row via
+    element_at lookups — again scan-only; the only exchange is the final
+    per-query top-k window, map-side-limited by WindowGroupLimit.
+
+    Deterministic end to end (fixed seed, fixed sample, argmin ties by
+    first index). Accuracy/compression tradeoff is (m_subspaces, ksub);
+    tests/test_operators.py bounds recall against the exact L2 top-k.
+    """
+    import numpy as np
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cvec"),
+    )
+    sample = c.orderBy("neighbor_id").limit(4096).collect()
+    X = np.array([list(r["__cvec"]) for r in sample])
+    dim = X.shape[1]
+    assert dim % m_subspaces == 0, "dim must divide into subspaces"
+    dsub = dim // m_subspaces
+    rng = np.random.default_rng(seed)
+
+    codebooks: list[list[list[float]]] = []
+    for m in range(m_subspaces):
+        Xm = X[:, m * dsub : (m + 1) * dsub]
+        kk = min(ksub, len(Xm))
+        cent = Xm[rng.choice(len(Xm), size=kk, replace=False)].copy()
+        for _ in range(8):
+            d2 = ((Xm[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for j in range(kk):
+                members = Xm[assign == j]
+                if len(members):
+                    cent[j] = members.mean(0)
+        codebooks.append([[float(x) for x in row] for row in cent])
+
+    # Encode: argmin per subspace over the codebook literal — scan-only.
+    def _argmin_code(m: int):
+        # NB: a one-parameter lambda is required — transform() treats a
+        # two-parameter lambda as (element, index).
+        sub = F.slice(F.col("__cvec"), m * dsub + 1, dsub)
+        dists = F.transform(F.lit(codebooks[m]), lambda p: _sq_dist(sub, p))
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    code_cols = [_argmin_code(m) for m in range(m_subspaces)]
+    encoded = c.select("neighbor_id", F.array(*code_cols).alias("__codes"))
+
+    # Per-query ADC tables, driver-side (queries are index-metadata-sized).
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qvec"),
+        )
+        .orderBy("query_id")
+        .collect()
+    )
+    spark = corpus.sparkSession
+    qtab = []
+    for r in qrows:
+        qv = np.array(list(r["__qvec"]))
+        tab = [
+            [
+                float(((qv[m * dsub : (m + 1) * dsub] - np.array(cent)) ** 2).sum())
+                for cent in codebooks[m]
+            ]
+            for m in range(m_subspaces)
+        ]
+        qtab.append((r["query_id"], tab))
+    qdf = spark.createDataFrame(
+        qtab, "query_id bigint, __dtab array<array<double>>"
+    )
+
+    idx = F.sequence(F.lit(0), F.lit(m_subspaces - 1))
+    adc = F.aggregate(
+        idx,
+        F.lit(0.0).cast("double"),
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at(F.col("__dtab"), m + 1),
+            F.element_at(F.col("__codes"), m + 1) + 1,
+        ),
+    )
+    scored = (
+        encoded.join(F.broadcast(qdf))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(adc, 6).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )

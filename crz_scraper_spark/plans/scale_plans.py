@@ -36,6 +36,7 @@ from crz_scraper_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
     lsh_ann_topk,
+    pq_topk,
 )
 
 # ---------------------------------------------------------------------------
@@ -248,6 +249,19 @@ LEFT JOIN quant q
   ON e.query_id = q.query_id AND e.neighbor_id = q.neighbor_id
 GROUP BY e.query_id
 """
+
+
+def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization variant of the ANN scale path (8 one-byte codes
+    per 64-dim vector = 32x compression; asymmetric-distance scoring —
+    operators/similarity.py::pq_topk). Rows-only check: the codebooks come
+    from sampled k-means with no SQL analog; tests/test_operators.py bounds
+    recall@10 against the exact L2 top-k and proves determinism."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    return pq_topk(emb, queries, "vec_id", "embedding", k=5)
 
 
 def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -666,6 +680,7 @@ QUERIES: dict = {
         EMBEDDING_QUANTIZATION_RECALL_SQL,
     ),
     "ann_ivf_topk": (ivf_ann_topk_q, None),
+    "ann_pq_topk": (pq_ann_topk_q, None),
     "minhash_near_dup": (minhash_near_dup, None),
     "minhash_near_dup_md5": (minhash_near_dup_md5, _minhash_md5_sql()),
     "near_dup_clusters": (near_dup_clusters, _near_dup_clusters_sql()),

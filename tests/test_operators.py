@@ -327,3 +327,44 @@ def test_every_registry_query_documented_in_survey():
     txt = open("/root/repo/SURVEY.md", encoding="utf-8").read()
     missing = [n for n in REGISTRY if f"`{n}`" not in txt]
     assert not missing, f"undocumented queries: {missing}"
+
+
+def test_pq_topk_recall_and_determinism(spark, sf_dir):
+    """PQ approximate top-10 must overlap the exact L2 top-10 well above
+    chance (random vectors are PQ's adversarial case; chance recall at
+    sf0.001 is 10/49 ≈ 0.2 — observed 0.21-0.39 across SFs), and two
+    builds must be bit-identical (fixed seed + deterministic sample)."""
+    from pyspark.sql import Window
+
+    from crz_scraper_spark.catalog import fan_out, load_table
+    from crz_scraper_spark.operators.similarity import _sq_dist, pq_topk
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qs = emb.filter(F.col("vec_id") < 8)
+    got1 = sorted(map(tuple, pq_topk(emb, qs, k=10).collect()))
+    got2 = sorted(map(tuple, pq_topk(emb, qs, k=10).collect()))
+    assert got1 == got2  # deterministic rebuild
+
+    approx: dict = {}
+    for q, n, _d, _r in got1:
+        approx.setdefault(q, set()).add(n)
+    pairs = (
+        emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("cv"))
+        .crossJoin(
+            F.broadcast(
+                qs.select(
+                    F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+                )
+            )
+        )
+        .filter("nid <> qid")
+        .select("qid", "nid", _sq_dist(F.col("cv"), F.col("qv")).alias("d"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("nid"))
+    exact: dict = {}
+    for r in pairs.withColumn("rk", F.row_number().over(w)).filter("rk <= 10").collect():
+        exact.setdefault(r["qid"], set()).add(r["nid"])
+    recalls = [len(approx[q] & exact[q]) / 10 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.15
