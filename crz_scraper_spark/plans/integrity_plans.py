@@ -316,8 +316,79 @@ FROM counts, tot
 """
 
 
+# ---------------------------------------------------------------------------
+# value_time_regression — per-segment OLS trend + correlation ("is this
+# metric drifting?"): slope/corr of value against time. Spark has
+# regr_slope/corr built-ins, but their double accumulators are
+# summation-order-dependent — a parallel aggregate cannot hash-match a
+# serial oracle. So the moments (Sx, Sxx, Sy, Syy, Sxy) accumulate in
+# exact integer/decimal types (day ordinals × decimal(18,4) values — the
+# decimal-moments discipline of value_stats/value_outliers), and the
+# float division happens ONCE, on identical exact inputs, in an identical
+# expression shape ⇒ bit-identical doubles. Still one partial+final agg.
+# ---------------------------------------------------------------------------
+
+
+def value_time_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "datediff(to_date(cast(ts as timestamp)), date'2024-01-01')"
+        ).cast("bigint").alias("x"),
+        F.col("value").cast("decimal(18,4)").alias("y"),
+    )
+    m = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "event_type",
+        "n",
+        F.round(num.cast("double") / varx.cast("double"), 6).alias(
+            "slope_per_day"
+        ),
+        F.round(
+            num.cast("double")
+            / F.sqrt(varx.cast("double") * vary.cast("double")),
+            6,
+        ).alias("corr_xy"),
+    )
+
+
+VALUE_TIME_REGRESSION_SQL = """
+WITH m AS (
+  SELECT event_type, count(*) AS n,
+         sum(x) AS sx, sum(x * x) AS sxx,
+         sum(y) AS sy, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM (
+    SELECT event_type,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+             AS x,
+           CAST(value AS DECIMAL(18,4)) AS y
+    FROM events
+  )
+  GROUP BY event_type
+)
+SELECT event_type, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_per_day,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_xy
+FROM m
+"""
+
+
 QUERIES: dict = {
     "table_checksum": (table_checksum, TABLE_CHECKSUM_SQL),
+    "value_time_regression": (value_time_regression, VALUE_TIME_REGRESSION_SQL),
     "range_split_points": (range_split_points, _range_split_points_sql()),
     "mixture_weights": (mixture_weights, MIXTURE_WEIGHTS_SQL),
     "incremental_daily_rollup": (
