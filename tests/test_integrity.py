@@ -132,3 +132,29 @@ def test_chunking_covers_every_word_once_per_stride(spark):
         for c in chunks:
             expected = min(_CHUNK_WORDS, n - c["chunk_start"] + 1)
             assert c["chunk_words"] == expected
+
+
+def _executed_plan(df) -> str:
+    df.count()  # let AQE finalize
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_chunking_plan_is_map_only(spark):
+    """doc_chunking must not shuffle beyond the single-file fan_out — the
+    property that makes it scale linearly with input bytes."""
+    from crz_scraper_spark.plans.corpus_plans import doc_chunking
+
+    plan = _executed_plan(doc_chunking(spark, SF_DIR))
+    assert plan.count("Exchange") == 1, plan  # fan_out only
+    assert "SortAggregate" not in plan and "HashAggregate" not in plan, plan
+
+
+def test_boilerplate_blacklist_broadcasts(spark):
+    """The frequent-gram blacklist must reach the per-doc join as a
+    broadcast (it is frequency-capped by construction); corpus-sized data
+    shuffles only for the two aggregates."""
+    from crz_scraper_spark.plans.corpus_plans import boilerplate_ngram_filter
+
+    plan = _executed_plan(boilerplate_ngram_filter(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
