@@ -511,18 +511,35 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", F.explode(tokens_nonempty("text")).alias("word")
+    # dl = size(toks) and per-term tf = size(filter(toks, = term)) are both
+    # array scalars — the full token stream is NEVER exploded or shuffled
+    # (the original explode+groupBy formulation shuffled every token twice;
+    # this one shuffles only per-(doc, matched-term) rows — the posting-list
+    # subset). toks is a named column so each term scan reuses one split.
+    def _term_tf(t: str) -> F.Column:
+        # One-parameter lambda required: filter() treats a two-parameter
+        # lambda as (element, index).
+        return F.struct(
+            F.lit(t).alias("word"),
+            F.size(F.filter("toks", lambda w: w == F.lit(t))).alias("tf"),
+        )
+
+    per_doc = (
+        docs.select("doc_id", tokens_nonempty("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.array(*[_term_tf(t) for t in _BM25_TERMS]).alias("tf_arr"),
+        )
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
+    stats = per_doc.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
     tf = (
-        toks.filter(F.col("word").isin(_BM25_TERMS))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("tf"))
+        per_doc.select("doc_id", "dl", F.explode("tf_arr").alias("t"))
+        .select("doc_id", "dl", "t.word", "t.tf")
+        .filter(F.col("tf") > 0)
     )
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
     idf = F.log(
@@ -541,7 +558,6 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(df), "word")
-        .join(dl, "doc_id")
         .join(F.broadcast(stats))
         .withColumn("contrib", contrib)
         .groupBy("doc_id")
