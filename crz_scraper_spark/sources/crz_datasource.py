@@ -38,8 +38,10 @@ import xml.etree.ElementTree as ET
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 _SCALAR_FIELDS = [
@@ -211,7 +213,67 @@ class CRZDumpDataSource(DataSource):
     def simpleStreamReader(self, schema) -> CRZDumpStreamReader:
         return CRZDumpStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "CRZDumpWriter":
+        return CRZDumpWriter(self.options, schema, overwrite)
+
 
 def register(spark) -> None:
     """Register the format for this session: `spark.read.format("crz_dump")`."""
     spark.dataSource.register(CRZDumpDataSource)
+
+
+class DumpCommit(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class CRZDumpWriter(DataSourceWriter):
+    """Batch writer: pipe-delimited CSV, one part file per task, with a
+    driver-side manifest commit — the S7 sink (`to_csv(sep='|')`,
+    `01_parse_xml.py:208` etc.) as a proper two-phase distributed write.
+
+    Tasks write `part-<uuid>.csv` directly (names are unique, so a retry
+    never clobbers another task's file) and return (filename, n_rows);
+    only `commit()` — which runs once, on the driver, after every task
+    succeeded — writes the `_MANIFEST` naming the committed files. A
+    failed/speculated task's orphan file is ignored by any manifest-aware
+    reader and removed by `abort()`. This is the same visibility contract
+    a Hadoop committer gives parquet at 100 TB: readers see all-or-nothing.
+    """
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("crz_dump writer requires a path")
+        self.field_names = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> DumpCommit:
+        import csv
+        import uuid as _uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{_uuid.uuid4().hex}.csv"
+        n = 0
+        with open(os.path.join(self.path, name), "w", newline="") as fh:
+            w = csv.writer(fh, delimiter="|")
+            w.writerow(self.field_names)
+            for row in iterator:
+                w.writerow(["" if v is None else v for v in row])
+                n += 1
+        return DumpCommit(name, n)
+
+    def commit(self, messages) -> None:
+        manifest = os.path.join(self.path, "_MANIFEST")
+        with open(manifest, "w") as fh:
+            for m in messages:
+                fh.write(f"{m.filename}\t{m.n_rows}\n")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass

@@ -117,3 +117,36 @@ def test_streaming_incremental_days(registered, tmp_path):
         assert got2 == ["1", "2", "3"]  # day 1 NOT re-emitted
     finally:
         q.stop()
+
+
+def test_datasource_writer_two_phase_commit(spark, tmp_path):
+    """The crz_dump batch writer: per-task unique part files + driver-side
+    _MANIFEST commit; round-trip preserves values; the manifest row count
+    equals the written count."""
+    from crz_scraper_spark.sources.crz_datasource import register
+
+    register(spark)
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i) if i % 3 else None) for i in range(100)],
+        "id bigint, nazov string, cena double",
+    ).repartition(4)
+    out = str(tmp_path / "dump_out")
+    df.write.format("crz_dump").mode("append").option("path", out).save()
+
+    import os
+
+    manifest = os.path.join(out, "_MANIFEST")
+    assert os.path.exists(manifest)
+    lines = [l.split("\t") for l in open(manifest).read().splitlines()]
+    assert sum(int(n) for _f, n in lines) == 100
+    files = {f for f, _n in lines}
+    on_disk = {f for f in os.listdir(out) if f.startswith("part-")}
+    assert files == on_disk  # nothing orphaned, nothing missing
+
+    back = (
+        spark.read.option("sep", "|")
+        .option("header", True)
+        .schema("id bigint, nazov string, cena double")
+        .csv(out)
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
