@@ -160,7 +160,103 @@ WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# daily_gap_fill — dense calendar grid: per event_type, one row for EVERY
+# day between the table's global min and max day, zero-filled where no
+# events occurred (time-series consumers need gaps explicit, not absent).
+# The calendar comes from sequence(min_day, max_day) over the 1-row global
+# extent aggregate — generated, never stored — cross-joined with the tiny
+# type dimension and left-joined to the per-day counts. All three non-fact
+# inputs are broadcast; the fact table shuffles once for its groupBy.
+# ---------------------------------------------------------------------------
+
+
+def daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"), "event_type"
+    )
+    extent = events.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    days = extent.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    types = events.select("event_type").distinct()
+    counts = events.groupBy("day", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        days.crossJoin(F.broadcast(types))
+        .join(F.broadcast(counts), ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+DAILY_GAP_FILL_SQL = """
+WITH ext AS (
+  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events
+),
+days AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM ext
+),
+types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT d.day, t.event_type, coalesce(c.n, 0) AS n_events
+FROM days d CROSS JOIN types t
+LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+"""
+
+# ---------------------------------------------------------------------------
+# locf_fill — last-observation-carried-forward: for every event, the most
+# recent preceding purchase value of the same user (NULL until their first
+# purchase). last_value(IGNORE NULLS) over an unbounded-preceding frame —
+# one shuffle on user_id, sorted once; the same single-pass pattern fills
+# sensor dropouts at 100 TB (the as-of join is its two-table sibling).
+# ---------------------------------------------------------------------------
+
+
+def locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(
+        F.col("event_type") == "purchase", F.round(F.col("value"), 6)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.last(purchase_val, ignorenulls=True).over(w).alias(
+            "last_purchase_value"
+        ),
+    )
+
+
+LOCF_FILL_SQL = """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type = 'purchase' THEN round(value, 6) END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_purchase_value
+FROM events
+"""
+
+
 QUERIES: dict = {
+    "daily_gap_fill": (daily_gap_fill, DAILY_GAP_FILL_SQL),
+    "locf_fill": (locf_fill, LOCF_FILL_SQL),
     "sliding_window_counts": (sliding_window_counts, SLIDING_WINDOW_COUNTS_SQL),
     "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),
     "streaming_stateful_counts": (streaming_stateful_counts, STREAMING_STATEFUL_COUNTS_SQL),
