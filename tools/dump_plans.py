@@ -23,6 +23,10 @@ SHOWCASE = [
     "forecast_revenue",
     "tf_idf_top_terms",
     "lonely_returning_supplier",
+    "doc_chunking",
+    "boilerplate_ngram_filter",
+    "table_checksum",
+    "bm25_search",
 ]
 
 
