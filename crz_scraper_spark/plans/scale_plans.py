@@ -669,7 +669,65 @@ SELECT id, filename, page, table_no, n_rows, n_cols, accuracy FROM det
 """
 
 
+# ---------------------------------------------------------------------------
+# fuzzy_name_pairs — blocked fuzzy self-join (entity resolution): how many
+# near-identical part names exist per brand, with edit distance <= 2. The
+# blocking keys (brand equality + length band <= 1) bound the candidate set
+# before any distance runs — the O(n^2) full cross never materializes; at
+# 100 TB the block key becomes (brand, name-prefix/length bucket) so each
+# block fits one task. Spark evaluates the THRESHOLDED levenshtein
+# (levenshtein(a, b, 2) — O(threshold * len) early-exit, -1 beyond), so the
+# candidate pass costs threshold-bounded work per pair; the oracle's plain
+# levenshtein agrees exactly on every pair that survives. One shuffle
+# (brand join key) + the tiny per-brand aggregate.
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = fan_out(load_table(spark, sf_dir, "part")).select(
+        "p_partkey", "p_name", "p_brand", F.length("p_name").alias("ln")
+    )
+    a = p.select(
+        F.col("p_partkey").alias("ak"),
+        F.col("p_name").alias("an"),
+        F.col("p_brand").alias("brand"),
+        F.col("ln").alias("al"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("bk"),
+        F.col("p_name").alias("bn"),
+        F.col("p_brand").alias("brand"),
+        F.col("ln").alias("bl"),
+    )
+    return (
+        a.join(b, "brand")
+        .filter(
+            (F.col("ak") < F.col("bk"))
+            & (F.abs(F.col("al") - F.col("bl")) <= 1)
+        )
+        .select("brand", F.expr("levenshtein(an, bn, 2)").alias("d"))
+        .filter(F.col("d") >= 0)
+        .groupBy("brand")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("d"), 6).alias("avg_dist"),
+        )
+    )
+
+
+FUZZY_NAME_PAIRS_SQL = """
+SELECT a.p_brand AS brand, count(*) AS n_pairs,
+       round(avg(levenshtein(a.p_name, b.p_name)), 6) AS avg_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= 1
+ AND levenshtein(a.p_name, b.p_name) <= 2
+GROUP BY 1
+"""
+
+
 QUERIES: dict = {
+    "fuzzy_name_pairs": (fuzzy_name_pairs, FUZZY_NAME_PAIRS_SQL),
     "cosine_topk_bruteforce": (cosine_topk_bruteforce, COSINE_TOPK_SQL),
     "pdf_text_extract": (pdf_text_extract, PDF_TEXT_EXTRACT_SQL),
     "pdf_table_detect": (pdf_table_detect, PDF_TABLE_DETECT_SQL),
