@@ -150,3 +150,23 @@ def test_datasource_writer_two_phase_commit(spark, tmp_path):
         .csv(out)
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_datasource_writer_abort_removes_orphans(tmp_path):
+    """abort() must delete every part file named by a commit message —
+    failed jobs leave no partial output visible (no _MANIFEST is written)."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from crz_scraper_spark.sources.crz_datasource import CRZDumpWriter
+
+    out = str(tmp_path / "aborted")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("nazov", StringType())]
+    )
+    w = CRZDumpWriter({"path": out}, schema, overwrite=False)
+    msgs = [w.write(iter([(1, "a"), (2, "b")])), w.write(iter([(3, "c")]))]
+    assert len(os.listdir(out)) == 2
+    w.abort(msgs + [None])  # a failed task reports None
+    assert os.listdir(out) == []  # no orphans, no manifest
