@@ -527,7 +527,63 @@ JOIN events p
 """
 
 
+# ---------------------------------------------------------------------------
+# event_transition_matrix — first-order Markov transition statistics over
+# each user's time-ordered event sequence: count of (prev_type -> type)
+# steps and the conditional probability P(next | prev). One window pass
+# (lag over user_id — the only corpus shuffle), a pair-count aggregate on
+# the tiny type×type key space, and the row-normalizing share as a window
+# over the aggregate. The sequence-modeling companion to funnel_conversion:
+# funnels check ONE path, this table scores every observed step.
+# ---------------------------------------------------------------------------
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), "event_id"
+    )
+    steps = events.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = steps.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n_steps")
+    )
+    wrow = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_steps",
+        F.round(
+            F.col("n_steps") / F.sum("n_steps").over(wrow), 6
+        ).alias("p_next"),
+    )
+
+
+EVENT_TRANSITION_MATRIX_SQL = """
+WITH steps AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, next_type, count(*) AS n_steps
+  FROM steps WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_steps,
+       round(n_steps / sum(n_steps) OVER (PARTITION BY prev_type), 6) AS p_next
+FROM counts
+"""
+
+
 QUERIES: dict = {
+    "event_transition_matrix": (
+        event_transition_matrix,
+        EVENT_TRANSITION_MATRIX_SQL,
+    ),
     "asof_last_purchase": (asof_last_purchase, ASOF_LAST_PURCHASE_SQL),
     "range_click_purchase": (range_click_purchase, RANGE_CLICK_PURCHASE_SQL),
     "streaming_interval_join": (
