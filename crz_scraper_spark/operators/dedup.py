@@ -66,21 +66,26 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) MinHash signature per document.
 
-    Implementation: explode distinct shingles → `xxhash64(shingle, seed_i)`
-    for each of the `num_hashes` seeds → `min()` per seed per doc. One
-    shuffle (the groupBy on id), map-side partial min keeps it light. All
-    hashing is the JVM's xxhash64 — deterministic across runs/partitions.
+    Implementation: `array_min(transform(shingles, s -> xxhash64(s, seed_i)))`
+    per seed, over the per-row shingle array — the signature build is
+    MAP-ONLY (the earlier explode + groupBy-min formulation shuffled every
+    (doc, shingle) row; a per-doc min never needs a shuffle because all of
+    a doc's shingles already live in its own row). All hashing is the
+    JVM's xxhash64 — deterministic across runs/partitions.
     """
-    shingled = docs.select(
-        F.col(id_col), F.explode(char_shingles(text_col, shingle_n)).alias("__sh")
-    )
-    min_cols = [
-        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"__h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = shingled.groupBy(id_col).agg(*min_cols)
-    return sig.select(
-        F.col(id_col), F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig")
+
+    def _seed_min(i: int) -> Column:
+        # One-parameter lambda required: transform() treats a two-parameter
+        # lambda as (element, index).
+        return F.array_min(
+            F.transform(F.col("__shs"), lambda s: F.xxhash64(s, F.lit(i)))
+        )
+
+    return docs.select(
+        F.col(id_col), char_shingles(text_col, shingle_n).alias("__shs")
+    ).select(
+        F.col(id_col),
+        F.array(*[_seed_min(i) for i in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -383,7 +388,7 @@ def minhash_pairs_md5(
     """
     rows = num_hashes // bands
     shingled = docs.select(
-        F.col(id_col), F.explode(char_shingles(text_col, shingle_n)).alias("__sh")
+        F.col(id_col), char_shingles(text_col, shingle_n).alias("__shs")
     )
     # Carter-Wegman universal family: ONE md5 per shingle yields a 32-bit
     # base x (hex chars 1-8); seed i's hash is (a_i*x + c_i) mod p with
@@ -392,16 +397,33 @@ def minhash_pairs_md5(
     # correlate and inflate the Jaccard estimate), every step is exact in
     # signed-64 on both engines, and the corpus pass runs one digest per
     # shingle instead of num_hashes (measured 14.3 s → ~2 s at sf0.1).
-    x = F.conv(F.substring(F.md5(F.col("__sh")), 1, 8), 16, 10).cast("bigint")
-    based = shingled.select(F.col(id_col), x.alias("__x"))
+    based = shingled.select(
+        F.col(id_col),
+        F.transform(
+            F.col("__shs"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast(
+                "bigint"
+            ),
+        ).alias("__xs"),
+    )
     coeffs = _minhash_coeffs(num_hashes)
-    sig = based.groupBy(id_col).agg(
+
+    def _seed_min(a: int, c: int) -> F.Column:
+        # Map-only per-doc min over the base-hash array (no explode, no
+        # groupBy — see minhash_signatures). One-parameter lambda required.
+        return F.array_min(
+            F.transform(
+                F.col("__xs"),
+                lambda x: (F.lit(a) * x + F.lit(c)) % F.lit(MINHASH_PRIME),
+            )
+        )
+
+    sig = based.select(
+        F.col(id_col),
         *[
-            F.min(
-                (F.lit(a) * F.col("__x") + F.lit(c)) % F.lit(MINHASH_PRIME)
-            ).alias(f"h{i}")
+            _seed_min(a, c).alias(f"h{i}")
             for i, (a, c) in enumerate(coeffs)
-        ]
+        ],
     ).persist()
     banded = sig.select(
         F.col(id_col),
