@@ -10,10 +10,15 @@ an explicit tie-break ordering (SURVEY.md §7 Hard-1).
 
 Scale extensions (no reference counterpart; BASELINE.json:6): MinHash-LSH /
 SimHash / n-gram-Jaccard near-dup for a 100 TB document corpus. All are
-pure-DataFrame compositions (shingle explode → per-seed min-hash agg → band
-bucket join) — no MLlib dependency, no Python in the shuffle path; SimHash
-uses one Arrow-vectorized pandas UDF for the 64-bit sign-aggregation inner
-loop (numpy bit ops), which is a narrow per-row map with no shuffle.
+pure-DataFrame compositions — no MLlib dependency, no Python in the shuffle
+path. MinHash signatures are MAP-ONLY (array_min over per-row shingle
+hashes; a per-doc min needs no shuffle). SimHash's 60-bit majority vote
+deliberately KEEPS the explode + two hash aggregations: the same vote as a
+nested higher-order aggregate is shuffle-free but evaluates interpreted
+(measured 13 s vs 1.4 s at sf0.1) — whole-stage-codegen'd hash aggregates
+beat interpreted HOFs when the per-row expansion is large. The production
+SimHash uses one Arrow-vectorized pandas UDF for the same inner loop
+(numpy bit ops), a narrow per-row map with no shuffle.
 
 Scale notes:
 - MinHash bands join is an equi-join on (band_id, band_hash) — shuffle keys
