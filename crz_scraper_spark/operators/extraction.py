@@ -30,6 +30,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 # Real binaries absent in this environment; fakes keep plumbing testable.
 _HAVE_REAL_TOOLS = False
@@ -183,4 +184,60 @@ def detect_tables_udtf(binaries: DataFrame) -> DataFrame:
     return spark.sql(
         "SELECT t.* FROM __detect_tables_udtf_input, "
         "LATERAL detect_tables_udtf_fn(id, filename, content) t"
+    )
+
+
+def widen_cells(long_df, key_col: str, n_cols: int):
+    """Dynamic-schema table function: long-format cells (key, col_idx, cell)
+    → one wide row per key with columns c0..c{n_cols-1}.
+
+    This is the Spark-4 answer to the reference's *inferred* sub-table
+    schemas (`09_clean_tables.py:180` — each extracted CSV's column count is
+    discovered, not declared): a Python UDTF whose static `analyze()` method
+    computes the output schema FROM THE ARGUMENT at plan time, so one
+    function serves any width, and downstream operators see real columns.
+    The TABLE argument is PARTITION BY key ORDER BY col_idx — Spark feeds
+    each key's cells to one UDTF instance between `terminate()` calls; the
+    partitioning shuffle is the only exchange.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    @udtf
+    class WidenCells:
+        def __init__(self):
+            self._key = None
+            self._cells: dict = {}
+            self._n = None
+
+        @staticmethod
+        def analyze(tbl, n):
+            schema = StructType().add("key", LongType())
+            for i in range(n.value):
+                schema = schema.add(f"c{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, row, n):
+            self._n = n
+            self._key = row["key"]
+            self._cells[row["col_idx"]] = row["cell"]
+
+        def terminate(self):
+            if self._key is not None:
+                out = tuple(
+                    [self._key]
+                    + [self._cells.get(i) for i in range(self._n)]
+                )
+                self._key, self._cells = None, {}
+                yield out
+
+    spark = long_df.sparkSession
+    spark.udtf.register("widen_cells_fn", WidenCells)
+    long_df.select(
+        F.col(key_col).alias("key"), "col_idx", "cell"
+    ).createOrReplaceTempView("__widen_cells_input")
+    return spark.sql(
+        "SELECT t.* FROM widen_cells_fn(TABLE(__widen_cells_input)"
+        f" PARTITION BY key ORDER BY (col_idx), {n_cols}) t"
     )

@@ -726,7 +726,43 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# udtf_widen_roundtrip — the dynamic-schema UDTF (analyze() computes the
+# output schema from its argument at plan time; operators/extraction.py::
+# widen_cells) proven by a round trip: four part columns unpivoted to
+# long-format (key, col_idx, cell) and widened back — the oracle simply
+# selects the original columns. This is the §1.4 "inferred sub-table
+# schema" surface (09_clean_tables.py:180) as a first-class table function.
+# ---------------------------------------------------------------------------
+
+
+def udtf_widen_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.operators.extraction import widen_cells
+
+    part = fan_out(load_table(spark, sf_dir, "part"))
+    long_df = part.select(
+        F.col("p_partkey"),
+        F.posexplode(
+            F.array(
+                "p_name",
+                "p_brand",
+                "p_type",
+                F.col("p_size").cast("string"),
+            )
+        ).alias("col_idx", "cell"),
+    )
+    return widen_cells(long_df, "p_partkey", 4)
+
+
+UDTF_WIDEN_ROUNDTRIP_SQL = """
+SELECT p_partkey AS key, p_name AS c0, p_brand AS c1, p_type AS c2,
+       CAST(p_size AS VARCHAR) AS c3
+FROM part
+"""
+
+
 QUERIES: dict = {
+    "udtf_widen_roundtrip": (udtf_widen_roundtrip, UDTF_WIDEN_ROUNDTRIP_SQL),
     "fuzzy_name_pairs": (fuzzy_name_pairs, FUZZY_NAME_PAIRS_SQL),
     "cosine_topk_bruteforce": (cosine_topk_bruteforce, COSINE_TOPK_SQL),
     "pdf_text_extract": (pdf_text_extract, PDF_TEXT_EXTRACT_SQL),
