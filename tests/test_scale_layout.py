@@ -373,3 +373,46 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """A 95%-one-key join must come out of AQE with skew=true on the final
+    sort-merge join — runtime splitting of the hot partition is the
+    built-in complement to operators/skew.py::salted_join (which handles
+    skewed AGGREGATES and pre-AQE engines). Local thresholds are lowered
+    because the test data is MBs; the mechanism is the production one."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right.hint("merge"), "k")
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        # values survive the split: 190001 key-0 matches (190000 non-multiples
+        # of 20, plus id=0 itself) + the 49 multiples of 20 in (0, 1000)
+        assert len(rows) == 190001 + sum(
+            1 for i in range(0, 200000, 20) if 0 < i < 1000
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
