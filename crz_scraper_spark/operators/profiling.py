@@ -64,6 +64,71 @@ def oov_profile(
     )
 
 
+# Hunspell-style affix approximation (SURVEY §7 Hard-3): a token is
+# in-vocabulary if it OR a suffix-stripped stem is in the dictionary. Real
+# Hunspell handles (per-executor, inside a pandas UDF) are the full-fidelity
+# path when the library is present; this suffix tier captures the common
+# inflections with pure relational operators — and is therefore oracleable.
+MORPH_SUFFIXES = ["s", "es", "ed", "ing"]
+MORPH_MIN_STEM = 3
+
+
+def morph_oov_profile(
+    docs: DataFrame,
+    dictionary: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gibberish_threshold: float = 0.75,
+) -> DataFrame:
+    """oov_profile with suffix-stripping morphology: the candidate-stem set
+    of each VOCABULARY word (not each occurrence — the vocab is corpus-log
+    sized) explodes to ≤ len(MORPH_SUFFIXES)+1 stems, semi-joins the
+    broadcast dictionary, and the accepted vocabulary broadcasts back onto
+    the token stream. Two broadcast joins, one corpus shuffle (the per-doc
+    aggregate) — same plan class as oov_profile."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_nonempty(text_col)).alias("word")
+    )
+    dic = dictionary.select(
+        F.col(dictionary.columns[0]).alias("dword")
+    ).distinct()
+    vocab = toks.select("word").distinct()
+    stem_cols = [F.col("word")]
+    for suf in MORPH_SUFFIXES:
+        stem = F.expr(
+            f"CASE WHEN word LIKE '%{suf}' AND"
+            f" length(word) - {len(suf)} >= {MORPH_MIN_STEM}"
+            f" THEN substring(word, 1, length(word) - {len(suf)}) END"
+        )
+        stem_cols.append(stem)
+    cand = vocab.select(
+        "word",
+        F.explode(
+            F.filter(F.array(*stem_cols), lambda s: s.isNotNull())
+        ).alias("stem"),
+    )
+    accepted = (
+        cand.join(F.broadcast(dic), cand.stem == dic.dword, "left_semi")
+        .select("word")
+        .distinct()
+        .withColumn("__ok", F.lit(1))
+    )
+    joined = toks.join(F.broadcast(accepted), "word", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count(F.when(F.col("__ok").isNull(), 1)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_ratio", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+        )
+        .withColumn(
+            "is_gibberish", (F.col("oov_ratio") > gibberish_threshold).cast("int")
+        )
+    )
+
+
 def classify_columns(
     cells: DataFrame,
     keywords: list[str],

@@ -62,6 +62,94 @@ FROM prof
 """
 
 # ---------------------------------------------------------------------------
+# dictionary_oov_morph — the SURVEY §7 Hard-3 upgrade of dictionary_oov:
+# membership accepts suffix-stripped stems (Hunspell-affix approximation,
+# operators/profiling.py::morph_oov_profile). The suffix arms in BOTH the
+# Spark plan and the oracle SQL are generated from the same MORPH_SUFFIXES
+# constant — the two sides cannot drift. Real Hunspell handles inside a
+# pandas UDF remain the full-fidelity path when the library exists.
+# ---------------------------------------------------------------------------
+
+
+# The synthetic corpus is a CLOSED vocabulary (31 words, no inflections, no
+# OOV) — so, as pii_redact does for PII, both engines append the same
+# deterministic probe tokens to every document: four inflected forms whose
+# stems ARE in the dictionary (morphology must accept them) and one
+# gibberish token (must stay OOV on both paths). Plain membership counts 5
+# OOV per doc, the morph path exactly 1 — the suffix tier's behavior is
+# exercised and oracle-checked, not just plumbed.
+_MORPH_PROBE = " tables rows joins sorting zzzqx"
+
+
+def dictionary_oov_morph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.operators.profiling import morph_oov_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    # dictionary from the ORIGINAL text only — the probe tokens must not
+    # bootstrap themselves into the vocabulary.
+    dictionary = (
+        docs.select(F.explode(tokens_nonempty("text")).alias("word"))
+        .groupBy("word")
+        .count()
+        .filter(F.col("count") > 5)
+        .select("word")
+    )
+    aug = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(_MORPH_PROBE))
+    )
+    return morph_oov_profile(aug, dictionary, gibberish_threshold=0.75)
+
+
+def _dictionary_oov_morph_sql() -> str:
+    from crz_scraper_spark.operators.profiling import (
+        MORPH_MIN_STEM,
+        MORPH_SUFFIXES,
+    )
+
+    arms = ", ".join(
+        f"CASE WHEN word LIKE '%{suf}' AND length(word) - {len(suf)} >= "
+        f"{MORPH_MIN_STEM} THEN substr(word, 1, length(word) - {len(suf)}) END"
+        for suf in MORPH_SUFFIXES
+    )
+    return f"""
+WITH dict AS (
+  SELECT word FROM (
+    SELECT unnest({_TOKS_SQL}) AS word FROM documents
+  ) GROUP BY word HAVING count(*) > 5
+),
+aug AS (
+  SELECT doc_id, text || '{_MORPH_PROBE}' AS text FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM aug
+),
+vocab AS (SELECT DISTINCT word FROM toks),
+cand AS (
+  SELECT word, s AS stem
+  FROM (
+    SELECT word,
+           list_filter([word, {arms}], x -> x IS NOT NULL) AS stems
+    FROM vocab
+  ), unnest(stems) AS u(s)
+),
+accepted AS (
+  SELECT DISTINCT c.word FROM cand c JOIN dict d ON c.stem = d.word
+),
+prof AS (
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         count(*) FILTER (WHERE a.word IS NULL) AS n_oov
+  FROM toks t LEFT JOIN accepted a ON t.word = a.word
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, n_oov,
+       round(n_oov * 1.0 / n_tokens, 6) AS oov_ratio,
+       CAST(round(n_oov * 1.0 / n_tokens, 6) > 0.75 AS INT) AS is_gibberish
+FROM prof
+"""
+
+
+# ---------------------------------------------------------------------------
 # keyword_rollup — A2/A3 as a real multi-level rollup: per-(doc, category)
 # keyword hits, per-doc totals, grand total in ONE pass
 # (`04_tag_text_contracts.py:115-119,170-176` did three nested dict loops).
@@ -583,6 +671,7 @@ QUERIES: dict = {
         STATUS_PRIORITY_GROUPING_SETS_SQL,
     ),
     "dictionary_oov": (dictionary_oov, DICTIONARY_OOV_SQL),
+    "dictionary_oov_morph": (dictionary_oov_morph, _dictionary_oov_morph_sql()),
     "keyword_rollup": (keyword_rollup, _keyword_rollup_sql()),
     "cube_status_priority": (cube_status_priority, CUBE_STATUS_PRIORITY_SQL),
     "session_window_agg": (session_window_agg, SESSION_WINDOW_AGG_SQL),

@@ -368,3 +368,34 @@ def test_pq_topk_recall_and_determinism(spark, sf_dir):
         exact.setdefault(r["qid"], set()).add(r["nid"])
     recalls = [len(approx[q] & exact[q]) / 10 for q in exact]
     assert sum(recalls) / len(recalls) >= 0.15
+
+
+def test_morph_oov_accepts_inflections_plain_does_not(spark, sf_dir):
+    """The suffix tier must accept exactly the inflected probe tokens
+    (tables/rows/joins/sorting — stems in dict) and still reject the
+    gibberish probe; plain membership rejects all five."""
+    from crz_scraper_spark.catalog import load_table
+    from crz_scraper_spark.functions.text import tokens_nonempty
+    from crz_scraper_spark.operators.profiling import (
+        morph_oov_profile,
+        oov_profile,
+    )
+    from crz_scraper_spark.plans.extra_plans import _MORPH_PROBE
+
+    docs = load_table(spark, sf_dir, "documents")
+    dictionary = (
+        docs.select(F.explode(tokens_nonempty("text")).alias("word"))
+        .groupBy("word")
+        .count()
+        .filter(F.col("count") > 5)
+        .select("word")
+    )
+    aug = docs.withColumn("text", F.concat(F.col("text"), F.lit(_MORPH_PROBE)))
+    plain = {r["doc_id"]: r["n_oov"] for r in oov_profile(aug, dictionary).collect()}
+    morph = {
+        r["doc_id"]: r["n_oov"]
+        for r in morph_oov_profile(aug, dictionary).collect()
+    }
+    assert set(plain) == set(morph)
+    assert all(v == 5 for v in plain.values())  # all five probes OOV
+    assert all(v == 1 for v in morph.values())  # only the gibberish probe
