@@ -262,7 +262,92 @@ WHERE n_chars BETWEEN lo AND hi
 """
 
 
+# ---------------------------------------------------------------------------
+# perplexity_filter — CCNet-style LM quality scoring: each document's
+# average negative log-probability under the corpus bigram model (the
+# ngram_lm_counts table, consumed): score = -mean ln P(w2|w1) with add-k
+# smoothing P = (c12 + k) / (c1 + k·V). Low score ⇒ fluent/common text,
+# high ⇒ unusual — the standard "train a small LM, filter by perplexity"
+# pipeline with the corpus itself as the LM. The LM tables are
+# vocabulary(²)-sized — broadcast; the corpus shuffles once to build them
+# and once for the per-doc aggregate. All probability inputs are exact
+# integers, so the ln/divide doubles are bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_PPL_K = 0.5
+
+
+def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    doc_bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS w1,"
+                "             element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    c12 = doc_bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = doc_bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = doc_bigrams.select(F.col("w1").alias("w")).union(
+        doc_bigrams.select(F.col("w2").alias("w"))
+    ).distinct().count()
+    neg_logp = -F.log(
+        (F.col("c12") + F.lit(_PPL_K))
+        / (F.col("c1") + F.lit(float(_PPL_K * vocab)))
+    )
+    # Decimal-sum discipline: each ln term is an identical double on both
+    # engines, but a float SUM is summation-order-dependent. Casting each
+    # term to decimal(28,12) first makes the accumulation exact and
+    # order-independent — same pattern as the decimal money sums.
+    term = neg_logp.cast("decimal(28,12)")
+    return (
+        doc_bigrams.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                (F.sum(term) / F.count("*")).cast("double"), 6
+            ).alias("avg_neg_logp"),
+        )
+    )
+
+
+PERPLEXITY_FILTER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+bigrams AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS s(i)
+  WHERE len(t) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bigrams GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT w) AS vocab
+  FROM (SELECT w1 AS w FROM bigrams UNION SELECT w2 FROM bigrams)
+)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       round(CAST(sum(CAST(-ln((c12.c12 + {_PPL_K}) / (c1.c1 + {_PPL_K} * v.vocab))
+                          AS DECIMAL(28,12))) / count(*) AS DOUBLE), 6)
+         AS avg_neg_logp
+FROM bigrams b
+JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+JOIN c1 ON b.w1 = c1.w1
+CROSS JOIN v
+GROUP BY b.doc_id
+"""
+
+
 QUERIES: dict = {
+    "perplexity_filter": (perplexity_filter, PERPLEXITY_FILTER_SQL),
     "doc_chunking": (doc_chunking, DOC_CHUNKING_SQL),
     "boilerplate_ngram_filter": (
         boilerplate_ngram_filter,
