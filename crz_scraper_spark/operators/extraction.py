@@ -204,6 +204,8 @@ def widen_cells(long_df, key_col: str, n_cols: int):
     from pyspark.sql.types import LongType, StringType, StructType
     from pyspark.sql.udtf import AnalyzeResult
 
+    # NB: useArrow=True measured 4x SLOWER here (10.8s vs 2.4s at sf0.1) —
+    # with PARTITION BY the per-partition row groups defeat Arrow batching.
     @udtf
     class WidenCells:
         def __init__(self):
