@@ -376,3 +376,23 @@ def test_tables_pipeline_end_to_end(spark):
     assert best == {"t1": "c2"}  # the >75%-digits column
     sugg = {r["word"] for r in out["suggested_keywords"].collect()}
     assert "cena" in sugg
+
+
+def test_cli_list_and_unknown():
+    """python -m crz_scraper_spark: list covers the registry; unknown query
+    exits 2 (no Spark session is started on the error path)."""
+    import io
+    from contextlib import redirect_stderr, redirect_stdout
+
+    from crz_scraper_spark.__main__ import main
+    from crz_scraper_spark.plans.registry import REGISTRY
+
+    out = io.StringIO()
+    with redirect_stdout(out):
+        assert main(["list"]) == 0
+    assert set(out.getvalue().split()) == set(REGISTRY)
+
+    err = io.StringIO()
+    with redirect_stderr(err):
+        assert main(["run", "definitely_not_a_query"]) == 2
+    assert "unknown queries" in err.getvalue()
