@@ -328,7 +328,64 @@ WHERE rnk <= {_SAMPLE_PER_CLASS}
 """
 
 
+# ---------------------------------------------------------------------------
+# weighted_sample — deterministic weighted sampling WITHOUT replacement
+# (Efraimidis-Spirakis A-ES): each row draws u ~ Uniform(0,1) from a SEEDED
+# md5 of its key (reproducible across runs/retries/partitionings — rand()
+# is none of those), gets key = -ln(u)/w with w = the row's weight
+# (n_chars: longer docs proportionally likelier), and the global top-K
+# smallest keys are the sample. This is how "sample 10k docs proportional
+# to quality" runs at 100 TB: one scan + one top-K (map-side
+# WindowGroupLimit keeps K rows per partition before the single-partition
+# exchange; for huge K, rank on approx thresholds first). The exponential
+# key is computed from exact integer hashes ⇒ identical doubles on both
+# engines; ranking uses the rounded key (cosine-top-k discipline).
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_K = 100
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**60))  # (0, 1]: 15 hex chars < 2^60, +1 avoids ln(0)
+    key = F.round(-F.log(u) / F.col("n_chars"), 12)
+    w = Window.orderBy(F.asc("es_key"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "n_chars", key.alias("es_key"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _WSAMPLE_K)
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         round(-ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                    ::DOUBLE + 1.0) / {float(2**60)}) / n_chars, 12) AS es_key
+  FROM documents
+)
+SELECT doc_id, n_chars, es_key,
+       row_number() OVER (ORDER BY es_key, doc_id) AS rnk
+FROM keyed
+QUALIFY rnk <= {_WSAMPLE_K}
+"""
+
+
 QUERIES: dict = {
+    "weighted_sample": (weighted_sample, WEIGHTED_SAMPLE_SQL),
     "pii_redact": (pii_redact, PII_REDACT_SQL),
     "per_class_sample": (per_class_sample, PER_CLASS_SAMPLE_SQL),
     "repetition_stats": (repetition_stats, REPETITION_STATS_SQL),

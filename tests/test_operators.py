@@ -399,3 +399,18 @@ def test_morph_oov_accepts_inflections_plain_does_not(spark, sf_dir):
     assert set(plain) == set(morph)
     assert all(v == 5 for v in plain.values())  # all five probes OOV
     assert all(v == 1 for v in morph.values())  # only the gibberish probe
+
+
+def test_weighted_sample_favors_heavy_docs_and_is_deterministic(spark, sf_dir):
+    """A-ES weighted sampling: two runs identical; the sample's mean weight
+    exceeds the corpus mean (long docs are proportionally likelier)."""
+    from crz_scraper_spark.catalog import load_table
+    from crz_scraper_spark.plans.curation_plans import weighted_sample
+
+    s1 = sorted(map(tuple, weighted_sample(spark, sf_dir).collect()))
+    s2 = sorted(map(tuple, weighted_sample(spark, sf_dir).collect()))
+    assert s1 == s2
+    sample_mean = sum(r[1] for r in s1) / len(s1)
+    corpus = load_table(spark, sf_dir, "documents").select("n_chars").collect()
+    corpus_mean = sum(r[0] for r in corpus) / len(corpus)
+    assert sample_mean > corpus_mean
