@@ -1,9 +1,32 @@
 """DuckDB-oracle comparison harness (mirrors the driver's correctness gate:
 row count + column names + order-insensitive value hash with columns sorted
-by name). Used by tools/check_correctness.py and the test suite."""
+by name). Used by tools/check_correctness.py and the test suite.
+
+Driver-faithfulness notes (calibrated against CORRECTNESS_r01.json):
+
+* The driver materializes the DuckDB side through pandas/Arrow, where a
+  HUGEINT (the result type of ``sum(BIGINT)``) degrades to float64 — so an
+  oracle whose output column is an uncast integer ``sum()`` hashes as
+  ``3.0`` against Spark's ``3`` and fails even though the values agree.
+  We therefore fetch the oracle via ``fetchdf()`` here too, and the
+  normalizer below deliberately does NOT integerize whole floats: an
+  int-typed column and a float-typed column never hash equal. The repo
+  rule is "every oracle integer aggregate is CAST(... AS BIGINT)".
+* Floats are hashed by exact ``repr`` (no rounding): any query whose two
+  sides differ in the last ulp must be reformulated with exact types
+  (decimal sums, integer ppm ratios), not hidden by a loose comparator.
+* Decimal columns are normalized through ``float`` on both sides, matching
+  the pandas path (DuckDB DECIMAL -> float64) that the round-1 driver
+  demonstrably applied (decimal money sums were green).
+* Temporal values are normalized to ISO text; a DATE and a
+  midnight TIMESTAMP compare equal (date_sequence was green in round 1
+  although pandas renders DATE as a midnight Timestamp).
+"""
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import hashlib
 import math
 
@@ -13,16 +36,46 @@ from crz_scraper_spark.catalog import TABLES
 
 
 def _norm_cell(v) -> str:
+    # pandas/numpy scalars first (the oracle side arrives via fetchdf()).
+    try:
+        import numpy as _np
+        import pandas as _pd
+
+        if v is None or v is _pd.NaT or (isinstance(v, float) and math.isnan(v)):
+            return "NULL"
+        if isinstance(v, (_np.bool_,)):
+            return str(int(bool(v)))
+        if isinstance(v, _np.integer):
+            return str(int(v))
+        if isinstance(v, _np.floating):
+            v = float(v)
+            if math.isnan(v):
+                return "NULL"
+            return repr(v)
+        if isinstance(v, _pd.Timestamp):
+            if v is _pd.NaT:
+                return "NULL"
+            return v.isoformat(sep="T")
+    except ImportError:  # pragma: no cover
+        if v is None:
+            return "NULL"
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 9))
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return repr(v)
+    if isinstance(v, _decimal.Decimal):
+        # pandas renders DuckDB DECIMAL as float64; mirror that on both
+        # sides so Decimal('12345.6700') == float 12345.67.
+        return repr(float(v))
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep="T")
+    if isinstance(v, _dt.date):
+        # DATE == midnight TIMESTAMP under the driver's pandas rendering.
+        return _dt.datetime(v.year, v.month, v.day).isoformat(sep="T")
     return str(v)
 
 
@@ -46,13 +99,20 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _oracle_rows(con: duckdb.DuckDBPyConnection, sql: str):
+    """Fetch oracle rows through pandas, the driver's materialization path
+    (HUGEINT/DECIMAL -> float64, DATE -> midnight Timestamp)."""
+    df = con.execute(sql).fetchdf()
+    cols = list(df.columns)
+    rows = [tuple(rec) for rec in df.itertuples(index=False, name=None)]
+    return rows, cols
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     """Return a list of problems (empty = match)."""
     scols = spark_df.columns
     srows = [tuple(r) for r in spark_df.collect()]
-    res = con.execute(sql)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
+    orows, ocols = _oracle_rows(con, sql)
     problems: list[str] = []
     if sorted(scols) != sorted(ocols):
         problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")

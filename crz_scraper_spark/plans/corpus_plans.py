@@ -155,10 +155,11 @@ blacklist AS (
 )
 SELECT g.doc_id,
        count(*) AS n_grams,
-       sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_boilerplate,
-       round(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boilerplate,
+       round(CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
              / count(*), 6) AS boilerplate_ratio,
-       sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
              / count(*) <= 0.5 AS keep
 FROM grams g LEFT JOIN blacklist b USING (gram)
 GROUP BY g.doc_id
@@ -234,13 +235,29 @@ WHERE b.cnt >= {_LM_MIN_COUNT}
 
 
 def quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 5%/95% boundaries are the values at EXPLICIT integer ranks
+    # ceil(0.05*n)/ceil(0.95*n) (1-based row_number over the sorted key) —
+    # not percentile_disc/quantile_disc, whose tie/index conventions are
+    # engine-version-sensitive at exact-integer ranks (round-1 driver hash
+    # mismatch). The rank window only ever sees the single n_chars column.
+    from pyspark.sql.window import Window
+
     docs = load_table(spark, sf_dir, "documents")
-    band = docs.select(
-        F.expr(
-            "percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars)"
+    ranked = docs.select("n_chars").select(
+        "n_chars",
+        F.row_number().over(Window.orderBy("n_chars")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    band = ranked.agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(5 * n + 99) div 100"), F.col("n_chars")
+            )
         ).alias("lo"),
-        F.expr(
-            "percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)"
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(95 * n + 99) div 100"), F.col("n_chars")
+            )
         ).alias("hi"),
     )
     return (
@@ -251,10 +268,15 @@ def quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUALITY_BAND_FILTER_SQL = """
-WITH band AS (
-  SELECT quantile_disc(n_chars, 0.05) AS lo,
-         quantile_disc(n_chars, 0.95) AS hi
+WITH ranked AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+         count(*) OVER () AS n
   FROM documents
+),
+band AS (
+  SELECT max(CASE WHEN rn = (5 * n + 99) // 100 THEN n_chars END) AS lo,
+         max(CASE WHEN rn = (95 * n + 99) // 100 THEN n_chars END) AS hi
+  FROM ranked
 )
 SELECT doc_id, n_chars, lo, hi
 FROM documents, band

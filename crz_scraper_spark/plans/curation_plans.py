@@ -142,7 +142,7 @@ WITH toks AS (
   SELECT doc_id, {_TOKS_SQL} AS t FROM documents
 ),
 word_stats AS (
-  SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_distinct,
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
          max(cnt) AS top_word_n
   FROM (
     SELECT doc_id, w, count(*) AS cnt
@@ -219,9 +219,9 @@ _RATE_CASE_SQL = " ".join(
 
 STRATIFIED_SAMPLE_SQL = f"""
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100
+       CAST(sum(CASE WHEN ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100
                      < (CASE {_RATE_CASE_SQL} ELSE {_DEFAULT_RATE} END)
-                THEN 1 ELSE 0 END) AS n_sampled
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
 FROM documents
 GROUP BY lang
 """

@@ -144,9 +144,9 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (
+         CAST(sum(new_session) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS UNBOUNDED PRECEDING) AS session_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
@@ -388,7 +388,7 @@ def props_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROPS_JSON_ROLLUP_SQL = """
 SELECT event_type,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT))      AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        count(CAST(json_extract(props, '$.k') AS BIGINT))    AS n_with_k,
        count(*)                                             AS n_events
 FROM events

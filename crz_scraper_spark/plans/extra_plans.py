@@ -171,8 +171,18 @@ def keyword_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     long = docs.select(
         "doc_id", F.explode(pairs).alias("p")
     ).select("doc_id", "p.category", "p.hits")
-    return long.rollup("doc_id", "category").agg(
-        F.sum("hits").alias("hits")
+    # coalesce the rolled-up grouping key to a -1 sentinel: a NULL in an
+    # integer oracle column degrades the whole pandas column to float64 on
+    # the driver's materialization path and the hash diverges from Spark's
+    # int (CORRECTNESS_r01 calibration).
+    return (
+        long.rollup("doc_id", "category")
+        .agg(F.sum("hits").alias("hits"))
+        .select(
+            F.coalesce(F.col("doc_id"), F.lit(-1)).alias("doc_id"),
+            "category",
+            "hits",
+        )
     )
 
 
@@ -180,7 +190,8 @@ KEYWORD_ROLLUP_SQL_TEMPLATE = """
 WITH long AS (
 {selects}
 )
-SELECT doc_id, category, sum(hits) AS hits
+SELECT coalesce(doc_id, -1) AS doc_id, category,
+       CAST(sum(hits) AS BIGINT) AS hits
 FROM long
 GROUP BY ROLLUP (doc_id, category)
 """
@@ -372,7 +383,8 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TABLE_PROFILE_SQL = (
     "SELECT col_name, count(*) AS n_rows,\n"
-    "       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_nulls,\n"
+    "       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_nulls,\n"
     "       count(DISTINCT value) AS n_distinct\n"
     "FROM (\n"
     + "\n  UNION ALL\n".join(

@@ -27,10 +27,10 @@ from crz_scraper_spark.catalog import load_table
 
 # ---------------------------------------------------------------------------
 # table_checksum — order-independent per-partition content checksum: one
-# 60-bit hash per row (md5 of the stable key fields), SUMmed per day
-# partition. SUM is commutative ⇒ the checksum is independent of row order,
+# 60-bit hash per row (md5 of the stable key fields), XORed per day
+# partition. XOR is commutative ⇒ the checksum is independent of row order,
 # task count, and merge order, and partial checksums from partial scans
-# merge by addition — replica comparison at 100 TB is then a per-partition
+# merge by xor — replica comparison at 100 TB is then a per-partition
 # equality join of two tiny checksum tables (the snapshot_diff fast path:
 # only partitions whose checksums differ need the row-level diff).
 # One map-side partial agg + one exchange of day-sized groups.
@@ -45,22 +45,26 @@ def _row_hash_spark() -> F.Column:
         F.col("event_type"),
         F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
     )
-    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("decimal(38,0)")
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 
 
 _ROW_HASH_SQL = (
     "('0x' || substr(md5(concat_ws('|', event_id::VARCHAR, user_id::VARCHAR,"
-    " event_type, epoch_us(ts)::VARCHAR)), 1, 15))::BIGINT::DECIMAL(38,0)"
+    " event_type, epoch_us(ts)::VARCHAR)), 1, 15))::BIGINT"
 )
 
 
 def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # XOR, not SUM: xor of the 60-bit row hashes is commutative/associative
+    # (order- and partitioning-independent, partials merge by xor) AND stays
+    # an exact BIGINT — a wide-decimal SUM exceeds float64 precision on the
+    # driver's pandas materialization path and hashes nondeterministically.
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.to_date(F.col("ts").cast("timestamp")).alias("day"))
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum(_row_hash_spark()).alias("checksum"),
+            F.bit_xor(_row_hash_spark()).alias("checksum"),
         )
     )
 
@@ -68,7 +72,7 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 TABLE_CHECKSUM_SQL = f"""
 SELECT CAST(ts AS DATE) AS day,
        count(*) AS n_rows,
-       sum({_ROW_HASH_SQL}) AS checksum
+       CAST(bit_xor({_ROW_HASH_SQL}) AS BIGINT) AS checksum
 FROM events
 GROUP BY 1
 """
@@ -229,28 +233,30 @@ _RANGE_BUCKETS = 8
 
 
 def range_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Boundaries come from an EXPLICIT integer-rank selection (value at
+    # row_number ceil(i*n/R), 1-based), not each engine's quantile builtin:
+    # percentile_disc/quantile_disc tie/index conventions are
+    # engine-version-sensitive at exact-integer ranks, which is a driver
+    # correctness hazard (round-1 quality_band_filter). The rank window runs
+    # over the single narrow sort-key column; at 100 TB the boundaries come
+    # from approx_percentile over a sample instead — same downstream shape.
+    from pyspark.sql.window import Window
+
     events = load_table(spark, sf_dir, "events")
-    fracs = [i / _RANGE_BUCKETS for i in range(1, _RANGE_BUCKETS)]
-    bounds = events.select(
-        *[
-            F.expr(
-                f"percentile_disc({f}) WITHIN GROUP (ORDER BY user_id)"
-            ).alias(f"b{i}")
-            for i, f in enumerate(fracs, 1)
-        ]
-    ).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("bucket_id"),
-                        F.col(f"b{i}").alias("boundary"),
-                    )
-                    for i in range(1, _RANGE_BUCKETS)
-                ]
-            )
-        ).alias("s")
-    ).select("s.bucket_id", "s.boundary")
+    r = _RANGE_BUCKETS
+    ranked = events.select("user_id").select(
+        "user_id",
+        F.row_number().over(Window.orderBy("user_id")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    idx = spark.range(1, r).select(F.col("id").alias("bucket_id"))
+    bounds = (
+        ranked.join(
+            F.broadcast(idx),
+            F.col("rn") == F.expr(f"(bucket_id * n + {r - 1}) div {r}"),
+        )
+        .select("bucket_id", F.col("user_id").alias("boundary"))
+    )
     return (
         events.join(F.broadcast(bounds))
         .filter(F.col("user_id") <= F.col("boundary"))
@@ -260,16 +266,19 @@ def range_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _range_split_points_sql() -> str:
-    fracs = ", ".join(
-        f"quantile_disc(user_id, {i / _RANGE_BUCKETS}) AS b{i}"
-        for i in range(1, _RANGE_BUCKETS)
-    )
-    arms = ", ".join(
-        f"({i}, (SELECT b{i} FROM bounds))" for i in range(1, _RANGE_BUCKETS)
-    )
+    r = _RANGE_BUCKETS
+    idx = ", ".join(f"({i})" for i in range(1, r))
     return f"""
-WITH bounds AS (SELECT {fracs} FROM events),
-pts(bucket_id, boundary) AS (VALUES {arms})
+WITH ranked AS (
+  SELECT user_id, row_number() OVER (ORDER BY user_id) AS rn,
+         count(*) OVER () AS n
+  FROM events
+),
+pts AS (
+  SELECT b.i AS bucket_id, ranked.user_id AS boundary
+  FROM (VALUES {idx}) b(i)
+  JOIN ranked ON ranked.rn = (b.i * ranked.n + {r - 1}) // {r}
+)
 SELECT p.bucket_id, p.boundary, count(*) AS n_rows_le
 FROM events e JOIN pts p ON e.user_id <= p.boundary
 GROUP BY 1, 2

@@ -129,7 +129,7 @@ shaped AS (
 )
 SELECT a.l_orderkey AS o_orderkey,
        count(*)     AS n_links,
-       sum(a.size)  AS total_size,
+       CAST(sum(a.size) AS BIGINT) AS total_size,
        min(a.url)   AS first_url
 FROM att a JOIN shaped s USING (l_orderkey)
 WHERE a.size > 0 AND a.url IS NOT NULL

@@ -442,30 +442,53 @@ GROUP BY split
 # ---------------------------------------------------------------------------
 
 _PACK_CAPACITY = 8192
+# Docs per prefix-sum block: small here so sf0.001 already exercises the
+# multi-block merge; at production scale use ~10^6 (one offsets row per M
+# docs keeps the block table tiny at any corpus size).
+_PACK_BLOCK = 128
 
 
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    # Tokenize distributed (fan_out), THEN run the global ordered window
-    # over the narrow (doc_id, n_tokens) rows — the single-partition stage
-    # a global prefix sum requires only ever sees two small columns. (At
-    # 100 TB, replace the global window with per-partition prefix sums +
-    # a driver-side offset per partition — same two-phase scan pattern.)
+    # Two-phase distributed prefix sum — NO global ordered window (a global
+    # Window.orderBy funnels every row through one task; at 100 TB one task
+    # would sort the world). Phase 1: rows get a deterministic block id
+    # (doc_id div B — no sampling, so no repartitionByRange lineage
+    # nondeterminism) and an intra-block prefix sum via a window PARTITIONED
+    # by block (parallel across blocks). Phase 2: per-block totals (one tiny
+    # row per block) get exclusive running offsets via a window over the
+    # block table only — corpus-size/B rows, e.g. ~10^3 at 10^9 docs with
+    # B=10^6 — then broadcast-join back. Global prefix = offset + intra.
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
-        "doc_id", F.size(tokens_nonempty("text")).alias("n_tokens")
+        "doc_id",
+        F.size(tokens_nonempty("text")).alias("n_tokens"),
+        F.expr(f"doc_id div {_PACK_BLOCK}").alias("blk"),
     )
-    w = (
-        Window.orderBy("doc_id")
+    w_intra = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    packed = toks.select(
+    intra = toks.withColumn(
+        "intra", F.coalesce(F.sum("n_tokens").over(w_intra), F.lit(0))
+    )
+    w_blocks = Window.orderBy("blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        toks.groupBy("blk")
+        .agg(F.sum("n_tokens").alias("blk_tokens"))
+        .withColumn(
+            "offset", F.coalesce(F.sum("blk_tokens").over(w_blocks), F.lit(0))
+        )
+        .select("blk", "offset")
+    )
+    packed = intra.join(F.broadcast(offsets), "blk").select(
         "doc_id",
         "n_tokens",
-        F.floor(
-            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_CAPACITY
-        ).alias("bin_id"),
+        F.expr(f"(offset + intra) div {_PACK_CAPACITY}").alias("bin_id"),
     )
     return packed.groupBy("bin_id").agg(
         F.count("*").alias("n_docs"),
@@ -481,12 +504,12 @@ WITH toks AS (
 ),
 packed AS (
   SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (
+         CAST(coalesce(sum(n_tokens) OVER (
              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-         ), 0) // {_PACK_CAPACITY} AS bin_id
+         ), 0) AS BIGINT) // {_PACK_CAPACITY} AS bin_id
   FROM toks
 )
-SELECT bin_id, count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
+SELECT bin_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM packed
 GROUP BY bin_id

@@ -92,10 +92,10 @@ def priority_by_shipwindow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PRIORITY_BY_SHIPWINDOW_SQL = """
 SELECT l.l_linestatus,
-       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_priority,
-       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS low_priority
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_priority
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'

@@ -25,21 +25,23 @@ from crz_scraper_spark.plans.integrity_plans import (
 from tests.conftest import SF_DIR
 
 
-def test_checksum_merges_by_addition(spark):
-    """checksum(A ∪ B) == checksum(A) + checksum(B) for a disjoint split —
-    the property that lets replica comparison sum partial scans instead of
-    rescanning a partition in one task."""
+def test_checksum_merges_by_xor(spark):
+    """checksum(A ∪ B) == checksum(A) XOR checksum(B) for a disjoint split —
+    the property that lets replica comparison merge partial scans instead of
+    rescanning a partition in one task (xor stays an exact BIGINT at any
+    scale; a sum would overflow int64 / lose float precision)."""
     events = load_table(spark, SF_DIR, "events")
     whole = (
-        events.agg(F.sum(_row_hash_spark()).alias("c")).first()["c"]
+        events.agg(F.bit_xor(_row_hash_spark()).alias("c")).first()["c"]
     )
     parts = (
         events.groupBy((F.col("event_id") % 2).alias("half"))
-        .agg(F.sum(_row_hash_spark()).alias("c"))
+        .agg(F.bit_xor(_row_hash_spark()).alias("c"))
         .collect()
     )
     assert len(parts) == 2
-    assert sum(r["c"] for r in parts) == whole
+    import functools, operator
+    assert functools.reduce(operator.xor, (r["c"] for r in parts)) == whole
 
 
 def test_checksum_detects_single_row_change(spark):
@@ -63,7 +65,7 @@ def test_checksum_detects_single_row_change(spark):
         for r in tampered.groupBy(
             F.to_date(F.col("ts").cast("timestamp")).alias("day")
         )
-        .agg(F.count("*").alias("n_rows"), F.sum(_row_hash_spark()).alias("checksum"))
+        .agg(F.count("*").alias("n_rows"), F.bit_xor(_row_hash_spark()).alias("checksum"))
         .collect()
     }
     assert after[changed_day] != base[changed_day]
