@@ -307,6 +307,105 @@ WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.35
 """
 
 
+
+# ---------------------------------------------------------------------------
+# xml_ingest_flatten — S1/S2: the reference's ACTUAL ingestion surface
+# (`01_parse_xml.py:69-208`: lxml recover=True per daily dump, corrupted
+# files copied to Corrupted_XML_files/, positional flatten into the 22-col
+# table) exercised end-to-end as a driver-checked query. A deterministic XML
+# dump is materialized from the orders table (every 20th key; every 37th key
+# rendered with a non-numeric attachment size = the corrupt cohort), written
+# as text dump files with corrupt rows sorted LAST per file (Spark's XML
+# permissive scan, like lxml recover, parses every record before the first
+# malformed one and captures the remainder in _corrupt_record — sorting the
+# bad cohort to the tail makes the recovered set exactly the clean cohort,
+# mirroring the reference's whole-file quarantine granularity), then read
+# back through sources/xml.read_contracts_xml + split_corrupt +
+# flatten_contracts. The oracle computes the same flat table directly from
+# orders — any parse/flatten/typing defect in the XML path breaks the match.
+# At 100 TB this is one distributed scan over thousands of daily dumps; the
+# fixture write is test scaffolding, not part of the measured operator.
+# ---------------------------------------------------------------------------
+
+_XML_INGEST_DIR = "/tmp/crz_xml_ingest_fixture"
+
+
+def xml_ingest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hl
+
+    from crz_scraper_spark.sources.xml import (
+        flatten_contracts,
+        read_contracts_xml,
+        split_corrupt,
+    )
+
+    out_dir = f"{_XML_INGEST_DIR}_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderkey % 20 = 0")
+    )
+    bad = F.expr("o_orderkey % 37 = 0")
+    key = F.col("o_orderkey").cast("string")
+    xml = orders.select(
+        "o_orderkey",
+        bad.alias("bad"),
+        F.concat(
+            F.lit("<contract><id>"), key,
+            F.lit("</id><nazov>Zmluva c. "), key,
+            F.lit("</nazov><objednavatel_ico>"),
+            F.col("o_custkey").cast("string"),
+            F.lit("</objednavatel_ico><cena_konecna>"),
+            F.col("o_totalprice").cast("string"),
+            F.lit("</cena_konecna><stav>"), F.col("o_orderstatus"),
+            F.lit("</stav><prilohy><priloha><att_id>att-"), key,
+            F.lit("</att_id><velkost>"),
+            F.when(bad, F.lit("corrupted")).otherwise(
+                (F.col("o_custkey") + 1000).cast("string")
+            ),
+            F.lit("</velkost></priloha></prilohy></contract>"),
+        ).alias("value"),
+    )
+    # One root-wrapped dump file per partition (the XML scan requires a
+    # single root element per file; multiple top-level records are malformed
+    # by definition). mapPartitions here is fixture scaffolding, not the
+    # operator under test.
+    import shutil as _sh
+
+    _sh.rmtree(out_dir, ignore_errors=True)
+    (
+        xml.repartition(4, "o_orderkey")
+        .sortWithinPartitions("bad", "o_orderkey")
+        .select("value")
+        .rdd.map(lambda r: r[0])
+        .mapPartitions(
+            lambda it: iter(["<contracts>\n" + "\n".join(it) + "\n</contracts>"])
+        )
+        .saveAsTextFile(out_dir)
+    )
+    clean, _corrupt = split_corrupt(read_contracts_xml(spark, out_dir))
+    att = F.element_at(F.col("prilohy"), 1)
+    return flatten_contracts(clean).select(
+        "id",
+        "nazov",
+        "objednavatel_ico",
+        F.col("cena_konecna").cast("double").alias("cena"),
+        "stav",
+        att["att_id"].alias("att_id"),
+        att["velkost"].alias("att_velkost"),
+    )
+
+
+XML_INGEST_FLATTEN_SQL = """
+SELECT CAST(o_orderkey AS VARCHAR) AS id,
+       'Zmluva c. ' || CAST(o_orderkey AS VARCHAR) AS nazov,
+       CAST(o_custkey AS VARCHAR) AS objednavatel_ico,
+       CAST(o_totalprice AS DOUBLE) AS cena,
+       o_orderstatus AS stav,
+       'att-' || CAST(o_orderkey AS VARCHAR) AS att_id,
+       CAST(o_custkey + 1000 AS BIGINT) AS att_velkost
+FROM orders
+WHERE o_orderkey % 20 = 0 AND o_orderkey % 37 <> 0
+"""
+
 QUERIES: dict = {
     "tagged_metadata_rank": (tagged_metadata_rank, _tagged_metadata_rank_sql()),
     "attachments_explode_sum": (
@@ -322,4 +421,5 @@ QUERIES: dict = {
         embedding_cosine_near_dup,
         EMBEDDING_COSINE_NEAR_DUP_SQL,
     ),
+    "xml_ingest_flatten": (xml_ingest_flatten, XML_INGEST_FLATTEN_SQL),
 }

@@ -416,3 +416,18 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sequence_packing_has_no_corpus_global_sort(spark):
+    """sequence_packing's prefix sum must be the two-phase form: the
+    corpus-sized rows flow through a window PARTITIONED by block (parallel),
+    and the only single-partition stage is the per-block offsets window —
+    one row per _PACK_BLOCK docs, i.e. ~10^3 rows at 10^9 docs. A global
+    Window.orderBy over the docs would funnel every row through one task."""
+    from crz_scraper_spark.plans.text_plans import sequence_packing
+
+    plan = _plan(sequence_packing(spark, "/root/testdata/sf0.001"))
+    # Intra-block prefix sum is partitioned by blk (parallel window).
+    assert "hashpartitioning(blk" in plan, plan
+    # At most one SinglePartition exchange — the tiny offsets table window.
+    assert plan.count("Exchange SinglePartition") <= 1, plan
