@@ -549,6 +549,10 @@ def connected_components(
                 F.col(id_a).alias("doc_id"), F.col(id_a).alias("cluster_id")
             ).schema
         )
+        # The collect above was the last read of the persisted pairs; drop
+        # the cached blocks so long-lived sessions (the CLI running many
+        # queries) do not accumulate leaked storage.
+        pairs.unpersist()
         return pairs.sparkSession.createDataFrame(rows, out_schema)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -595,6 +599,10 @@ def connected_components(
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    # labels is localCheckpoint-materialized, so the cached pair/edge blocks
+    # are dead weight after convergence — release them before returning.
+    edges.unpersist()
+    pairs.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -549,6 +549,11 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     per_doc = (
         docs.select("doc_id", tokens_nonempty("text").alias("toks"))
+        # Match the oracle's document universe exactly: its dl CTE derives
+        # from exploded tokens, so a whitespace-only document contributes
+        # nothing there — excluding it here keeps n_docs/avgdl identical on
+        # both sides if such a doc ever enters testdata.
+        .filter(F.size("toks") > 0)
         .select(
             "doc_id",
             F.size("toks").alias("dl"),

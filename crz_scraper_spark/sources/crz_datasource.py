@@ -265,6 +265,20 @@ class CRZDumpWriter(DataSourceWriter):
         return DumpCommit(name, n)
 
     def commit(self, messages) -> None:
+        committed = {m.filename for m in messages}
+        if self.overwrite:
+            # mode("overwrite") must not leave stale part files from prior
+            # writes visible to non-manifest-aware readers (plain
+            # spark.read.csv globs the directory): delete every part file
+            # the new manifest does not name. Runs once, on the driver,
+            # after all tasks succeeded — same all-or-nothing window as the
+            # manifest write itself.
+            for name in os.listdir(self.path):
+                if name.startswith("part-") and name not in committed:
+                    try:
+                        os.remove(os.path.join(self.path, name))
+                    except OSError:
+                        pass
         manifest = os.path.join(self.path, "_MANIFEST")
         with open(manifest, "w") as fh:
             for m in messages:

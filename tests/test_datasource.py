@@ -152,6 +152,42 @@ def test_datasource_writer_two_phase_commit(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
+def test_datasource_writer_overwrite_removes_stale_parts(spark, tmp_path):
+    """mode('overwrite') must leave ONLY the new write's part files: a
+    plain (non-manifest-aware) spark.read.csv over the directory sees
+    exactly the second dataset, never stale rows from the first."""
+    from crz_scraper_spark.sources.crz_datasource import register
+
+    register(spark)
+    out = str(tmp_path / "dump_overwrite")
+    first = spark.createDataFrame(
+        [(i, f"old{i}") for i in range(50)], "id bigint, nazov string"
+    ).repartition(3)
+    first.write.format("crz_dump").mode("overwrite").option("path", out).save()
+    second = spark.createDataFrame(
+        [(i, f"new{i}") for i in range(20)], "id bigint, nazov string"
+    ).repartition(2)
+    second.write.format("crz_dump").mode("overwrite").option("path", out).save()
+
+    import os
+
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    manifest = {
+        l.split("\t")[0] for l in open(os.path.join(out, "_MANIFEST"))
+    }
+    assert set(parts) == manifest
+    back = (
+        spark.read.option("sep", "|")
+        .option("header", True)
+        .schema("id bigint, nazov string")
+        .csv(out)
+    )
+    assert back.count() == 20
+    assert sorted(r["nazov"] for r in back.collect()) == sorted(
+        f"new{i}" for i in range(20)
+    )
+
+
 def test_datasource_writer_abort_removes_orphans(tmp_path):
     """abort() must delete every part file named by a commit message —
     failed jobs leave no partial output visible (no _MANIFEST is written)."""
