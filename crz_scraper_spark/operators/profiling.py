@@ -1,7 +1,12 @@
 """Stage-9 profiling/classification operators (SURVEY.md §2.4 A9/A10, §2.5
 O4): dictionary-based gibberish detection, header detection, numeric/price
 column classification over a long-format cells table, and weighted keyword
-suggestion.
+suggestion. Dictionary membership has three fidelity tiers, all sharing the
+same broadcast-semi-join plan (J7): plain wordset (`oov_profile`),
+suffix-strip morphology (`morph_oov_profile`), and full Hunspell affix
+expansion (`hunspell_oov_profile` — .dic/.aff expanded once at
+broadcast-build time by functions/hunspell.py, the Spark-first equivalent
+of the reference's per-token Hunspell handles).
 
 Reference behavior (`09_clean_tables.py`):
 - gibberish column: spellcheck each cell's words; drop column when
@@ -11,6 +16,8 @@ Reference behavior (`09_clean_tables.py`):
 - price/position columns: digit-bearing-row ratio > 0.75 (09:288-301).
 - suggested keywords: header words of accepted columns accumulate the
   column's hit ratio as a score (09:310-324).
+- spellcheck handles: `05_build_special_dictionary.py:42-50`,
+  `09_clean_tables.py:83-91` (Dicts/sk_SK + Dicts/en_US Hunspell pairs).
 
 Spark design: everything is a groupBy over a long format (table_id, col,
 row_no, cell) — the reference's per-file pandas loops become one shuffle per
@@ -61,6 +68,31 @@ def oov_profile(
         .withColumn(
             "is_gibberish", (F.col("oov_ratio") > gibberish_threshold).cast("int")
         )
+    )
+
+
+def hunspell_oov_profile(
+    docs: DataFrame,
+    dic_path: str,
+    aff_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gibberish_threshold: float = 0.75,
+) -> DataFrame:
+    """Full-fidelity X6: expand the real .dic/.aff pair once (driver-side,
+    dictionary-sized work) into the accepted-surface-form set, then run the
+    identical broadcast-semi-join membership plan as `oov_profile`. The
+    corpus-side cost is unchanged at any scale; only the broadcast payload
+    grows (~10x the stem count)."""
+    from crz_scraper_spark.functions.hunspell import hunspell_dictionary_df
+
+    dictionary = hunspell_dictionary_df(docs.sparkSession, dic_path, aff_path)
+    return oov_profile(
+        docs,
+        dictionary,
+        id_col=id_col,
+        text_col=text_col,
+        gibberish_threshold=gibberish_threshold,
     )
 
 
