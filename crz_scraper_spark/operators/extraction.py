@@ -16,11 +16,17 @@ one-subprocess-per-file loop becomes task parallelism. The per-page timeout
 survives as a `TIMEOUT_SECONDS` guard inside the UDF (same signal/thread
 technique would apply; the fakes below complete instantly).
 
-The poppler/tesseract/camelot binaries are NOT in this container, so the
-extractors are clearly-marked deterministic FAKES gated behind
-`_HAVE_REAL_TOOLS`; the Spark-side contract — schemas, batch iteration,
-flat-map emission, extension routing — is real and tested. Swapping a fake
-for the real subprocess call changes one function body, not the plan.
+Backend tiers (resolved lazily PER EXECUTOR, since worker images may
+differ from the driver): for text/pages, `pypdf` -> poppler `pdftotext`
+subprocess -> a pure-stdlib PDF parser (FlateDecode via zlib + Tj/TJ text
+operators — genuinely functional on machine-generated PDFs with no
+dependencies at all) -> the deterministic sha256 stub; for OCR,
+`pytesseract` -> stub; for tables, `camelot` -> stub. The ORACLED registry
+queries pin `backend="stub"` explicitly so their DuckDB value oracles stay
+valid in any environment; production callers use the default
+`backend="auto"`. The Spark-side contract — schemas, batch iteration,
+flat-map emission, extension routing — is identical across tiers, so a
+tier swap changes one resolved callable, not the plan.
 """
 
 from __future__ import annotations
@@ -31,9 +37,6 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-# Real binaries absent in this environment; fakes keep plumbing testable.
-_HAVE_REAL_TOOLS = False
 
 TIMEOUT_SECONDS = 10  # per-page budget, 06_extract_tables.py:199
 
@@ -76,20 +79,237 @@ def _fake_tables(payload: bytes, page: int) -> list[tuple[int, int, float]]:
     ]
 
 
-def extract_text(binaries: DataFrame) -> DataFrame:
+# ---------------------------------------------------------------------------
+# Backend resolution (X1-X5 real adapters, gated on availability)
+# ---------------------------------------------------------------------------
+
+
+def _capabilities() -> dict[str, bool]:
+    """Probe the CURRENT process for real extraction backends (memoized;
+    called inside UDFs so each executor probes its own image)."""
+    global _CAPS
+    if _CAPS is None:
+        import importlib.util as _ilu
+        import shutil as _sh
+
+        _CAPS = {
+            "pypdf": _ilu.find_spec("pypdf") is not None
+            or _ilu.find_spec("PyPDF2") is not None,
+            "pdftotext": _sh.which("pdftotext") is not None,
+            "tesseract": _sh.which("tesseract") is not None
+            and _sh.which("pdftoppm") is not None,
+            "camelot": _ilu.find_spec("camelot") is not None,
+        }
+    return _CAPS
+
+
+_CAPS: dict | None = None
+
+
+def _pypdf_reader(payload: bytes):
+    import io
+
+    try:
+        from pypdf import PdfReader
+    except ImportError:  # pragma: no cover - legacy name
+        from PyPDF2 import PdfReader
+    return PdfReader(io.BytesIO(payload))
+
+
+def _pypdf_text(payload: bytes) -> str:
+    return "\n".join(
+        (page.extract_text() or "") for page in _pypdf_reader(payload).pages
+    )
+
+
+def _pypdf_page_count(payload: bytes) -> int:
+    return max(1, len(_pypdf_reader(payload).pages))
+
+
+def _poppler_text(payload: bytes) -> str:
+    """`pdftotext -q <pdf> -` exactly as 04_convert_contracts_to_text.py:265,
+    fed via a temp file (poppler reads seekable input)."""
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".pdf") as fh:
+        fh.write(payload)
+        fh.flush()
+        out = subprocess.run(
+            ["pdftotext", "-q", fh.name, "-"],
+            capture_output=True,
+            timeout=TIMEOUT_SECONDS,
+        )
+        return out.stdout.decode("utf-8", errors="replace")
+
+
+_PDF_STR_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _pure_pdf_text(payload: bytes) -> str:
+    """Dependency-free X1 tier: decompress FlateDecode content streams with
+    stdlib zlib and collect the text-showing operators (`(..) Tj`,
+    `[(..)..] TJ`) with PDF string unescaping. Handles the
+    machine-generated PDFs that dominate contract dumps; returns '' on
+    image-only/exotic files, which flows into the OCR fallback exactly like
+    an empty pdftotext result (P13)."""
+    import re as _re
+    import zlib as _zlib
+
+    chunks: list[bytes] = []
+    for m in _re.finditer(rb"stream\r?\n(.*?)endstream", payload, _re.S):
+        raw = m.group(1)
+        try:
+            chunks.append(_zlib.decompress(raw))
+        except _zlib.error:
+            chunks.append(raw)  # uncompressed content stream
+    out: list[str] = []
+
+    def _unescape(sb: bytes) -> str:
+        res = bytearray()
+        i = 0
+        while i < len(sb):
+            c = sb[i : i + 1]
+            if c == b"\\" and i + 1 < len(sb):
+                nxt = sb[i + 1 : i + 2]
+                if nxt.isdigit():  # octal escape, up to 3 digits
+                    j = i + 1
+                    while j < min(i + 4, len(sb)) and sb[j : j + 1].isdigit():
+                        j += 1
+                    res.append(int(sb[i + 1 : j], 8) & 0xFF)
+                    i = j
+                    continue
+                res.extend(_PDF_STR_ESCAPES.get(nxt, nxt))
+                i += 2
+                continue
+            res.extend(c)
+            i += 1
+        return res.decode("utf-8", errors="replace")
+
+    for content in chunks:
+        for m in _re.finditer(
+            rb"\(((?:[^()\\]|\\.)*)\)\s*Tj|\[((?:[^\]\\]|\\.)*)\]\s*TJ",
+            content,
+            _re.S,
+        ):
+            if m.group(1) is not None:
+                out.append(_unescape(m.group(1)))
+            else:
+                for sm in _re.finditer(
+                    rb"\(((?:[^()\\]|\\.)*)\)", m.group(2), _re.S
+                ):
+                    out.append(_unescape(sm.group(1)))
+    return " ".join(t for t in out if t)
+
+
+def _pure_page_count(payload: bytes) -> int:
+    import re as _re
+
+    n = len(_re.findall(rb"/Type\s*/Page[^s]", payload + b" "))
+    return max(1, n)
+
+
+def _tesseract_ocr(payload: bytes) -> str:
+    """pdftoppm 350dpi grayscale -> tesseract per page
+    (04_convert_contracts_to_text.py:318,338)."""
+    import os as _os
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        pdf = _os.path.join(td, "in.pdf")
+        with open(pdf, "wb") as fh:
+            fh.write(payload)
+        subprocess.run(
+            ["pdftoppm", "-r", "350", "-gray", "-png", pdf,
+             _os.path.join(td, "pg")],
+            capture_output=True,
+            timeout=TIMEOUT_SECONDS * 6,
+        )
+        texts = []
+        for img in sorted(_os.listdir(td)):
+            if not img.endswith(".png"):
+                continue
+            r = subprocess.run(
+                ["tesseract", _os.path.join(td, img), "stdout"],
+                capture_output=True,
+                timeout=TIMEOUT_SECONDS * 6,
+            )
+            texts.append(r.stdout.decode("utf-8", errors="replace"))
+        return "\n".join(texts)
+
+
+def _camelot_tables(payload: bytes, page: int) -> list[tuple[int, int, float]]:
+    """camelot.read_pdf per page with the reference's 10 s budget
+    (06_extract_tables.py:197-220)."""
+    import tempfile
+
+    import camelot
+
+    with tempfile.NamedTemporaryFile(suffix=".pdf") as fh:
+        fh.write(payload)
+        fh.flush()
+        tables = camelot.read_pdf(fh.name, pages=str(page))
+        return [
+            (t.shape[0], t.shape[1],
+             round(float(t.parsing_report.get("accuracy", 0.0)) / 100, 2))
+            for t in tables
+        ]
+
+
+def _resolve_text(backend: str):
+    if backend == "stub":
+        return _fake_pdf_text
+    caps = _capabilities()
+    if caps["pypdf"]:
+        return _pypdf_text
+    if caps["pdftotext"]:
+        return _poppler_text
+    return lambda p: _pure_pdf_text(p) if p.startswith(b"%PDF") else _fake_pdf_text(p)
+
+
+def _resolve_ocr(backend: str):
+    if backend != "stub" and _capabilities()["tesseract"]:
+        return _tesseract_ocr
+    return _fake_ocr
+
+
+def _resolve_page_count(backend: str):
+    if backend == "stub":
+        return _fake_page_count
+    caps = _capabilities()
+    if caps["pypdf"]:
+        return _pypdf_page_count
+    return lambda p: _pure_page_count(p) if p.startswith(b"%PDF") else _fake_page_count(p)
+
+
+def _resolve_tables(backend: str):
+    if backend != "stub" and _capabilities()["camelot"]:
+        return _camelot_tables
+    return _fake_tables
+
+
+def extract_text(binaries: DataFrame, backend: str = "auto") -> DataFrame:
     """X1/X2/P13: extract text; empty direct extraction falls back to OCR
     (the textual-vs-scanned predicate `04_convert_contracts_to_text.py:265-285`:
-    whitespace-stripped extracted text of length 0 ⇒ scanned ⇒ OCR)."""
+    whitespace-stripped extracted text of length 0 ⇒ scanned ⇒ OCR).
+    backend="auto" resolves the best available tier per executor;
+    backend="stub" pins the deterministic fake (oracled queries)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        text_fn = _resolve_text(backend)
+        ocr_fn = _resolve_ocr(backend)
         for pdf in it:
             texts, methods = [], []
             for payload in pdf["content"]:
                 p = payload if payload is not None else b""
-                txt = _fake_pdf_text(p)
+                txt = text_fn(p)
                 # P13: empty after whitespace strip -> scanned -> OCR path.
                 if not txt.strip():
-                    txt = _fake_ocr(p)
+                    txt = ocr_fn(p)
                     methods.append("ocr")
                 else:
                     methods.append("direct")
@@ -106,17 +326,18 @@ def extract_text(binaries: DataFrame) -> DataFrame:
     return binaries.mapInPandas(batches, TEXT_SCHEMA)
 
 
-def count_pages(binaries: DataFrame) -> DataFrame:
+def count_pages(binaries: DataFrame, backend: str = "auto") -> DataFrame:
     """X4: page count per document."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        count_fn = _resolve_page_count(backend)
         for pdf in it:
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "filename": pdf["filename"],
                     "n_pages": [
-                        _fake_page_count(p if p is not None else b"")
+                        count_fn(p if p is not None else b"")
                         for p in pdf["content"]
                     ],
                 }
@@ -125,13 +346,15 @@ def count_pages(binaries: DataFrame) -> DataFrame:
     return binaries.mapInPandas(batches, PAGES_SCHEMA)
 
 
-def detect_tables(binaries: DataFrame) -> DataFrame:
+def detect_tables(binaries: DataFrame, backend: str = "auto") -> DataFrame:
     """X5, the UDTF shape: one input document row → 0..n output table rows
     (flat-map via mapInPandas multi-row emission), page-parallel in spirit —
     at scale, `posexplode` the page range first so pages of one huge PDF
     spread across tasks (SURVEY §2.9 X2 note)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        count_fn = _resolve_page_count(backend)
+        tables_fn = _resolve_tables(backend)
         for pdf in it:
             out: dict[str, list] = {
                 "id": [], "filename": [], "page": [],
@@ -142,8 +365,8 @@ def detect_tables(binaries: DataFrame) -> DataFrame:
             ):
                 p = payload if payload is not None else b""
                 table_no = 0
-                for page in range(1, _fake_page_count(p) + 1):
-                    for (nr, nc, acc) in _fake_tables(p, page):
+                for page in range(1, count_fn(p) + 1):
+                    for (nr, nc, acc) in tables_fn(p, page):
                         table_no += 1
                         out["id"].append(rid)
                         out["filename"].append(fname)

@@ -219,7 +219,7 @@ FROM per_doc p JOIN documents d USING (doc_id)
 
 
 def tables_per_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    det = detect_tables(_doc_binaries(spark, sf_dir))
+    det = detect_tables(_doc_binaries(spark, sf_dir), backend="stub")
     return det.groupBy("id").agg(
         F.count("*").alias("n_tables"),
         F.countDistinct("page").alias("n_pages_with_tables"),

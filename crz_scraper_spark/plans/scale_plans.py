@@ -601,7 +601,7 @@ def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_text(_doc_binaries(spark, sf_dir))
+    return extract_text(_doc_binaries(spark, sf_dir), backend="stub")
 
 
 # The X1 stub derives its text purely from sha256(payload) and the payload
@@ -618,7 +618,7 @@ FROM documents
 
 
 def pdf_table_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return detect_tables(_doc_binaries(spark, sf_dir))
+    return detect_tables(_doc_binaries(spark, sf_dir), backend="stub")
 
 
 def pdf_table_detect_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:

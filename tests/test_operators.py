@@ -414,3 +414,65 @@ def test_weighted_sample_favors_heavy_docs_and_is_deterministic(spark, sf_dir):
     corpus = load_table(spark, sf_dir, "documents").select("n_chars").collect()
     corpus_mean = sum(r[0] for r in corpus) / len(corpus)
     assert sample_mean > corpus_mean
+
+
+def _mini_pdf() -> bytes:
+    """Handcrafted 2-page PDF: page 1 has an uncompressed content stream
+    (`(..) Tj` + `[..] TJ` with escapes), page 2 a FlateDecode stream —
+    the two encodings the pure-stdlib X1 tier must handle."""
+    import zlib
+
+    s1 = b"BT /F1 12 Tf (Zmluva o dielo) Tj [(cena: ) (1\\(2\\)3 EUR)] TJ ET"
+    s2 = zlib.compress(b"BT (druha strana textu) Tj ET")
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 5 0 R >> endobj\n"
+        b"4 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n"
+        b"5 0 obj << /Length " + str(len(s1)).encode() + b" >> stream\n"
+        + s1 + b"endstream endobj\n"
+        b"6 0 obj << /Length " + str(len(s2)).encode()
+        + b" /Filter /FlateDecode >> stream\n" + s2 + b"endstream endobj\n"
+        b"%%EOF\n"
+    )
+    return body
+
+
+def test_pure_pdf_text_tier():
+    """The dependency-free X1 backend extracts REAL text (both uncompressed
+    and FlateDecode streams, with PDF string escapes) — not a stub hash."""
+    from crz_scraper_spark.operators.extraction import _pure_pdf_text
+
+    txt = _pure_pdf_text(_mini_pdf())
+    assert "Zmluva o dielo" in txt
+    assert "1(2)3 EUR" in txt  # escaped parens unescaped
+    assert "druha strana textu" in txt  # FlateDecode stream
+
+
+def test_pure_page_count_tier():
+    from crz_scraper_spark.operators.extraction import _pure_page_count
+
+    assert _pure_page_count(_mini_pdf()) == 2
+
+
+def test_auto_backend_routes_real_pdf_and_stub(spark):
+    """backend='auto' in THIS container (no pypdf/poppler): a real %PDF
+    payload goes through the pure-stdlib parser, a non-PDF payload falls
+    back to the deterministic stub; backend='stub' pins the stub for both
+    (what the oracled registry queries rely on)."""
+    rows = [
+        Row(id="p", filename="p.pdf", content=_mini_pdf()),
+        Row(id="x", filename="x.pdf", content=b"not a pdf at all"),
+    ]
+    df = spark.createDataFrame(rows)
+    auto = {r["id"]: r["text"] for r in extract_text(df, backend="auto").collect()}
+    assert "Zmluva o dielo" in auto["p"]
+    assert auto["x"].startswith("extracted text ")
+    stub = {r["id"]: r["text"] for r in extract_text(df, backend="stub").collect()}
+    assert stub["p"].startswith("extracted text ")
+    pages = {
+        r["id"]: r["n_pages"]
+        for r in count_pages(df, backend="auto").collect()
+    }
+    assert pages["p"] == 2
