@@ -116,20 +116,26 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     target = F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(F.lit(0.0))
+    # The ECONOMY-part semi-join is the most selective predicate on the fact
+    # table, so it runs BEFORE the lineitem⋈orders shuffle (Catalyst does not
+    # reorder across a left-semi without CBO stats): at 100 TB it is the
+    # difference between shuffling the full fact table and shuffling only the
+    # ECONOMY slice. All dimension joins stay broadcast; the one shuffle left
+    # is the pre-filtered li⋈orders.
+    li_econ = li.join(
+        F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+        li.l_partkey == part.p_partkey,
+        "left_semi",
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li_econ.join(orders, li_econ.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(
             F.broadcast(america_nations),
             F.col("c_nationkey") == F.col("cust_nk"),
             "left_semi",
         )
-        .join(
-            F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
-            li.l_partkey == part.p_partkey,
-            "left_semi",
-        )
-        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .join(F.broadcast(supp_nation), li_econ.l_suppkey == supp_nation.s_suppkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
