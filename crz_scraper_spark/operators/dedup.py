@@ -606,3 +606,91 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def fixed_centroids(dim: int, n_cells: int, seed: int = 99) -> list[list[float]]:
+    """Deterministic random centroids (numpy PCG64, fixed seed) for the
+    oracleable semantic-dedup variant. Production replaces these with the
+    IVF coarse-quantizer's trained centroids (`similarity.ivf_topk`) — the
+    operator below is indifferent to where the matrix comes from."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_cells, dim)).tolist()
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    round_to: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
+    embedding space, then drop any vector whose cosine similarity to a
+    LOWER-id vector in the SAME cluster exceeds `threshold` (keep-lowest-id,
+    fully deterministic). Output: one row per input vector —
+    (vec_id, cell, kept 0/1, rep_id = the surviving lower-id representative,
+    itself when kept).
+
+    Plan shape / 100 TB posture: cell assignment is a scalar argmax over the
+    centroid matrix as ONE 2-D array literal (pure codegen scan, no UDF, no
+    shuffle — the `bucket_signature` trick); the pairwise compare is a
+    self-join EQUI on the cell id, so the quadratic blow-up is bounded per
+    cluster (SemDeDup's whole point — n_cells grows with the corpus so
+    cluster sizes stay bounded; a skewed giant cluster is handled by
+    re-clustering its members, not by salting, since intra-cluster pairs are
+    the semantics). Norms are precomputed per row BEFORE the pair join
+    (higher-order array expressions are interpreted — the measured 3× of
+    `parity_plans.embedding_cosine_near_dup` applies here too).
+
+    Cross-engine determinism: per-centroid similarities are rounded to 6 dp
+    BEFORE the argmax and pair similarities to `round_to` before the
+    threshold cut, so a last-ulp summation difference cannot flip a cell
+    assignment or the keep/drop decision; argmax ties break to the lowest
+    centroid index on both engines.
+    """
+    from crz_scraper_spark.operators.similarity import _dot, _norm
+
+    cm = F.lit([[float(x) for x in c] for c in centroids])
+    v = F.col("__v")
+    sims = F.transform(
+        cm, lambda c: F.round(_dot(v, c) / (_norm(v) * _norm(c)), 6)
+    )
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumns(
+        {
+            "cell": (F.array_position(sims, F.array_max(sims)) - 1).cast("int"),
+            "__nrm": _norm(v),
+        }
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pair_sim = F.round(
+        _dot(F.col("a.__v"), F.col("b.__v"))
+        / (F.col("a.__nrm") * F.col("b.__nrm")),
+        round_to,
+    )
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(pair_sim >= threshold)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("a.vec_id")).alias("__rep"))
+    )
+    return (
+        base.join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("__rep").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("kept"),
+            F.coalesce(F.col("__rep"), F.col("vec_id")).alias("rep_id"),
+        )
+    )

@@ -368,6 +368,113 @@ GROUP BY b.doc_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# dup_span_detect — substring-level exact duplication profile (the
+# "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+# signal, Lee et al. 2022, approximated at window granularity): every
+# W=8-token sliding window is fingerprinted (md5 of the joined slice); a
+# window duplicated in ANOTHER document marks its span. Output per doc:
+# window count, duplicated-window count, duplication ppm (integer — no
+# float ratio to diverge), and the first duplicated position (the span
+# trim point a cleaner would cut at).
+#
+# 100 TB posture: the window stream is W× the token stream but never
+# carries text — only (16-B digest, doc_id, pos) rows enter the one
+# fingerprint shuffle (at real scale the digest drops to xxhash64's 8 B
+# and the stream pre-aggregates map-side by digest). This is the
+# suffix-array-free formulation: O(total windows) with uniform hash
+# shuffle keys instead of a global sort.
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 8
+
+
+def dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", F.expr(_TOKS_SPARK).alias("toks")
+    ).withColumn(
+        "n_windows",
+        F.greatest(F.size("toks") - F.lit(_SPAN_W - 1), F.lit(0)).cast("bigint"),
+    )
+    # sequence(1, 0) would DESCEND in Spark — windowless docs are excluded
+    # here and rejoined via the left join below, so the explode never sees
+    # an inverted range.
+    fps = base.filter(F.col("n_windows") >= 1).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, n_windows),"
+                f" i -> md5(concat_ws(' ', slice(toks, i, {_SPAN_W}))))"
+            )
+        ).alias("pos0", "fp"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "fp")
+    dup = (
+        fps.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("fp")
+    )
+    per_doc = (
+        fps.join(dup, "fp", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_windows"),
+            F.min("pos").cast("bigint").alias("first_dup_pos"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_windows")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("bigint").alias(
+                "n_dup_windows"
+            ),
+            F.expr(
+                "CAST(coalesce(n_dup_windows, 0) * 1000000"
+                " div greatest(n_windows, 1) AS BIGINT)"
+            ).alias("dup_ppm"),
+            # 0 = "no duplicated window" (real positions are >= 1): a nullable
+            # BIGINT would degrade to float64 through the oracle's pandas
+            # materialization and hash-mismatch the Spark integer.
+            F.coalesce(F.col("first_dup_pos"), F.lit(0)).cast("bigint").alias(
+                "first_dup_pos"
+            ),
+        )
+    )
+
+
+DUP_SPAN_DETECT_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+base AS (SELECT doc_id, greatest(len(t) - {_SPAN_W - 1}, 0) AS n_windows, t
+         FROM toks),
+wins AS (
+  SELECT doc_id, unnest(generate_series(1, n_windows)) AS pos, t
+  FROM base WHERE n_windows >= 1
+),
+fps AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(t[pos:pos+{_SPAN_W - 1}], ' ')) AS fp
+  FROM wins
+),
+dup AS (SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) > 1),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+         CAST(min(pos) AS BIGINT) AS first_dup_pos
+  FROM fps JOIN dup USING (fp) GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n_windows AS BIGINT) AS n_windows,
+       CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(p.n_dup_windows, 0) * 1000000
+            // greatest(CAST(b.n_windows AS BIGINT), 1) AS BIGINT) AS dup_ppm,
+       CAST(coalesce(p.first_dup_pos, 0) AS BIGINT) AS first_dup_pos
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 QUERIES: dict = {
     "perplexity_filter": (perplexity_filter, PERPLEXITY_FILTER_SQL),
     "doc_chunking": (doc_chunking, DOC_CHUNKING_SQL),
@@ -377,4 +484,5 @@ QUERIES: dict = {
     ),
     "ngram_lm_counts": (ngram_lm_counts, NGRAM_LM_COUNTS_SQL),
     "quality_band_filter": (quality_band_filter, QUALITY_BAND_FILTER_SQL),
+    "dup_span_detect": (dup_span_detect, DUP_SPAN_DETECT_SQL),
 }

@@ -384,6 +384,79 @@ QUALIFY rnk <= {_WSAMPLE_K}
 """
 
 
+
+# ---------------------------------------------------------------------------
+# epoch_shuffle — deterministic global training-order shuffle: every epoch
+# reshuffles the corpus by ordering docs on md5(epoch-salt + doc_id), and
+# the order is materialized as (epoch, shard, pos) — the layout a data
+# loader consumes (each of S shards is one worker's read stream, consumed
+# in pos order). rand() never appears: membership and order are pure
+# row-local hash arithmetic, so retries/spills/re-runs reproduce the exact
+# byte order (the same discipline as stratified_sample/train_test_split).
+#
+# 100 TB posture: NO global sort/window — the shard id is a uniform hash
+# bucket (map-side), and the intra-shard position is a row_number windowed
+# PER SHARD, so the sort parallelizes S ways (S scales with the worker
+# count; writing shard as the partition column makes each worker's stream
+# one contiguous parquet read). This is the two-phase discipline of
+# sequence_packing applied to epoch ordering.
+# ---------------------------------------------------------------------------
+
+_SHUF_EPOCHS = 2
+_SHUF_SHARDS = 8
+
+
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    epochs = spark.range(_SHUF_EPOCHS).select(
+        F.col("id").cast("int").alias("epoch")
+    )
+    key = F.md5(
+        F.concat(
+            F.lit("shuf"),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint")
+        % _SHUF_SHARDS
+    ).cast("int")
+    w = Window.partitionBy("epoch", "shard").orderBy("sort_key", "doc_id")
+    return (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(epochs))
+        .select(
+            "epoch",
+            "doc_id",
+            shard.alias("shard"),
+            key.alias("sort_key"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("epoch", "shard", "pos", "doc_id")
+    )
+
+
+EPOCH_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT e.epoch, d.doc_id,
+         md5('shuf' || e.epoch::VARCHAR || ':' || d.doc_id::VARCHAR) AS k
+  FROM documents d
+  CROSS JOIN (SELECT unnest(generate_series(0, {_SHUF_EPOCHS - 1})) AS epoch) e
+)
+SELECT CAST(epoch AS INT) AS epoch,
+       CAST(('0x' || substr(k, 1, 15))::BIGINT % {_SHUF_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY epoch, ('0x' || substr(k, 1, 15))::BIGINT % {_SHUF_SHARDS}
+           ORDER BY k, doc_id) AS BIGINT) AS pos,
+       doc_id
+FROM keyed
+"""
+
+
 QUERIES: dict = {
     "weighted_sample": (weighted_sample, WEIGHTED_SAMPLE_SQL),
     "pii_redact": (pii_redact, PII_REDACT_SQL),
@@ -391,4 +464,5 @@ QUERIES: dict = {
     "repetition_stats": (repetition_stats, REPETITION_STATS_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "eval_contamination": (eval_contamination, EVAL_CONTAMINATION_SQL),
+    "epoch_shuffle": (epoch_shuffle, EPOCH_SHUFFLE_SQL),
 }

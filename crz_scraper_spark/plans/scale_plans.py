@@ -17,8 +17,10 @@ from pyspark.sql import functions as F
 from crz_scraper_spark.catalog import fan_out, load_table
 from crz_scraper_spark.functions.text import WORD_SEPARATOR_RE, tokens_nonempty
 from crz_scraper_spark.operators.dedup import (
+    fixed_centroids,
     minhash_dedup,
     minhash_pairs_md5,
+    semantic_dedup,
     simhash_near_pairs,
     simhash_near_pairs_md5,
 )
@@ -761,8 +763,70 @@ FROM part
 """
 
 
+# ---------------------------------------------------------------------------
+# semantic_dedup — SemDeDup (Abbas et al. 2023): cluster the embedding space
+# (deterministic fixed-seed centroids standing in for the IVF coarse
+# quantizer), drop any vector with cosine ≥ τ to a lower-id vector in the
+# same cluster. FULLY oracled: the centroid matrix is a literal, so DuckDB
+# reproduces cell assignment (6-dp-rounded argmax, ties to lowest pid), the
+# per-cluster pair set, and the keep/drop verdicts bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_CELLS = 8
+_SEMDEDUP_DIM = 64
+_SEMDEDUP_TAU = 0.35
+_SEMDEDUP_SEED = 99
+
+
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    cents = fixed_centroids(_SEMDEDUP_DIM, _SEMDEDUP_CELLS, _SEMDEDUP_SEED)
+    return semantic_dedup(
+        emb, cents, "vec_id", "embedding", threshold=_SEMDEDUP_TAU, round_to=4
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    cents = fixed_centroids(_SEMDEDUP_DIM, _SEMDEDUP_CELLS, _SEMDEDUP_SEED)
+    cent_rows = ",\n    ".join(
+        f"({pid}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for pid, c in enumerate(cents)
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents(pid, c) AS (
+  VALUES
+    {cent_rows}
+),
+assign AS (
+  SELECT vec_id, v, pid AS cell FROM (
+    SELECT e.vec_id, e.v, ct.pid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.v, ct.c), 6) DESC,
+                        ct.pid) AS rn
+    FROM emb e CROSS JOIN cents ct)
+  WHERE rn = 1
+),
+drops AS (
+  SELECT b.vec_id, min(a.vec_id) AS rep
+  FROM assign a JOIN assign b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {_SEMDEDUP_TAU}
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, CAST(s.cell AS INT) AS cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept,
+       coalesce(d.rep, s.vec_id) AS rep_id
+FROM assign s LEFT JOIN drops d ON s.vec_id = d.vec_id
+"""
+
+
 QUERIES: dict = {
     "udtf_widen_roundtrip": (udtf_widen_roundtrip, UDTF_WIDEN_ROUNDTRIP_SQL),
+    "semantic_dedup": (semantic_dedup_q, _semantic_dedup_sql()),
     "fuzzy_name_pairs": (fuzzy_name_pairs, FUZZY_NAME_PAIRS_SQL),
     "cosine_topk_bruteforce": (cosine_topk_bruteforce, COSINE_TOPK_SQL),
     "pdf_text_extract": (pdf_text_extract, PDF_TEXT_EXTRACT_SQL),
