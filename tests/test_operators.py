@@ -476,3 +476,62 @@ def test_auto_backend_routes_real_pdf_and_stub(spark):
         for r in count_pages(df, backend="auto").collect()
     }
     assert pages["p"] == 2
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup / dup_span_detect / epoch_shuffle invariants (the oracle
+# parity tests prove value equality; these pin the semantic contracts).
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_keep_lowest_id(spark, sf_dir):
+    from crz_scraper_spark.plans.scale_plans import semantic_dedup_q
+
+    rows = semantic_dedup_q(spark, sf_dir).collect()
+    total = len(rows)
+    kept = [r for r in rows if r["kept"] == 1]
+    dropped = [r for r in rows if r["kept"] == 0]
+    assert total == len(kept) + len(dropped)
+    # A dropped vector's representative is a strictly lower id in the same
+    # cluster; a kept vector represents itself.
+    cell_of = {r["vec_id"]: r["cell"] for r in rows}
+    for r in dropped:
+        assert r["rep_id"] < r["vec_id"]
+        assert cell_of[r["rep_id"]] == r["cell"]
+    for r in kept:
+        assert r["rep_id"] == r["vec_id"]
+
+
+def test_dup_span_detect_invariants(spark, sf_dir):
+    from crz_scraper_spark.plans.corpus_plans import dup_span_detect
+
+    for r in dup_span_detect(spark, sf_dir).collect():
+        assert 0 <= r["n_dup_windows"] <= r["n_windows"]
+        if r["n_dup_windows"] == 0:
+            assert r["dup_ppm"] == 0 and r["first_dup_pos"] == 0
+        else:
+            assert 1 <= r["first_dup_pos"] <= r["n_windows"]
+            assert 0 < r["dup_ppm"] <= 1_000_000
+
+
+def test_epoch_shuffle_contiguous_and_epoch_varying(spark, sf_dir):
+    from collections import defaultdict
+
+    from crz_scraper_spark.plans.curation_plans import (
+        _SHUF_EPOCHS,
+        epoch_shuffle,
+    )
+
+    rows = epoch_shuffle(spark, sf_dir).collect()
+    n_docs = len({r["doc_id"] for r in rows})
+    assert len(rows) == n_docs * _SHUF_EPOCHS
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[(r["epoch"], r["shard"])].append(r["pos"])
+    for pos_list in by_shard.values():
+        assert sorted(pos_list) == list(range(1, len(pos_list) + 1))
+    # Different epochs produce a different order (the whole point).
+    order = defaultdict(dict)
+    for r in rows:
+        order[r["epoch"]][r["doc_id"]] = (r["shard"], r["pos"])
+    assert order[0] != order[1]
