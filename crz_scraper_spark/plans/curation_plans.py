@@ -457,6 +457,74 @@ FROM keyed
 """
 
 
+
+# ---------------------------------------------------------------------------
+# bloom_decontaminate — the 100 TB decontamination path: eval_contamination's
+# exact join shuffles the corpus n-gram stream; here the eval grams (the
+# SMALL side — benchmark sets are MBs) build a broadcast Bloom bitset, the
+# corpus gram stream is prefiltered MAP-SIDE (no corpus shuffle), and the
+# surviving candidates (true matches + fp-rate false positives) are
+# verified with an exact broadcast join. No false negatives by
+# construction, false positives removed by the verify join ⇒ the composed
+# result EQUALS the exact join and stays fully oracled — the oracle SQL is
+# the plain exact formulation, bloom-free.
+# ---------------------------------------------------------------------------
+
+
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.operators.bloom import build_bloom, might_contain_udf
+
+    n = _NGRAM_N
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.expr(_TOKS_SPARK).alias("toks")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {n} THEN"
+                f"  array_distinct(transform(sequence(1, size(toks) - {n - 1}),"
+                f"            i -> concat_ws(' ', slice(toks, i, {n}))))"
+                " ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    is_eval = F.col("doc_id") % 97 == 0
+    # The eval side is bounded (benchmark-sized) — collecting its distinct
+    # grams to build the bitset is index-metadata work, same rationale as
+    # the IVF trainer sample.
+    eval_grams = grams.filter(is_eval).select("gram").distinct()
+    eval_set = [r["gram"] for r in eval_grams.collect()]
+    bloom = build_bloom(eval_set)
+    probe = might_contain_udf(spark, bloom)
+    candidates = grams.filter(~is_eval).filter(probe(F.col("gram")))
+    return (
+        candidates.join(F.broadcast(eval_grams), "gram")
+        .groupBy(F.col("doc_id").alias("train_doc"))
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+BLOOM_DECONTAMINATE_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, g AS gram
+  FROM (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, len(t) - {_NGRAM_N - 1}),
+               i -> array_to_string(t[i:i + {_NGRAM_N - 1}], ' '))) AS gs
+    FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    WHERE len(t) >= {_NGRAM_N}
+  ), unnest(gs) AS u(g)
+),
+eval_g AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+SELECT t.doc_id AS train_doc, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM grams t JOIN eval_g e ON t.gram = e.gram
+WHERE t.doc_id % 97 <> 0
+GROUP BY 1
+"""
+
+
 QUERIES: dict = {
     "weighted_sample": (weighted_sample, WEIGHTED_SAMPLE_SQL),
     "pii_redact": (pii_redact, PII_REDACT_SQL),
@@ -465,4 +533,5 @@ QUERIES: dict = {
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "eval_contamination": (eval_contamination, EVAL_CONTAMINATION_SQL),
     "epoch_shuffle": (epoch_shuffle, EPOCH_SHUFFLE_SQL),
+    "bloom_decontaminate": (bloom_decontaminate, BLOOM_DECONTAMINATE_SQL),
 }

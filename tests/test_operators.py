@@ -535,3 +535,22 @@ def test_epoch_shuffle_contiguous_and_epoch_varying(spark, sf_dir):
     for r in rows:
         order[r["epoch"]][r["doc_id"]] = (r["shard"], r["pos"])
     assert order[0] != order[1]
+
+
+def test_bloom_no_false_negatives_bounded_fp(spark):
+    from crz_scraper_spark.operators.bloom import build_bloom, might_contain_udf
+    import pyspark.sql.functions as F
+
+    inserted = [f"gram {i} x" for i in range(2000)]
+    absent = [f"other {i} y" for i in range(5000)]
+    bloom = build_bloom(inserted, n_bits=1 << 16, k=5)
+    probe = might_contain_udf(spark, bloom, n_bits=1 << 16, k=5)
+    df = spark.createDataFrame(
+        [(s, True) for s in inserted] + [(s, False) for s in absent],
+        "item string, present boolean",
+    ).withColumn("hit", probe(F.col("item")))
+    rows = df.collect()
+    assert all(r["hit"] for r in rows if r["present"])  # no false negatives
+    fp = sum(1 for r in rows if r["hit"] and not r["present"])
+    # 2000 items in 2^16 bits at k=5 ⇒ fp well under 5%.
+    assert fp / len(absent) < 0.05
