@@ -475,6 +475,109 @@ FROM base b LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+
+# ---------------------------------------------------------------------------
+# line_dedup_reconstruct — C4-style line-level dedup with reassembly: the
+# corpus is segmented into disjoint 10-token "lines" (the testdata carries
+# no newlines/sentence marks, so segmentation is positional; swap the
+# segmenter for split('\n') on real text — everything downstream is
+# unchanged); every line keeps only its FIRST corpus occurrence (global
+# first-wins by (doc_id, seg_idx) — C4 keeps one of each three-sentence
+# span), and each document is rebuilt from its surviving lines in order.
+# Output: per doc, segment/removed counts and the md5 of the rebuilt text
+# (the driver compare would otherwise ship full documents).
+#
+# 100 TB posture: two shuffles, both on uniform keys — first-wins is a
+# row_number window PARTITIONED BY the segment content (hash-uniform; at
+# real scale key on xxhash64(seg) and carry the text alongside), and
+# reassembly is one per-doc aggregate with an array_sort on the bounded
+# per-doc segment list (no ordered global window anywhere).
+# ---------------------------------------------------------------------------
+
+_LINE_TOKS = 10
+
+
+def line_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    segs = (
+        docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, (size(toks) - 1) div {_LINE_TOKS}),"
+                    f" i -> concat_ws(' ', slice(toks, i * {_LINE_TOKS} + 1,"
+                    f" {_LINE_TOKS})))"
+                )
+            ).alias("seg_idx", "seg"),
+        )
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    flagged = segs.withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("int")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segs"),
+            (F.count("*") - F.sum("keep")).cast("bigint").alias("n_removed"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("keep") == 1,
+                                    F.struct("seg_idx", "seg"),
+                                )
+                            )
+                        ),
+                        lambda s: s["seg"],
+                    ),
+                )
+            ).alias("kept_md5"),
+        )
+        .select("doc_id", "n_segs", "n_removed", "kept_md5")
+    )
+
+
+LINE_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents WHERE len({_TOKS_SQL}) > 0
+),
+segs AS (
+  SELECT doc_id,
+         unnest(generate_series(0, (len(t) - 1) // {_LINE_TOKS})) AS seg_idx,
+         t
+  FROM toks
+),
+seg_txt AS (
+  SELECT doc_id, seg_idx,
+         array_to_string(
+             t[seg_idx * {_LINE_TOKS} + 1 : seg_idx * {_LINE_TOKS} + {_LINE_TOKS}],
+             ' ') AS seg
+  FROM segs
+),
+flagged AS (
+  SELECT doc_id, seg_idx, seg,
+         CASE WHEN row_number() OVER (
+             PARTITION BY seg ORDER BY doc_id, seg_idx) = 1
+              THEN 1 ELSE 0 END AS keep
+  FROM seg_txt
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(count(*) - sum(keep) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(CASE WHEN keep = 1 THEN seg END, ' '
+                      ORDER BY seg_idx), '')) AS kept_md5
+FROM flagged
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict = {
     "perplexity_filter": (perplexity_filter, PERPLEXITY_FILTER_SQL),
     "doc_chunking": (doc_chunking, DOC_CHUNKING_SQL),
@@ -485,4 +588,5 @@ QUERIES: dict = {
     "ngram_lm_counts": (ngram_lm_counts, NGRAM_LM_COUNTS_SQL),
     "quality_band_filter": (quality_band_filter, QUALITY_BAND_FILTER_SQL),
     "dup_span_detect": (dup_span_detect, DUP_SPAN_DETECT_SQL),
+    "line_dedup_reconstruct": (line_dedup_reconstruct, LINE_DEDUP_SQL),
 }
