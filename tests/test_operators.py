@@ -554,3 +554,27 @@ def test_bloom_no_false_negatives_bounded_fp(spark):
     fp = sum(1 for r in rows if r["hit"] and not r["present"])
     # 2000 items in 2^16 bits at k=5 ⇒ fp well under 5%.
     assert fp / len(absent) < 0.05
+
+
+def test_bloom_hash_path_no_false_negatives(spark):
+    import numpy as np
+
+    from crz_scraper_spark.operators.bloom import (
+        build_bloom_from_hashes,
+        might_contain_hash_udf,
+    )
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(3)
+    inserted = rng.integers(-(2**62), 2**62, size=3000).tolist()
+    absent = rng.integers(-(2**62), 2**62, size=5000).tolist()
+    bloom = build_bloom_from_hashes(inserted, n_bits=1 << 16, k=5)
+    probe = might_contain_hash_udf(spark, bloom, n_bits=1 << 16, k=5)
+    df = spark.createDataFrame(
+        [(int(h), True) for h in inserted] + [(int(h), False) for h in set(absent) - set(inserted)],
+        "h long, present boolean",
+    ).withColumn("hit", probe(F.col("h")))
+    rows = df.collect()
+    assert all(r["hit"] for r in rows if r["present"])
+    fp = sum(1 for r in rows if r["hit"] and not r["present"])
+    assert fp / max(1, sum(1 for r in rows if not r["present"])) < 0.05
