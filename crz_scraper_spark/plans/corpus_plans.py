@@ -578,6 +578,139 @@ GROUP BY doc_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# gopher_rules_filter — the Gopher quality-rule bundle (Rae et al. 2021,
+# §A1.1) as one verdict row per document: word-count bounds, mean-word-
+# length bounds, alphabetic-token ratio, stopword presence, distinct-token
+# ratio — each rule an explicit 0/1 flag plus the overall pass. The repo's
+# doc_quality emits the continuous features; this is the thresholded
+# rule-set form a curation pipeline actually branches on. ALL arithmetic
+# is integer (ratios as ppm = x*1e6 div n) — nothing to diverge across
+# engines. Map-only: array scalars over one scan, no shuffle.
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "that"]
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100_000
+_GOPHER_MIN_MEANLEN_PPM, _GOPHER_MAX_MEANLEN_PPM = 3_000_000, 10_000_000
+_GOPHER_MIN_ALPHA_PPM = 800_000
+_GOPHER_MIN_DISTINCT_PPM = 300_000
+_GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    stop_lits = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+    base = docs.select(
+        "doc_id", F.expr(_TOKS_SPARK).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_words"),
+        F.expr(
+            "CAST(aggregate(toks, 0L, (a, w) -> a + length(w)) AS BIGINT)"
+        ).alias("sum_chars"),
+        F.expr(
+            "CAST(size(filter(toks, w -> w rlike '^[a-z]+$')) AS BIGINT)"
+        ).alias("n_alpha"),
+        F.expr("CAST(size(array_distinct(toks)) AS BIGINT)").alias(
+            "n_distinct"
+        ),
+        F.expr(
+            f"CAST(size(filter(toks, w -> array_contains(array({stop_lits}), w)))"
+            " AS BIGINT)"
+        ).alias("n_stop"),
+    )
+    # Integer `div` (not `/`): double division + cast truncates toward zero
+    # and can drop ulps on large numerators; DuckDB's `//` floors exactly.
+    feats = base.select(
+        "doc_id",
+        "n_words",
+        F.expr(
+            "CAST(sum_chars * 1000000 div greatest(n_words, 1) AS BIGINT)"
+        ).alias("mean_len_ppm"),
+        F.expr(
+            "CAST(n_alpha * 1000000 div greatest(n_words, 1) AS BIGINT)"
+        ).alias("alpha_ppm"),
+        F.expr(
+            "CAST(n_distinct * 1000000 div greatest(n_words, 1) AS BIGINT)"
+        ).alias("distinct_ppm"),
+        "n_stop",
+    )
+    r1 = (
+        (F.col("n_words") >= _GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= _GOPHER_MAX_WORDS)
+    ).cast("int")
+    r2 = (
+        (F.col("mean_len_ppm") >= _GOPHER_MIN_MEANLEN_PPM)
+        & (F.col("mean_len_ppm") <= _GOPHER_MAX_MEANLEN_PPM)
+    ).cast("int")
+    r3 = (F.col("alpha_ppm") >= _GOPHER_MIN_ALPHA_PPM).cast("int")
+    r4 = (F.col("n_stop") >= _GOPHER_MIN_STOPWORDS).cast("int")
+    r5 = (F.col("distinct_ppm") >= _GOPHER_MIN_DISTINCT_PPM).cast("int")
+    return feats.select(
+        "doc_id",
+        "n_words",
+        "mean_len_ppm",
+        "alpha_ppm",
+        "distinct_ppm",
+        "n_stop",
+        r1.alias("r_wordcount"),
+        r2.alias("r_meanlen"),
+        r3.alias("r_alpha"),
+        r4.alias("r_stopwords"),
+        r5.alias("r_distinct"),
+        (r1 * r2 * r3 * r4 * r5).alias("pass_all"),
+    )
+
+
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+
+GOPHER_RULES_SQL = f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(t, w -> len(w))), 0) AS BIGINT)
+             AS sum_chars,
+         CAST(len(list_filter(t, w -> regexp_matches(w, '^[a-z]+$')))
+             AS BIGINT) AS n_alpha,
+         CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter(t, w -> list_contains([{_GOPHER_STOP_SQL}], w)))
+             AS BIGINT) AS n_stop
+  FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+),
+ppm AS (
+  SELECT doc_id, n_words,
+         CAST(sum_chars * 1000000 // greatest(n_words, 1) AS BIGINT)
+             AS mean_len_ppm,
+         CAST(n_alpha * 1000000 // greatest(n_words, 1) AS BIGINT)
+             AS alpha_ppm,
+         CAST(n_distinct * 1000000 // greatest(n_words, 1) AS BIGINT)
+             AS distinct_ppm,
+         n_stop
+  FROM feats
+)
+SELECT doc_id, n_words, mean_len_ppm, alpha_ppm, distinct_ppm, n_stop,
+       CAST(CASE WHEN n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+                 THEN 1 ELSE 0 END AS INT) AS r_wordcount,
+       CAST(CASE WHEN mean_len_ppm BETWEEN {_GOPHER_MIN_MEANLEN_PPM}
+                                       AND {_GOPHER_MAX_MEANLEN_PPM}
+                 THEN 1 ELSE 0 END AS INT) AS r_meanlen,
+       CAST(CASE WHEN alpha_ppm >= {_GOPHER_MIN_ALPHA_PPM}
+                 THEN 1 ELSE 0 END AS INT) AS r_alpha,
+       CAST(CASE WHEN n_stop >= {_GOPHER_MIN_STOPWORDS}
+                 THEN 1 ELSE 0 END AS INT) AS r_stopwords,
+       CAST(CASE WHEN distinct_ppm >= {_GOPHER_MIN_DISTINCT_PPM}
+                 THEN 1 ELSE 0 END AS INT) AS r_distinct,
+       CAST((CASE WHEN n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS} THEN 1 ELSE 0 END)
+          * (CASE WHEN mean_len_ppm BETWEEN {_GOPHER_MIN_MEANLEN_PPM} AND {_GOPHER_MAX_MEANLEN_PPM} THEN 1 ELSE 0 END)
+          * (CASE WHEN alpha_ppm >= {_GOPHER_MIN_ALPHA_PPM} THEN 1 ELSE 0 END)
+          * (CASE WHEN n_stop >= {_GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END)
+          * (CASE WHEN distinct_ppm >= {_GOPHER_MIN_DISTINCT_PPM} THEN 1 ELSE 0 END)
+         AS INT) AS pass_all
+FROM ppm
+"""
+
+
 QUERIES: dict = {
     "perplexity_filter": (perplexity_filter, PERPLEXITY_FILTER_SQL),
     "doc_chunking": (doc_chunking, DOC_CHUNKING_SQL),
@@ -589,4 +722,5 @@ QUERIES: dict = {
     "quality_band_filter": (quality_band_filter, QUALITY_BAND_FILTER_SQL),
     "dup_span_detect": (dup_span_detect, DUP_SPAN_DETECT_SQL),
     "line_dedup_reconstruct": (line_dedup_reconstruct, LINE_DEDUP_SQL),
+    "gopher_rules_filter": (gopher_rules_filter, GOPHER_RULES_SQL),
 }
