@@ -631,8 +631,12 @@ def semantic_dedup(
     embedding space, then drop any vector whose cosine similarity to a
     LOWER-id vector in the SAME cluster exceeds `threshold` (keep-lowest-id,
     fully deterministic). Output: one row per input vector —
-    (vec_id, cell, kept 0/1, rep_id = the surviving lower-id representative,
-    itself when kept).
+    (vec_id, cell, kept 0/1, rep_id = the lowest-id vector that triggered
+    the drop, itself when kept). NOTE: rep_id is the direct trigger, not a
+    transitively-resolved root — in a similarity chain 1~2, 2~3 (but 1≁3),
+    vector 3's rep_id is 2, which is itself dropped; a consumer that needs
+    a KEPT representative per dropped vector resolves chains with the
+    connected-components pass (`near_dup_clusters`) over the same pairs.
 
     Plan shape / 100 TB posture: cell assignment is a scalar argmax over the
     centroid matrix as ONE 2-D array literal (pure codegen scan, no UDF, no

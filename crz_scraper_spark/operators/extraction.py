@@ -175,9 +175,14 @@ def _pure_pdf_text(payload: bytes) -> str:
             c = sb[i : i + 1]
             if c == b"\\" and i + 1 < len(sb):
                 nxt = sb[i + 1 : i + 2]
-                if nxt.isdigit():  # octal escape, up to 3 digits
+                # Octal escape, up to 3 digits — membership in the OCTAL
+                # set, not isdigit(): per PDF spec '\8'/'\9' are literal
+                # digits, and int(b'8', 8) would raise mid-task.
+                if nxt in b"01234567":
                     j = i + 1
-                    while j < min(i + 4, len(sb)) and sb[j : j + 1].isdigit():
+                    while (
+                        j < min(i + 4, len(sb)) and sb[j : j + 1] in b"01234567"
+                    ):
                         j += 1
                     res.append(int(sb[i + 1 : j], 8) & 0xFF)
                     i = j
@@ -260,35 +265,68 @@ def _camelot_tables(payload: bytes, page: int) -> list[tuple[int, int, float]]:
         ]
 
 
+def _try_chain(*tiers):
+    """Run extraction tiers in order; a tier that RAISES (corrupt payload,
+    pypdf PdfReadError, subprocess TimeoutExpired on a pathological page)
+    falls through to the next tier instead of failing the Spark task — one
+    bad document must never kill a 100 TB job (the reference's per-page
+    timeout + skip-and-log posture, `06_extract_tables.py:197-215`). The
+    LAST tier is the guaranteed-total fallback (stub / empty)."""
+
+    def run(*args):
+        for tier in tiers[:-1]:
+            try:
+                return tier(*args)
+            except Exception:  # noqa: BLE001 - any backend failure degrades
+                continue
+        return tiers[-1](*args)
+
+    return run
+
+
+def _pure_or_fake_text(p: bytes) -> str:
+    return _pure_pdf_text(p) if p.startswith(b"%PDF") else _fake_pdf_text(p)
+
+
 def _resolve_text(backend: str):
     if backend == "stub":
         return _fake_pdf_text
     caps = _capabilities()
     if caps["pypdf"]:
-        return _pypdf_text
+        return _try_chain(_pypdf_text, _pure_or_fake_text)
     if caps["pdftotext"]:
-        return _poppler_text
-    return lambda p: _pure_pdf_text(p) if p.startswith(b"%PDF") else _fake_pdf_text(p)
+        return _try_chain(_poppler_text, _pure_or_fake_text)
+    return _try_chain(_pure_or_fake_text, _fake_pdf_text)
 
 
 def _resolve_ocr(backend: str):
     if backend != "stub" and _capabilities()["tesseract"]:
-        return _tesseract_ocr
+        # OCR failure/timeout degrades to '' (document stays "scanned,
+        # unextracted" — a real pipeline logs and retries it), never to a
+        # task failure.
+        return _try_chain(_tesseract_ocr, lambda p: "")
     return _fake_ocr
+
+
+def _pure_or_fake_pages(p: bytes) -> int:
+    return _pure_page_count(p) if p.startswith(b"%PDF") else _fake_page_count(p)
 
 
 def _resolve_page_count(backend: str):
     if backend == "stub":
         return _fake_page_count
-    caps = _capabilities()
-    if caps["pypdf"]:
-        return _pypdf_page_count
-    return lambda p: _pure_page_count(p) if p.startswith(b"%PDF") else _fake_page_count(p)
+    if _capabilities()["pypdf"]:
+        return _try_chain(_pypdf_page_count, _pure_or_fake_pages)
+    return _try_chain(_pure_or_fake_pages, _fake_page_count)
 
 
 def _resolve_tables(backend: str):
     if backend != "stub" and _capabilities()["camelot"]:
-        return _camelot_tables
+        # An unparseable page yields zero tables, not a dead job. (A hung
+        # native call inside camelot is not interruptible from a thread —
+        # the hard backstop at cluster level is spark.task.reaper, per the
+        # module docstring.)
+        return _try_chain(_camelot_tables, lambda p, page: [])
     return _fake_tables
 
 

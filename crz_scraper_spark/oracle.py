@@ -61,6 +61,12 @@ def _norm_cell(v) -> str:
             return "NULL"
     if v is None:
         return "NULL"
+    # Array columns: fetchdf() yields numpy arrays on the oracle side while
+    # Spark collect() yields Python lists — normalize both element-wise so
+    # a value-identical array column can't hash-mismatch on str() rendering
+    # ('[1 2 3]' vs '[1, 2, 3]').
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, float):

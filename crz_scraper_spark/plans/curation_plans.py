@@ -493,18 +493,25 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gram"),
     )
     is_eval = F.col("doc_id") % 97 == 0
-    # Three consumers walk the gram stream (eval-hash collect, candidate
-    # probe, verify-join broadcast build) — persist it so the tokenize +
-    # explode pass runs once, the same discipline as the MinHash signature
-    # table. The eval side is bounded (benchmark-sized) — collecting its
-    # distinct grams to build the bitset is index-metadata work, same
-    # rationale as the IVF trainer sample.
-    grams = grams.persist()
-    eval_grams = grams.filter(is_eval).select("gram").distinct()
+    # The eval side is bounded (benchmark-sized): ONE pass over the eval
+    # docs only (the doc_id filter pushes below the explode to the scan)
+    # collects its distinct grams driver-side — index-metadata work, same
+    # rationale as the IVF trainer sample. Both the bitset AND the exact
+    # verify side derive from that list, so the big corpus is scanned
+    # exactly once (probe pass) and is never cached — at 100 TB there is
+    # nothing here that grows with the corpus except the one map-only scan.
+    eval_set = sorted(
+        r["gram"]
+        for r in grams.filter(is_eval).select("gram").distinct().collect()
+    )
     # The bloom is keyed on xxhash64(gram): the JVM computes the hash in
-    # codegen on BOTH sides (same family ⇒ still no false negatives), so
-    # the probe UDF ships 8-byte longs, not gram strings — measured 13 s →
-    # exact-join-comparable at sf0.1 vs the string-keyed probe.
+    # codegen (8-byte longs through Arrow, not gram strings — measured ~10×
+    # cheaper probe at sf0.1); same family on build and probe ⇒ still no
+    # false negatives. coalesce keeps the column non-nullable — the probe
+    # refuses the float64 batches a nullable long would become.
+    eval_grams = spark.createDataFrame(
+        [(g,) for g in eval_set], "gram string"
+    )
     eval_hashes = [
         r["gh"]
         for r in eval_grams.select(F.xxhash64("gram").alias("gh")).collect()
@@ -512,7 +519,7 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = build_bloom_from_hashes(eval_hashes)
     probe = might_contain_hash_udf(spark, bloom)
     candidates = grams.filter(~is_eval).filter(
-        probe(F.xxhash64(F.col("gram")))
+        probe(F.coalesce(F.xxhash64(F.col("gram")), F.lit(0)))
     )
     return (
         candidates.join(F.broadcast(eval_grams), "gram")

@@ -55,16 +55,26 @@ _ROW_HASH_SQL = (
 
 
 def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # XOR, not SUM: xor of the 60-bit row hashes is commutative/associative
-    # (order- and partitioning-independent, partials merge by xor) AND stays
-    # an exact BIGINT — a wide-decimal SUM exceeds float64 precision on the
-    # driver's pandas materialization path and hashes nondeterministically.
+    # Two independent order/partitioning-insensitive components, both exact
+    # BIGINTs (a raw wide-decimal SUM would exceed float64 precision on the
+    # driver's pandas materialization path and hash nondeterministically):
+    # - bit_xor of the 60-bit row hashes (partials merge by xor), which is
+    #   blind to rows whose multiplicity changes by an EVEN amount
+    #   ({A,A,B,B} xors to 0), and
+    # - the hash sum mod 2^60 (exact through DECIMAL(38,0) partials, result
+    #   < 2^60 fits BIGINT), which is multiplicity-sensitive and covers
+    #   exactly that blind spot. Corruption must now collide both.
     events = load_table(spark, sf_dir, "events")
     return (
-        events.groupBy(F.to_date(F.col("ts").cast("timestamp")).alias("day"))
+        events.withColumn("__rh", _row_hash_spark())
+        .groupBy(F.to_date(F.col("ts").cast("timestamp")).alias("day"))
         .agg(
             F.count("*").alias("n_rows"),
-            F.bit_xor(_row_hash_spark()).alias("checksum"),
+            F.bit_xor(F.col("__rh")).alias("checksum"),
+            F.expr(
+                "CAST(sum(CAST(__rh AS DECIMAL(38,0)))"
+                " % 1152921504606846976 AS BIGINT)"
+            ).alias("checksum_sum"),
         )
     )
 
@@ -72,7 +82,9 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 TABLE_CHECKSUM_SQL = f"""
 SELECT CAST(ts AS DATE) AS day,
        count(*) AS n_rows,
-       CAST(bit_xor({_ROW_HASH_SQL}) AS BIGINT) AS checksum
+       CAST(bit_xor({_ROW_HASH_SQL}) AS BIGINT) AS checksum,
+       CAST(sum({_ROW_HASH_SQL}) % 1152921504606846976 AS BIGINT)
+           AS checksum_sum
 FROM events
 GROUP BY 1
 """

@@ -160,3 +160,26 @@ def test_boilerplate_blacklist_broadcasts(spark):
     plan = _executed_plan(boilerplate_ngram_filter(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_checksum_sum_catches_even_multiplicity_swap(spark):
+    """bit_xor is blind to multiplicity changes by an even amount
+    ({A,A,B,B} xors to 0 like {C,C,D,D}); the mod-2^60 hash sum must
+    distinguish them."""
+    import pyspark.sql.functions as F
+
+    def comps(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "h bigint")
+        row = df.agg(
+            F.bit_xor("h").alias("x"),
+            F.expr(
+                "CAST(sum(CAST(h AS DECIMAL(38,0)))"
+                " % 1152921504606846976 AS BIGINT)"
+            ).alias("s"),
+        ).collect()[0]
+        return row["x"], row["s"]
+
+    a = comps([11, 11, 22, 22])
+    b = comps([33, 33, 44, 44])
+    assert a[0] == b[0] == 0  # the xor blind spot, demonstrated
+    assert a[1] != b[1]  # the sum component catches it

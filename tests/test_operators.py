@@ -578,3 +578,24 @@ def test_bloom_hash_path_no_false_negatives(spark):
     assert all(r["hit"] for r in rows if r["present"])
     fp = sum(1 for r in rows if r["hit"] and not r["present"])
     assert fp / max(1, sum(1 for r in rows if not r["present"])) < 0.05
+
+
+def test_pure_pdf_text_nonoctal_escape_digits():
+    """Per PDF spec, backslash before 8/9 is not an octal escape — the
+    parser must not crash on int('8', 8)."""
+    from crz_scraper_spark.operators.extraction import _pure_pdf_text
+
+    pdf = b"%PDF-1.4\nstream\n(foo \\8 bar \\98 \\101x) Tj\nendstream"
+    txt = _pure_pdf_text(pdf)
+    assert "foo" in txt and "bar" in txt
+    assert "A" in txt  # \101 IS octal: chr(0o101) = 'A'
+
+
+def test_try_chain_degrades_instead_of_raising():
+    from crz_scraper_spark.operators.extraction import _try_chain
+
+    def boom(_p):
+        raise ValueError("corrupt payload")
+
+    chained = _try_chain(boom, lambda p: f"fallback:{len(p)}")
+    assert chained(b"xyz") == "fallback:3"
