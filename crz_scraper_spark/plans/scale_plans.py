@@ -824,9 +824,63 @@ FROM assign s LEFT JOIN drops d ON s.vec_id = d.vec_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# ann_lsh_recall — the ANN quality report: recall@k of the multi-probe LSH
+# path against the exact brute-force top-k, per query (the same
+# approximate-vs-exact overlap audit embedding_quantization_recall runs
+# for int8). Fully oracled by composition — both sub-pipelines are already
+# deterministic cross-engine, and the recall arithmetic is integer ppm.
+# At 100 TB this runs on a sampled query set as the recurring index-health
+# check that decides when to re-tune n_planes/multiprobe.
+# ---------------------------------------------------------------------------
+
+
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = cosine_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = ann_lsh_topk_q(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.count("hit").alias("n_overlap"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_overlap",
+            F.expr(
+                "CAST(n_overlap * 1000000 div n_exact AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+def _ann_lsh_recall_sql() -> str:
+    return f"""
+WITH exact AS ({COSINE_TOPK_SQL}),
+lsh AS ({_ann_lsh_sql()})
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(l.neighbor_id) AS BIGINT) AS n_overlap,
+       CAST(count(l.neighbor_id) * 1000000 // count(*) AS BIGINT)
+           AS recall_ppm
+FROM exact e
+LEFT JOIN lsh l
+  ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+GROUP BY e.query_id
+"""
+
+
 QUERIES: dict = {
     "udtf_widen_roundtrip": (udtf_widen_roundtrip, UDTF_WIDEN_ROUNDTRIP_SQL),
     "semantic_dedup": (semantic_dedup_q, _semantic_dedup_sql()),
+    "ann_lsh_recall": (ann_lsh_recall, _ann_lsh_recall_sql()),
     "fuzzy_name_pairs": (fuzzy_name_pairs, FUZZY_NAME_PAIRS_SQL),
     "cosine_topk_bruteforce": (cosine_topk_bruteforce, COSINE_TOPK_SQL),
     "pdf_text_extract": (pdf_text_extract, PDF_TEXT_EXTRACT_SQL),
