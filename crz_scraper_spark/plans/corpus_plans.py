@@ -452,8 +452,9 @@ WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
 base AS (SELECT doc_id, greatest(len(t) - {_SPAN_W - 1}, 0) AS n_windows, t
          FROM toks),
 wins AS (
-  SELECT doc_id, unnest(generate_series(1, n_windows)) AS pos, t
-  FROM base WHERE n_windows >= 1
+  SELECT doc_id, s.pos, t
+  FROM base, unnest(generate_series(1, n_windows)) AS s(pos)
+  WHERE n_windows >= 1
 ),
 fps AS (
   SELECT doc_id, pos,
@@ -550,10 +551,9 @@ WITH toks AS (
   SELECT doc_id, {_TOKS_SQL} AS t FROM documents WHERE len({_TOKS_SQL}) > 0
 ),
 segs AS (
-  SELECT doc_id,
-         unnest(generate_series(0, (len(t) - 1) // {_LINE_TOKS})) AS seg_idx,
-         t
-  FROM toks
+  SELECT doc_id, s.seg_idx, t
+  FROM toks,
+       unnest(generate_series(0, (len(t) - 1) // {_LINE_TOKS})) AS s(seg_idx)
 ),
 seg_txt AS (
   SELECT doc_id, seg_idx,

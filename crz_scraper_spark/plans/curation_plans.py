@@ -445,7 +445,7 @@ WITH keyed AS (
   SELECT e.epoch, d.doc_id,
          md5('shuf' || e.epoch::VARCHAR || ':' || d.doc_id::VARCHAR) AS k
   FROM documents d
-  CROSS JOIN (SELECT unnest(generate_series(0, {_SHUF_EPOCHS - 1})) AS epoch) e
+  CROSS JOIN unnest(generate_series(0, {_SHUF_EPOCHS - 1})) AS e(epoch)
 )
 SELECT CAST(epoch AS INT) AS epoch,
        CAST(('0x' || substr(k, 1, 15))::BIGINT % {_SHUF_SHARDS} AS INT) AS shard,
