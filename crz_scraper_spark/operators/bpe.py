@@ -1,0 +1,159 @@
+"""Byte-pair-encoding tokenizer: the real-subword upgrade of
+`textquality.token_count`'s BPE-ish regex estimate (the token-counting
+surface a training-data pipeline budgets with).
+
+Shape mirrors the repo's other trained-index operators (IVF/PQ): the merge
+table is LEARNED DRIVER-SIDE on a bounded deterministic sample (classic
+Sennrich et al. 2016 pair-count loop — vocabulary learning needs a sample,
+not the corpus), then APPLIED distributed as an Arrow-batched pandas UDF
+over a broadcast rank table. Application memoizes per distinct word — on
+natural corpora the distinct-word set is tiny relative to the token
+stream, so the merge loop runs once per word shape, not once per
+occurrence.
+
+Determinism: pair-count ties break to the lexicographically smallest pair
+(an explicit (−count, pair) total order), so the same sample always yields
+the same merge list and the operator reproduces across runs/retries/task
+replays. Rows-only check (no SQL analog);
+`tests/test_operators.py` pins the merge list and encodings against a
+hand-computed reference.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_END = "</w>"
+
+
+def learn_bpe(texts: Iterable[str], n_merges: int = 200) -> list[tuple[str, str]]:
+    """Learn `n_merges` BPE merges from the sample (lowercased whitespace
+    words, char-level start symbols + end-of-word marker). Ties on pair
+    count break to the lexicographically SMALLEST pair — a fixed total
+    order, so the merge list is a pure function of the sample."""
+    word_freq: Counter = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if w:
+                word_freq[w] += 1
+    # word -> tuple of current symbols
+    seqs: dict[str, list[str]] = {
+        w: [*w, _END] for w in word_freq
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: Counter = Counter()
+        for w, freq in word_freq.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                pair_counts[(a, b)] += freq
+        if not pair_counts:
+            break
+        best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
+        if pair_counts[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for w, s in seqs.items():
+            if a not in s:
+                continue
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply merges greedily by rank priority (standard BPE apply)."""
+    s = [*word, _END]
+    while len(s) > 1:
+        pairs = [(ranks.get((a, b)), i) for i, (a, b) in enumerate(zip(s, s[1:]))]
+        ranked = [(r, i) for r, i in pairs if r is not None]
+        if not ranked:
+            break
+        _, i = min(ranked)
+        s = s[:i] + [s[i] + s[i + 1]] + s[i + 2 :]
+    return s
+
+
+def bpe_token_count_udf(spark: SparkSession, merges: list[tuple[str, str]]):
+    """Per-document BPE token count over the broadcast merge ranks, with a
+    per-batch word memo (the merge loop runs once per distinct word)."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    bc = spark.sparkContext.broadcast(ranks)
+
+    @F.pandas_udf("long")
+    def count_tokens(s: pd.Series) -> pd.Series:
+        r = bc.value
+        memo: dict[str, int] = {}
+
+        def doc_tokens(text) -> int:
+            if not isinstance(text, str):
+                return 0
+            n = 0
+            for w in text.lower().split():
+                if not w:
+                    continue
+                c = memo.get(w)
+                if c is None:
+                    c = len(encode_word(w, r))
+                    memo[w] = c
+                n += c
+            return n
+
+        return s.map(doc_tokens)
+
+    return count_tokens
+
+
+def bpe_token_stats(
+    docs: DataFrame,
+    spark: SparkSession,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_ids: int = 64,
+    n_merges: int = 200,
+) -> DataFrame:
+    """Learn merges on the deterministic id-prefix sample, count BPE tokens
+    corpus-wide. Output: (doc_id, n_words, n_bpe_tokens, chars_per_token_ppm).
+
+    100 TB posture: learning reads `sample_ids` documents (bounded,
+    driver-side — vocabulary training is index metadata, the FAISS-trainer
+    rationale); application is one map-only scan with the rank table
+    broadcast. chars_per_token_ppm is integer (chars*1e6 div tokens) — the
+    fertility metric token-budget planning divides by."""
+    sample = [
+        r[0]
+        for r in docs.filter(F.col(id_col) < sample_ids)
+        .select(text_col)
+        .orderBy(id_col)
+        .collect()
+    ]
+    merges = learn_bpe(sample, n_merges=n_merges)
+    count_udf = bpe_token_count_udf(spark, merges)
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_words"),
+        count_udf(F.col(text_col)).alias("n_bpe_tokens"),
+        F.length(text_col).cast("bigint").alias("__chars"),
+    ).select(
+        id_col,
+        "n_words",
+        "n_bpe_tokens",
+        F.expr(
+            "CAST(__chars * 1000000 div greatest(n_bpe_tokens, 1) AS BIGINT)"
+        ).alias("chars_per_token_ppm"),
+    )

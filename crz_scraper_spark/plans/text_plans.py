@@ -634,7 +634,27 @@ WHERE rnk <= 10
 """
 
 
+
+# ---------------------------------------------------------------------------
+# bpe_token_stats — REAL subword tokenization (Sennrich et al. 2016 BPE):
+# merges learned driver-side on the deterministic doc_id<64 sample (the
+# IVF-trainer rationale: vocabulary is index metadata), applied corpus-wide
+# as one map-only Arrow-batched scan with the rank table broadcast and a
+# per-batch distinct-word memo. Upgrades token_count_stats' regex estimate
+# to an actual trained tokenizer; rows-only check (a BPE merge loop has no
+# SQL analog) — unit tests pin merges/encodings against a hand reference.
+# ---------------------------------------------------------------------------
+
+
+def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.operators.bpe import bpe_token_stats
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return bpe_token_stats(docs, spark)
+
+
 QUERIES: dict = {
+    "bpe_token_stats": (bpe_token_stats_q, None),
     "word_frequency": (word_frequency, WORD_FREQUENCY_SQL),
     "bm25_search": (bm25_search, _bm25_sql()),
     "tf_idf_top_terms": (tf_idf_top_terms, TF_IDF_TOP_TERMS_SQL),

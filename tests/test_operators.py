@@ -599,3 +599,31 @@ def test_try_chain_degrades_instead_of_raising():
 
     chained = _try_chain(boom, lambda p: f"fallback:{len(p)}")
     assert chained(b"xyz") == "fallback:3"
+
+
+def test_bpe_learn_and_encode_reference():
+    from crz_scraper_spark.operators.bpe import _END, encode_word, learn_bpe
+
+    merges = learn_bpe(["low low low lower lowest"], n_merges=4)
+    # 'low' appears in every word: first merges build it up char by char.
+    assert merges[0] == ("l", "o")
+    assert ("lo", "w") in merges
+    ranks = {p: i for i, p in enumerate(merges)}
+    enc = encode_word("low", ranks)
+    # 'low' fully merges (modulo the end marker placement).
+    assert "".join(enc).replace(_END, "") == "low"
+    assert len(enc) <= 3
+    # Unknown word degrades to characters + end marker, never crashes.
+    assert len(encode_word("zzz", {})) == 4
+
+
+def test_bpe_token_stats_runs_and_is_consistent(spark, sf_dir):
+    from crz_scraper_spark.plans.text_plans import bpe_token_stats_q
+
+    rows = bpe_token_stats_q(spark, sf_dir).collect()
+    assert len(rows) == 500
+    for r in rows:
+        # BPE can only split words further than whitespace, never merge
+        # across them: n_bpe_tokens >= n_words for non-empty docs.
+        assert r["n_bpe_tokens"] >= r["n_words"]
+        assert r["chars_per_token_ppm"] > 0
