@@ -431,3 +431,53 @@ def test_sequence_packing_has_no_corpus_global_sort(spark):
     assert "hashpartitioning(blk" in plan, plan
     # At most one SinglePartition exchange — the tiny offsets table window.
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_bloom_decontaminate_corpus_never_shuffles_on_gram(spark):
+    """The bloom tier's whole point: the corpus gram stream reaches the
+    verify join via the map-side probe + broadcast — there must be NO
+    hash exchange keyed on the gram column anywhere in the plan."""
+    from crz_scraper_spark.plans.curation_plans import bloom_decontaminate
+
+    plan = _plan(bloom_decontaminate(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "gram" not in line
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+
+
+def test_epoch_shuffle_no_global_sort_window(spark):
+    """Epoch ordering must parallelize per (epoch, shard): the row_number
+    window partitions on both keys — a global Window.orderBy (empty
+    partition spec) would funnel the corpus through one task."""
+    from crz_scraper_spark.plans.curation_plans import epoch_shuffle
+
+    plan = _plan(epoch_shuffle(spark, "/root/testdata/sf0.001"))
+    assert "row_number()" in plan
+    # The window's required distribution shows up as a hash exchange on
+    # (epoch, shard) — never a SinglePartition exchange.
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_semantic_dedup_pair_join_is_equi_on_cell(spark):
+    """SemDeDup's quadratic is bounded per cluster ONLY if the pair
+    compare joins equi on the cell id (broadcast or shuffled hash) — a
+    nested-loop cross join would be O(n^2) corpus-wide."""
+    from crz_scraper_spark.plans.scale_plans import semantic_dedup_q
+
+    plan = _plan(semantic_dedup_q(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_span_detect_partial_distinct_before_exchange(spark):
+    """The fingerprint stream pre-aggregates map-side (partial distinct on
+    (fp, doc_id)) before its exchange, and only digests — never text —
+    are shuffle keys."""
+    from crz_scraper_spark.plans.corpus_plans import dup_span_detect
+
+    plan = _plan(dup_span_detect(spark, "/root/testdata/sf0.001"))
+    assert plan.count("HashAggregate") >= 4  # two partial+final pairs
+    # formatted explain puts exchange keys in the details section
+    assert "hashpartitioning(fp" in plan
