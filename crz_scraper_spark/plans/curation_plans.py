@@ -500,9 +500,14 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify side derive from that list, so the big corpus is scanned
     # exactly once (probe pass) and is never cached — at 100 TB there is
     # nothing here that grows with the corpus except the one map-only scan.
-    eval_set = sorted(
-        r["gram"]
-        for r in grams.filter(is_eval).select("gram").distinct().collect()
+    # One collect fetches both the gram strings (verify side) and their
+    # JVM xxhash64 (bitset build) — a single small Spark job.
+    eval_rows = (
+        grams.filter(is_eval)
+        .select("gram")
+        .distinct()
+        .select("gram", F.xxhash64("gram").alias("gh"))
+        .collect()
     )
     # The bloom is keyed on xxhash64(gram): the JVM computes the hash in
     # codegen (8-byte longs through Arrow, not gram strings — measured ~10×
@@ -510,13 +515,9 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # false negatives. coalesce keeps the column non-nullable — the probe
     # refuses the float64 batches a nullable long would become.
     eval_grams = spark.createDataFrame(
-        [(g,) for g in eval_set], "gram string"
+        [(r["gram"],) for r in eval_rows], "gram string"
     )
-    eval_hashes = [
-        r["gh"]
-        for r in eval_grams.select(F.xxhash64("gram").alias("gh")).collect()
-    ]
-    bloom = build_bloom_from_hashes(eval_hashes)
+    bloom = build_bloom_from_hashes([r["gh"] for r in eval_rows])
     probe = might_contain_hash_udf(spark, bloom)
     candidates = grams.filter(~is_eval).filter(
         probe(F.coalesce(F.xxhash64(F.col("gram")), F.lit(0)))
