@@ -156,3 +156,47 @@ def compact_partitions(
         .parquet(path)
     )
     return {"files_before": before, "files_after": _count_files()}
+
+
+def delete_by_key(
+    spark: SparkSession,
+    base_path: str,
+    delete_keys: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+) -> dict[str, int]:
+    """Key-level DELETE from a partitioned parquet table (copy-on-write) —
+    the opt-out / right-to-be-forgotten pass a training-data store must run
+    without rewriting 100 TB: `delete_keys` carries `key_cols` AND
+    `partition_col` (opt-out records know where they live — when they
+    don't, a key→partition index lookup supplies it first), so only the
+    touched partitions are read, anti-joined against the broadcast key
+    set, and rewritten via dynamic partition overwrite. Untouched
+    partitions are never read, never shuffled, never written — same
+    copy-on-write discipline as `upsert_by_key`.
+
+    Returns {"partitions_rewritten": n, "rows_deleted": n} for the audit
+    log a deletion pipeline is obligated to keep.
+    """
+    touched = [
+        r[0] for r in delete_keys.select(partition_col).distinct().collect()
+    ]
+    if not touched:
+        return {"partitions_rewritten": 0, "rows_deleted": 0}
+    base = spark.read.parquet(base_path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    before = base.count()
+    keys = delete_keys.select(*key_cols).distinct()
+    kept = base.join(F.broadcast(keys), key_cols, "left_anti")
+    deleted = before - kept.count()
+    (
+        kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(base_path)
+    )
+    return {
+        "partitions_rewritten": len(touched),
+        "rows_deleted": deleted,
+    }

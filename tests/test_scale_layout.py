@@ -481,3 +481,48 @@ def test_dup_span_detect_partial_distinct_before_exchange(spark):
     assert plan.count("HashAggregate") >= 4  # two partial+final pairs
     # formatted explain puts exchange keys in the details section
     assert "hashpartitioning(fp" in plan
+
+
+def test_delete_by_key_prunes_and_deletes(spark, tmp_path):
+    """Opt-out deletion: only partitions containing deleted keys are
+    rewritten (untouched ones stay byte-identical), deleted keys vanish,
+    everything else survives."""
+    import os
+
+    from crz_scraper_spark.operators.upsert import delete_by_key
+
+    path = str(tmp_path / "docs")
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).alias("part"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+    df.write.mode("overwrite").partitionBy("part").parquet(path)
+
+    def mtimes():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("part="):
+                full = os.path.join(path, d)
+                out[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(full, f)))
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = mtimes()
+    # Delete keys living only in partitions 0 and 1.
+    dels = spark.createDataFrame(
+        [(0, 0), (4, 0), (1, 1)], "doc_id bigint, part bigint"
+    )
+    stats = delete_by_key(spark, path, dels, ["doc_id"], "part")
+    assert stats == {"partitions_rewritten": 2, "rows_deleted": 3}
+    after = mtimes()
+    assert before["part=2"] == after["part=2"]  # untouched, byte-level
+    assert before["part=3"] == after["part=3"]
+    remaining = {r["doc_id"] for r in spark.read.parquet(path).collect()}
+    assert remaining == set(range(100)) - {0, 4, 1}
+    # Idempotent: deleting the same keys again rewrites but removes nothing.
+    stats2 = delete_by_key(spark, path, dels, ["doc_id"], "part")
+    assert stats2["rows_deleted"] == 0
