@@ -422,8 +422,79 @@ FROM orders
 WHERE o_orderkey % 20 = 0 AND o_orderkey % 37 <> 0
 """
 
+
+# ---------------------------------------------------------------------------
+# jsonl_ingest_roundtrip — the JSONL interchange path end-to-end as a
+# driver-checkable query (the format every public training corpus ships
+# in): documents are rendered to JSONL text with an injected corrupt
+# cohort (doc_id % 41 == 0 gets a truncated line), written as sharded text
+# (line-splittable — the property that matters at 100 TB), read back
+# through sources/jsonl.read_jsonl (explicit schema, PERMISSIVE,
+# _corrupt_record capture) + split_corrupt, and summarized per source.
+# The oracle recomputes the same summary from the parquet directly on the
+# clean cohort — any escaping/typing/routing defect in the JSONL path
+# breaks the match. Fixture scaffolding follows xml_ingest_flatten's
+# per-pid, build-once-per-process discipline.
+# ---------------------------------------------------------------------------
+
+_JSONL_DIR = "/tmp/crz_jsonl_ingest_fixture"
+_JSONL_BUILT: set = set()
+
+
+def jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from crz_scraper_spark.sources.jsonl import read_jsonl, split_corrupt
+
+    out_dir = (
+        f"{_JSONL_DIR}_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+        f"_{_os.getpid()}"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.to_json(F.struct("doc_id", "lang", "source", "n_chars", "text"))
+    bad = F.col("doc_id") % 41 == 0
+    rendered = docs.select(
+        F.when(bad, F.expr("substring(to_json(struct(doc_id, lang)), 1, 9)"))
+        .otherwise(line)
+        .alias("value")
+    )
+    if out_dir not in _JSONL_BUILT:
+        _sh.rmtree(out_dir, ignore_errors=True)
+        rendered.repartition(4).write.mode("overwrite").text(out_dir)
+        _JSONL_BUILT.add(out_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    clean, _corrupt = split_corrupt(read_jsonl(spark, out_dir, schema))
+    return clean.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+    )
+
+
+JSONL_INGEST_SQL = """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(len(text)) AS BIGINT) AS sum_text_len
+FROM documents
+WHERE doc_id % 41 <> 0
+GROUP BY source, lang
+"""
+
 QUERIES: dict = {
     "tagged_metadata_rank": (tagged_metadata_rank, _tagged_metadata_rank_sql()),
+    "jsonl_ingest_roundtrip": (jsonl_ingest_roundtrip, JSONL_INGEST_SQL),
     "attachments_explode_sum": (
         attachments_explode_sum,
         ATTACHMENTS_EXPLODE_SUM_SQL,

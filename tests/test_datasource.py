@@ -206,3 +206,39 @@ def test_datasource_writer_abort_removes_orphans(tmp_path):
     assert len(os.listdir(out)) == 2
     w.abort(msgs + [None])  # a failed task reports None
     assert os.listdir(out) == []  # no orphans, no manifest
+
+
+def test_jsonl_corrupt_routing(spark, sf_dir):
+    """The injected corrupt cohort (doc_id % 41 == 0) lands whole in
+    _corrupt_record; the clean cohort is exactly the complement."""
+    import hashlib, os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from crz_scraper_spark.plans.parity_plans import (
+        _JSONL_DIR,
+        jsonl_ingest_roundtrip,
+    )
+    from crz_scraper_spark.sources.jsonl import read_jsonl, split_corrupt
+
+    jsonl_ingest_roundtrip(spark, sf_dir).count()  # materialize fixture
+    out_dir = (
+        f"{_JSONL_DIR}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        f"_{os.getpid()}"
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    clean, _corrupt = split_corrupt(read_jsonl(spark, out_dir, schema))
+    from crz_scraper_spark.sources.jsonl import read_corrupt_lines
+
+    corrupt = read_corrupt_lines(spark, out_dir, schema)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_bad = docs.filter(F.col("doc_id") % 41 == 0).count()
+    n_all = docs.count()
+    assert corrupt.count() == n_bad
+    assert clean.count() == n_all - n_bad
+    # Corrupt lines carry the raw text for quarantine, not nulls.
+    assert all(r[0].startswith('{"doc_id') for r in corrupt.collect())
