@@ -242,3 +242,27 @@ def test_jsonl_corrupt_routing(spark, sf_dir):
     assert clean.count() == n_all - n_bad
     # Corrupt lines carry the raw text for quarantine, not nulls.
     assert all(r[0].startswith('{"doc_id') for r in corrupt.collect())
+
+
+def test_jsonl_write_read_roundtrip(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from crz_scraper_spark.sources.jsonl import (
+        read_jsonl,
+        split_corrupt,
+        write_jsonl,
+    )
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    df = spark.createDataFrame(
+        [(1, 'plain'), (2, 'with "quotes" and | pipes'), (3, None)], schema
+    )
+    out = str(tmp_path / "shards")
+    write_jsonl(df, out)
+    back, _ = split_corrupt(read_jsonl(spark, out, schema))
+    assert {tuple(r) for r in back.collect()} == {
+        (1, "plain"), (2, 'with "quotes" and | pipes'), (3, None)
+    }
