@@ -698,3 +698,96 @@ def semantic_dedup(
             F.coalesce(F.col("__rep"), F.col("vec_id")).alias("rep_id"),
         )
     )
+
+
+def minhash_incremental(
+    spark,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_path: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental near-dup maintenance — the daily-ingest form of
+    `minhash_dedup`: signatures are computed for the NEW batch only
+    (map-only scan over the increment), compared against the persisted
+    signature store PLUS the batch itself via the same banded-LSH
+    candidate join, and appended to the store. The corpus-wide shingling
+    pass never re-runs: daily cost is O(increment), the store carries
+    `num_hashes × 8` bytes/doc (GBs at 100 TB corpus scale — the
+    incremental_daily_rollup discipline applied to dedup).
+
+    Returns verified pairs (new_id, other_id, est_jaccard) where `new_id`
+    is from this batch and `other_id` is any earlier-stored OR same-batch
+    lower-id document. Assumes ingest ids are monotonically increasing
+    across batches (daily ingest's natural property) — the `other < new`
+    dedup-direction filter relies on it; with non-monotonic ids split the
+    candidate join into a store side (no id constraint) and a same-batch
+    side (`<`) instead. The store snapshot is pinned by explicit file list
+    BEFORE the append, so the returned (lazy) plan never sees the rows it
+    just wrote.
+    """
+    import glob as _glob
+    import os as _os
+
+    rows = num_hashes // bands
+    sig_new = minhash_signatures(
+        new_docs, id_col, text_col, num_hashes, shingle_n
+    ).persist()
+
+    old_files = sorted(_glob.glob(_os.path.join(store_path, "*.parquet")))
+    if old_files:
+        sig_old = spark.read.parquet(*old_files)
+        sig_all = sig_old.unionByName(sig_new)
+    else:
+        sig_all = sig_new
+
+    def banded(sig: DataFrame, alias: str) -> DataFrame:
+        # Same band-key construction as minhash_lsh_candidates — the store
+        # and batch sides must bucket identically.
+        return sig.select(
+            F.col(id_col).alias(alias),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), b * rows + 1, rows), b
+                        ).alias("band_hash"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select(alias, "bb.band", "bb.band_hash")
+    cand = (
+        banded(sig_new, "id_new")
+        .join(banded(sig_all, "id_other"), ["band", "band_hash"])
+        .filter(
+            # same-batch pairs once (lower id as other); store pairs always
+            (F.col("id_other") < F.col("id_new"))
+        )
+        .select("id_new", "id_other")
+        .distinct()
+    )
+    sa = sig_new.select(F.col(id_col).alias("id_new"), F.col("sig").alias("sig_a"))
+    sb = sig_all.select(F.col(id_col).alias("id_other"), F.col("sig").alias("sig_b"))
+    pairs = (
+        cand.join(sa, "id_new")
+        .join(sb, "id_other")
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(num_hashes),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_new", "id_other", "est_jaccard")
+    )
+    sig_new.write.mode("append").parquet(store_path)
+    return pairs

@@ -627,3 +627,32 @@ def test_bpe_token_stats_runs_and_is_consistent(spark, sf_dir):
         # across them: n_bpe_tokens >= n_words for non-empty docs.
         assert r["n_bpe_tokens"] >= r["n_words"]
         assert r["chars_per_token_ppm"] > 0
+
+
+def test_minhash_incremental_daily_batches(spark, tmp_path):
+    """Day-2 increment finds its near-dup against a day-1 document without
+    re-shingling day 1: signatures accumulate in the store, pairs pair the
+    new batch against store ∪ batch."""
+    from crz_scraper_spark.operators.dedup import minhash_incremental
+
+    store = str(tmp_path / "sig_store")
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    day1 = spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark plans " * 8)],
+        "doc_id bigint, text string",
+    )
+    p1 = minhash_incremental(spark, day1, "doc_id", "text", store)
+    assert p1.count() == 0  # day-1 docs are not near-dups of each other
+    # Day 2: doc 10 is a light edit of doc 1; doc 11 is novel.
+    day2 = spark.createDataFrame(
+        [(10, base + "extra tail"), (11, "nothing like the others at all " * 8)],
+        "doc_id bigint, text string",
+    )
+    p2 = minhash_incremental(spark, day2, "doc_id", "text", store).collect()
+    assert {(r["id_new"], r["id_other"]) for r in p2} == {(10, 1)}
+    # Store now carries all four signatures.
+    assert spark.read.parquet(store).count() == 4
+    # Re-running the same batch pairs it against its stored twin — the
+    # idempotence signal a dedup pipeline checks before re-ingesting.
+    p3 = minhash_incremental(spark, day2, "doc_id", "text", store)
+    assert p3.filter("id_new = id_other").count() == 0

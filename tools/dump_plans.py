@@ -27,6 +27,12 @@ SHOWCASE = [
     "boilerplate_ngram_filter",
     "table_checksum",
     "bm25_search",
+    "semantic_dedup",
+    "dup_span_detect",
+    "bloom_decontaminate",
+    "epoch_shuffle",
+    "line_dedup_reconstruct",
+    "jsonl_ingest_roundtrip",
 ]
 
 
