@@ -36,9 +36,12 @@ def learn_bpe(texts: Iterable[str], n_merges: int = 200) -> list[tuple[str, str]
     words, char-level start symbols + end-of-word marker). Ties on pair
     count break to the lexicographically SMALLEST pair — a fixed total
     order, so the merge list is a pure function of the sample."""
+    import re as _re
+
+    split_re = _re.compile(r"\s+", _re.ASCII)  # match the JVM \s+ split
     word_freq: Counter = Counter()
     for t in texts:
-        for w in t.lower().split():
+        for w in split_re.split(t.lower()):
             if w:
                 word_freq[w] += 1
     # word -> tuple of current symbols
@@ -94,6 +97,14 @@ def bpe_token_count_udf(spark: SparkSession, merges: list[tuple[str, str]]):
     ranks = {pair: i for i, pair in enumerate(merges)}
     bc = spark.sparkContext.broadcast(ranks)
 
+    import re as _re
+
+    # ASCII \s+ to match the JVM side's split(lower(text), '\\s+') exactly:
+    # Python's str.split()/unicode \s additionally split on \xa0 etc., which
+    # would make n_bpe_tokens and the JVM-computed n_words disagree about
+    # the word segmentation itself.
+    split_re = _re.compile(r"\s+", _re.ASCII)
+
     @F.pandas_udf("long")
     def count_tokens(s: pd.Series) -> pd.Series:
         r = bc.value
@@ -103,7 +114,7 @@ def bpe_token_count_udf(spark: SparkSession, merges: list[tuple[str, str]]):
             if not isinstance(text, str):
                 return 0
             n = 0
-            for w in text.lower().split():
+            for w in split_re.split(text.lower()):
                 if not w:
                     continue
                 c = memo.get(w)

@@ -94,6 +94,36 @@ def minhash_signatures(
     )
 
 
+def _band_keys(
+    sig: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    out_id: str = "id",
+) -> DataFrame:
+    """(out_id, band, bh) band-bucket keys for a signature table — the ONE
+    band-hash construction every LSH consumer (batch candidates,
+    incremental store lookups) shares, so cross-consumer bucket parity is
+    structural rather than hand-synced."""
+    return sig.select(
+        F.col(id_col).alias(out_id),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(
+                            F.col("sig"), b * rows_per_band + 1, rows_per_band
+                        ),
+                        b,
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(out_id, "bb.band", "bb.bh")
+
+
 def minhash_lsh_candidates(
     sig: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
@@ -104,20 +134,7 @@ def minhash_lsh_candidates(
     an equi-join on (band, band_hash) — uniform hash keys, skew-free shuffle,
     never enumerates O(n²) pairs.
     """
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), b
-                    ).alias("bh"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bh")
+    banded = _band_keys(sig, id_col, bands, rows_per_band, out_id=id_col)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -713,68 +730,80 @@ def minhash_incremental(
 ) -> DataFrame:
     """Incremental near-dup maintenance — the daily-ingest form of
     `minhash_dedup`: signatures are computed for the NEW batch only
-    (map-only scan over the increment), compared against the persisted
-    signature store PLUS the batch itself via the same banded-LSH
-    candidate join, and appended to the store. The corpus-wide shingling
-    pass never re-runs: daily cost is O(increment), the store carries
+    (map-only scan over the increment), appended to the persisted
+    signature store, and the batch is compared against store ∪ batch via
+    the same banded-LSH candidate join. The corpus-wide shingling pass
+    never re-runs: daily cost is O(increment); the store carries
     `num_hashes × 8` bytes/doc (GBs at 100 TB corpus scale — the
     incremental_daily_rollup discipline applied to dedup).
 
-    Returns verified pairs (new_id, other_id, est_jaccard) where `new_id`
-    is from this batch and `other_id` is any earlier-stored OR same-batch
-    lower-id document. Assumes ingest ids are monotonically increasing
-    across batches (daily ingest's natural property) — the `other < new`
-    dedup-direction filter relies on it; with non-monotonic ids split the
-    candidate join into a store side (no id constraint) and a same-batch
-    side (`<`) instead. The store snapshot is pinned by explicit file list
-    BEFORE the append, so the returned (lazy) plan never sees the rows it
-    just wrote.
+    Maintenance semantics (the append IS the operation; the returned pair
+    DataFrame is the advisory report):
+    - idempotent: ids already present in the store are never re-appended,
+      so re-running a batch cannot duplicate store rows (duplicates would
+      fan out every future pair join);
+    - store listing and snapshot pinning go through the Hadoop FileSystem
+      API, so hdfs:///s3a:// stores work — a driver-local glob would
+      silently see an empty store and skip the entire history;
+    - the pair plan reads signatures back from the pinned store files
+      (no .persist() leak; the data was just written, the read is local).
+
+    Returns (id_new, id_other, est_jaccard): `id_new` from this batch,
+    `id_other` any earlier-stored or same-batch lower-id document. Assumes
+    ingest ids are monotonically increasing across batches (daily ingest's
+    natural property) — the `other < new` direction filter relies on it.
     """
-    import glob as _glob
-    import os as _os
+    from crz_scraper_spark.operators.upsert import _hadoop_fs
 
     rows = num_hashes // bands
+
+    def _store_files() -> list[str]:
+        fs, jvm = _hadoop_fs(spark, store_path)
+        p = jvm.org.apache.hadoop.fs.Path(store_path)
+        if not fs.exists(p):
+            return []
+        return sorted(
+            f.getPath().toString()
+            for f in fs.listStatus(p)
+            if f.getPath().getName().endswith(".parquet")
+        )
+
     sig_new = minhash_signatures(
         new_docs, id_col, text_col, num_hashes, shingle_n
-    ).persist()
-
-    old_files = sorted(_glob.glob(_os.path.join(store_path, "*.parquet")))
+    )
+    old_files = _store_files()
     if old_files:
         sig_old = spark.read.parquet(*old_files)
-        sig_all = sig_old.unionByName(sig_new)
-    else:
-        sig_all = sig_new
-
-    def banded(sig: DataFrame, alias: str) -> DataFrame:
-        # Same band-key construction as minhash_lsh_candidates — the store
-        # and batch sides must bucket identically.
-        return sig.select(
-            F.col(id_col).alias(alias),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("sig"), b * rows + 1, rows), b
-                        ).alias("band_hash"),
-                    ),
-                )
-            ).alias("bb"),
-        ).select(alias, "bb.band", "bb.band_hash")
-    cand = (
-        banded(sig_new, "id_new")
-        .join(banded(sig_all, "id_other"), ["band", "band_hash"])
-        .filter(
-            # same-batch pairs once (lower id as other); store pairs always
-            (F.col("id_other") < F.col("id_new"))
+        to_append = sig_new.join(
+            sig_old.select(id_col), id_col, "left_anti"
         )
+    else:
+        to_append = sig_new
+    to_append.write.mode("append").parquet(store_path)
+
+    all_files = _store_files()
+    sig_all = spark.read.parquet(*all_files)
+    sig_batch = sig_all.join(
+        new_docs.select(id_col).distinct(), id_col, "left_semi"
+    )
+
+    cand = (
+        _band_keys(sig_batch, id_col, bands, rows, out_id="id_new")
+        .join(
+            _band_keys(sig_all, id_col, bands, rows, out_id="id_other"),
+            ["band", "bh"],
+        )
+        .filter(F.col("id_other") < F.col("id_new"))
         .select("id_new", "id_other")
         .distinct()
     )
-    sa = sig_new.select(F.col(id_col).alias("id_new"), F.col("sig").alias("sig_a"))
-    sb = sig_all.select(F.col(id_col).alias("id_other"), F.col("sig").alias("sig_b"))
-    pairs = (
+    sa = sig_batch.select(
+        F.col(id_col).alias("id_new"), F.col("sig").alias("sig_a")
+    )
+    sb = sig_all.select(
+        F.col(id_col).alias("id_other"), F.col("sig").alias("sig_b")
+    )
+    return (
         cand.join(sa, "id_new")
         .join(sb, "id_other")
         .withColumn(
@@ -789,5 +818,3 @@ def minhash_incremental(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_new", "id_other", "est_jaccard")
     )
-    sig_new.write.mode("append").parquet(store_path)
-    return pairs

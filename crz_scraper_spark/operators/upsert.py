@@ -158,6 +158,15 @@ def compact_partitions(
     return {"files_before": before, "files_after": _count_files()}
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem handle for `path` — works for any scheme the
+    cluster can read (file://, hdfs://, s3a://); driver-local os/glob
+    calls silently see nothing on remote stores."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
 def delete_by_key(
     spark: SparkSession,
     base_path: str,
@@ -170,10 +179,19 @@ def delete_by_key(
     without rewriting 100 TB: `delete_keys` carries `key_cols` AND
     `partition_col` (opt-out records know where they live — when they
     don't, a key→partition index lookup supplies it first), so only the
-    touched partitions are read, anti-joined against the broadcast key
-    set, and rewritten via dynamic partition overwrite. Untouched
-    partitions are never read, never shuffled, never written — same
-    copy-on-write discipline as `upsert_by_key`.
+    touched partitions are read, anti-joined against the broadcast
+    (key, partition) set, and rewritten via dynamic partition overwrite.
+    Untouched partitions are never read, never shuffled, never written.
+
+    Deletion scope is the (key, partition) PAIR: a key re-ingested into a
+    different partition survives unless an opt-out record names that
+    partition too (anti-joining on the key alone would over-delete).
+
+    Dynamic overwrite only replaces partitions PRESENT in the output, so a
+    partition whose every row is deleted would silently keep its old files
+    — those are removed explicitly through the Hadoop FileSystem API (any
+    scheme), and the audit counts are computed from the same materialized
+    data the rewrite used.
 
     Returns {"partitions_rewritten": n, "rows_deleted": n} for the audit
     log a deletion pipeline is obligated to keep.
@@ -183,19 +201,42 @@ def delete_by_key(
     ]
     if not touched:
         return {"partitions_rewritten": 0, "rows_deleted": 0}
-    base = spark.read.parquet(base_path).filter(
-        F.col(partition_col).isin(touched)
+    join_cols = [*key_cols, partition_col]
+    base = (
+        spark.read.parquet(base_path)
+        .filter(F.col(partition_col).isin(touched))
+        .persist()  # one read serves count, anti-join, and the rewrite
     )
-    before = base.count()
-    keys = delete_keys.select(*key_cols).distinct()
-    kept = base.join(F.broadcast(keys), key_cols, "left_anti")
-    deleted = before - kept.count()
-    (
-        kept.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(base_path)
-    )
+    try:
+        before = base.count()
+        keys = delete_keys.select(*join_cols).distinct()
+        kept = base.join(F.broadcast(keys), join_cols, "left_anti")
+        kept_per_part = {
+            r[0]: r[1]
+            for r in kept.groupBy(partition_col)
+            .count()
+            .collect()
+        }
+        deleted = before - sum(kept_per_part.values())
+        (
+            kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(base_path)
+        )
+        # Partitions emptied entirely: dynamic overwrite wrote nothing for
+        # them — drop their directories so the deletion is real.
+        fs, jvm = _hadoop_fs(spark, base_path)
+        for p in touched:
+            if kept_per_part.get(p, 0) == 0:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{base_path}/{partition_col}={p}"
+                    ),
+                    True,
+                )
+    finally:
+        base.unpersist()
     return {
         "partitions_rewritten": len(touched),
         "rows_deleted": deleted,

@@ -49,7 +49,20 @@ def read_jsonl(
         _probe_schema(schema),
         {"columnNameOfCorruptRecord": CORRUPT_COL},
     )
-    return spark.read.text(path).select(parsed.alias("__p")).select("__p.*")
+    # from_json yields a NULL struct (corrupt column null too) for empty
+    # input — without the isNotNull guard a blank line would pass
+    # split_corrupt as a phantom all-null "clean" row. Skipping blanks
+    # matches the native JSON reader; a bare `null` literal is captured as
+    # a corrupt record (it is not an object row).
+    return (
+        spark.read.text(path)
+        # whitespace-only lines would otherwise parse as corrupt records;
+        # the native reader skips them, so do we (cheap codegen filter).
+        .filter(F.length(F.trim("value")) > 0)
+        .select(parsed.alias("__p"))
+        .filter(F.col("__p").isNotNull())
+        .select("__p.*")
+    )
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -76,6 +89,7 @@ def read_corrupt_lines(
     )
     return (
         spark.read.text(path)
+        .filter(F.length(F.trim("value")) > 0)
         .filter(parsed[CORRUPT_COL].isNotNull())
         .select(F.col("value").alias(CORRUPT_COL))
     )

@@ -266,3 +266,20 @@ def test_jsonl_write_read_roundtrip(spark, tmp_path):
     assert {tuple(r) for r in back.collect()} == {
         (1, "plain"), (2, 'with "quotes" and | pipes'), (3, None)
     }
+
+
+def test_jsonl_blank_lines_skipped(spark, tmp_path):
+    """Blank/whitespace-only lines never become phantom all-null clean
+    rows; a bare `null` literal is quarantined as corrupt (not an object
+    row)."""
+    from pyspark.sql import types as T
+
+    from crz_scraper_spark.sources.jsonl import read_jsonl, split_corrupt
+
+    p = tmp_path / "f.jsonl"
+    p.write_text('{"doc_id": 1}\n\n   \nnull\n{"doc_id": 2}\nnot json\n')
+    schema = T.StructType([T.StructField("doc_id", T.LongType())])
+    clean, corrupt = split_corrupt(read_jsonl(spark, str(p), schema))
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2}
+    assert clean.count() == 2  # no phantom rows from blank lines
+    assert corrupt.count() == 2  # 'null' literal + the malformed line

@@ -526,3 +526,29 @@ def test_delete_by_key_prunes_and_deletes(spark, tmp_path):
     # Idempotent: deleting the same keys again rewrites but removes nothing.
     stats2 = delete_by_key(spark, path, dels, ["doc_id"], "part")
     assert stats2["rows_deleted"] == 0
+
+
+def test_delete_by_key_scopes_to_named_partition_and_empties(spark, tmp_path):
+    """(key, partition)-scoped deletes: the same key in an un-named
+    partition survives; a fully-emptied partition's files actually
+    disappear (dynamic overwrite alone would leave them)."""
+    import os
+
+    from crz_scraper_spark.operators.upsert import delete_by_key
+
+    path = str(tmp_path / "docs2")
+    # doc_id 7 lives in BOTH partitions; partition 0 holds only {7, 8}.
+    df = spark.createDataFrame(
+        [(7, 0), (8, 0), (7, 1), (9, 1)], "doc_id bigint, part bigint"
+    )
+    df.write.mode("overwrite").partitionBy("part").parquet(path)
+    dels = spark.createDataFrame(
+        [(7, 0), (8, 0)], "doc_id bigint, part bigint"
+    )
+    stats = delete_by_key(spark, path, dels, ["doc_id"], "part")
+    assert stats["rows_deleted"] == 2
+    rows = {(r["doc_id"], r["part"]) for r in spark.read.parquet(path).collect()}
+    # doc 7 survives in partition 1 (no opt-out record named it there).
+    assert rows == {(7, 1), (9, 1)}
+    # The emptied partition directory is really gone.
+    assert not os.path.exists(os.path.join(path, "part=0"))
