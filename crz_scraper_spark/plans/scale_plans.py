@@ -877,10 +877,92 @@ GROUP BY e.query_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# hard_negative_mining — contrastive training-pair construction for
+# embedding models: per anchor (the query cohort), the top-3 most-similar
+# SAME-label vectors (positives) and the top-3 most-similar
+# DIFFERENT-label vectors (hard negatives — the high-similarity wrong
+# answers that make contrastive losses work). One scored scan, one
+# per-(anchor, role) top-k window; rounded-similarity ranking is the
+# established cross-engine cut. At 100 TB the exact scoring scan swaps
+# for the LSH/IVF candidate path (`ann_lsh_topk` / `ann_ivf_topk`) — the
+# windowed role split is unchanged. FULLY oracled.
+# ---------------------------------------------------------------------------
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from crz_scraper_spark.operators.similarity import _dot, _norm
+
+    emb = (
+        fan_out(load_table(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    sim = F.round(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.when(F.col("label") == F.col("a_label"), F.lit("pos"))
+            .otherwise(F.lit("neg"))
+            .alias("role"),
+            sim.alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "role").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("anchor_id", "role", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+HARD_NEGATIVE_MINING_SQL = """
+WITH emb AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+         CASE WHEN c.label = q.label THEN 'pos' ELSE 'neg' END AS role,
+         round(list_cosine_similarity(q.v, c.v), 4) AS cos_sim
+  FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 8
+)
+SELECT anchor_id, role, neighbor_id, cos_sim, rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY anchor_id, role
+      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 3
+"""
+
+
 QUERIES: dict = {
     "udtf_widen_roundtrip": (udtf_widen_roundtrip, UDTF_WIDEN_ROUNDTRIP_SQL),
     "semantic_dedup": (semantic_dedup_q, _semantic_dedup_sql()),
     "ann_lsh_recall": (ann_lsh_recall, _ann_lsh_recall_sql()),
+    "hard_negative_mining": (hard_negative_mining, HARD_NEGATIVE_MINING_SQL),
     "fuzzy_name_pairs": (fuzzy_name_pairs, FUZZY_NAME_PAIRS_SQL),
     "cosine_topk_bruteforce": (cosine_topk_bruteforce, COSINE_TOPK_SQL),
     "pdf_text_extract": (pdf_text_extract, PDF_TEXT_EXTRACT_SQL),
