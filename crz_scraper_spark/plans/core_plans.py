@@ -127,7 +127,9 @@ FROM ranked WHERE rn = 1
 # ---------------------------------------------------------------------------
 # revenue_by_nation — large equi-join chain + hash agg (beyond the reference's
 # small-side lookups, SURVEY §2.3 note; lineitem⋈orders is the shuffle join,
-# customer/nation/region broadcast).
+# nation broadcast). customer is scale-proportional (150k × sf) so it gets NO
+# explicit broadcast hint — a forced hint overrides autoBroadcastJoinThreshold
+# and OOMs at 100× scale; AQE picks broadcast vs shuffle from runtime stats.
 # ---------------------------------------------------------------------------
 
 
@@ -138,7 +140,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(

@@ -71,8 +71,9 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# streaming_enriched_segments — stream-static broadcast join (event stream ⋈
-# static customer dim) feeding a watermarked tumbling agg per market
+# streaming_enriched_segments — stream-static join (event stream ⋈ static
+# customer dim, unhinted: AQE sizes the pruned dim per micro-batch) feeding
+# a watermarked tumbling agg per market
 # segment; the join is stateless so the oracle is the plain batch join +
 # time_bucket rollup.
 # ---------------------------------------------------------------------------

@@ -520,8 +520,8 @@ FROM monthly
 """
 
 # ---------------------------------------------------------------------------
-# brand_part_rollup — broadcast dim join (part) against the fact (lineitem)
-# with exact distinct counting.
+# brand_part_rollup — dim join (part) against the fact (lineitem) with exact
+# distinct counting. part grows with sf → no forced broadcast; AQE decides.
 # ---------------------------------------------------------------------------
 
 
@@ -529,7 +529,8 @@ def brand_part_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part.select("p_partkey", "p_brand"),
+                li.l_partkey == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             F.round(

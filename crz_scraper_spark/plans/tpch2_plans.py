@@ -120,22 +120,26 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table, so it runs BEFORE the lineitem⋈orders shuffle (Catalyst does not
     # reorder across a left-semi without CBO stats): at 100 TB it is the
     # difference between shuffling the full fact table and shuffling only the
-    # ECONOMY slice. All dimension joins stay broadcast; the one shuffle left
-    # is the pre-filtered li⋈orders.
+    # ECONOMY slice. Fixed-size dims (part slice, nation) stay broadcast;
+    # customer is pre-shrunk to the AMERICA region (1/5 of rows) with a
+    # 5-row-broadcast semi-join and then joined UNHINTED, and supp_nation
+    # (supplier-sized, 10k × sf) is unhinted too — both grow with sf, so a
+    # forced broadcast would OOM at 100×; AQE decides from runtime sizes.
+    # The one guaranteed shuffle is the pre-filtered li⋈orders.
     li_econ = li.join(
         F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
         li.l_partkey == part.p_partkey,
         "left_semi",
     )
+    customer_america = customer.join(
+        F.broadcast(america_nations),
+        customer.c_nationkey == F.col("cust_nk"),
+        "left_semi",
+    )
     return (
         li_econ.join(orders, li_econ.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(
-            F.broadcast(america_nations),
-            F.col("c_nationkey") == F.col("cust_nk"),
-            "left_semi",
-        )
-        .join(F.broadcast(supp_nation), li_econ.l_suppkey == supp_nation.s_suppkey)
+        .join(customer_america, orders.o_custkey == customer_america.c_custkey)
+        .join(supp_nation, li_econ.l_suppkey == supp_nation.s_suppkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
@@ -196,7 +200,8 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(orders.select("o_orderkey", "o_orderdate"),
               li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        # supplier grows with sf → no forced broadcast hint; AQE decides.
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -302,7 +307,10 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(best))
         .filter(F.col("total_revenue") == F.col("best_revenue"))
-        .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        # After the max-equality filter the probe side is ~1 row; supplier
+        # grows with sf, so it carries no hint — AQE broadcasts the tiny
+        # filtered side instead of forcing a multi-GB supplier broadcast.
+        .join(supplier, rev.l_suppkey == supplier.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 

@@ -19,8 +19,9 @@ from crz_scraper_spark.functions.casts import dsum
 
 # ---------------------------------------------------------------------------
 # returned_revenue_by_customer — Q10 shape: revenue lost to returned items
-# per customer over a date window; lineitem⋈orders shuffle join, customer
-# and nation broadcast.
+# per customer over a date window; lineitem⋈orders shuffle join, nation
+# broadcast. customer (150k × sf) carries no hint: AQE decides broadcast vs
+# shuffle from runtime stats so the plan survives a 100× scale-up.
 # ---------------------------------------------------------------------------
 
 
@@ -38,7 +39,7 @@ def returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             li.l_orderkey == orders.o_orderkey,
         )
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -107,7 +108,9 @@ GROUP BY l.l_linestatus
 # large_volume_orders — Q18 shape: orders whose total quantity exceeds a
 # threshold (aggregate → HAVING → semi-join back to the fact rows). The
 # inner aggregate and the outer join share the l_orderkey partitioning, so
-# the semi-join probe adds no extra shuffle of lineitem.
+# the semi-join probe adds no extra shuffle of lineitem. customer joins
+# unhinted — AQE chooses the strategy, so no forced multi-GB broadcast at
+# scale.
 # ---------------------------------------------------------------------------
 
 
@@ -122,7 +125,7 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
             "total_qty",
@@ -147,10 +150,13 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 # ---------------------------------------------------------------------------
 # regional_local_volume — Q5 proper: revenue from lineitems where customer
 # and supplier sit in the SAME nation, within one region. The
-# c_nationkey = s_nationkey predicate ties two broadcast dims to each other
+# c_nationkey = s_nationkey predicate ties the two dims to each other
 # across the fact row — a join-graph cycle Catalyst resolves as a post-join
 # filter; region→nation pre-filters the nation broadcast so only 1/5 of
-# nations survive into the join.
+# nations survive into the join. customer/supplier are scale-proportional,
+# so instead of forced broadcasts they are pre-shrunk with a left-semi join
+# against the 5-row asia_nations broadcast (1/5 selectivity) and then joined
+# unhinted — AQE picks broadcast vs shuffle from the post-filter size.
 # ---------------------------------------------------------------------------
 
 
@@ -165,10 +171,21 @@ def regional_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(region.filter(F.col("r_name") == "ASIA")),
         nation.n_regionkey == region.r_regionkey,
     ).select("n_nationkey", "n_name")
+    asia_keys = asia_nations.select("n_nationkey")
+    customer = customer.join(
+        F.broadcast(asia_keys),
+        customer.c_nationkey == asia_keys.n_nationkey,
+        "left_semi",
+    )
+    supplier = supplier.join(
+        F.broadcast(asia_keys),
+        supplier.s_nationkey == asia_keys.n_nationkey,
+        "left_semi",
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(asia_nations),
               F.col("c_nationkey") == F.col("n_nationkey"))
@@ -269,8 +286,11 @@ GROUP BY o_orderpriority
 # ---------------------------------------------------------------------------
 # nation_volume_shipping — Q7 shape: role-playing dimension (nation joined
 # twice under different aliases, once via supplier, once via customer), a
-# symmetric pair predicate, and a year rollup. The two nation⋈{supplier,
-# customer} sides broadcast; lineitem⋈orders is the only fact shuffle.
+# symmetric pair predicate, and a year rollup. The 2-row nation slices
+# broadcast; customer/supplier are pre-shrunk to ~2/25 of their rows with
+# left-semi joins against those slices and then joined UNHINTED (they grow
+# with sf, so a forced broadcast would OOM at 100×; AQE decides from the
+# post-semi-join size). lineitem⋈orders is the only guaranteed fact shuffle.
 # ---------------------------------------------------------------------------
 
 
@@ -295,10 +315,20 @@ def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    customer = customer.join(
+        F.broadcast(n2.select("cn_key")),
+        customer.c_nationkey == F.col("cn_key"),
+        "left_semi",
+    )
+    supplier = supplier.join(
+        F.broadcast(n1.select("sn_key")),
+        supplier.s_nationkey == F.col("sn_key"),
+        "left_semi",
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
         .filter(pair)
@@ -365,7 +395,9 @@ GROUP BY c_count
 
 # ---------------------------------------------------------------------------
 # promo_revenue_ratio — Q14 shape: conditional-aggregate ratio over a
-# broadcast dimension join. Numerator and denominator are each decimal-exact
+# dimension join (part grows with sf → unhinted, column-pruned to
+# (p_partkey, p_type); AQE picks broadcast vs shuffle). Numerator and
+# denominator are each decimal-exact
 # sums (order-independent); the division happens once on identical doubles
 # in both engines.
 # ---------------------------------------------------------------------------
@@ -380,7 +412,8 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
         )
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part.select("p_partkey", "p_type"),
+              li.l_partkey == F.col("p_partkey"))
         .agg(
             dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)).alias(
                 "promo_revenue"
@@ -476,7 +509,15 @@ def disjunctive_brand_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & (qty >= 20.0) & (qty <= 30.0))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # Only the three brands can satisfy the disjunction — pre-filter the
+        # part side (now a small fixed fraction, safely hint-free) so the
+        # join probe carries 3/|brands| of part instead of all of it.
+        li.join(
+            part.filter(
+                F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+            ).select("p_partkey", "p_brand"),
+            li.l_partkey == F.col("p_partkey"),
+        )
         .filter(cond)
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -501,6 +542,8 @@ WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1.0 AND 11.0)
 # the fact table, expressed as LEFT SEMI and LEFT ANTI hash joins with a
 # mixed equi + non-equi condition (same orderkey, different suppkey). The
 # three derived sets all shuffle on l_orderkey → one exchange, reused.
+# supplier (10k × sf) joins unhinted so AQE, not a forced hint, picks the
+# strategy at scale.
 # ---------------------------------------------------------------------------
 
 
@@ -534,7 +577,7 @@ def lonely_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        lonely.join(F.broadcast(supplier), lonely.l_suppkey == supplier.s_suppkey)
+        lonely.join(supplier, lonely.l_suppkey == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )

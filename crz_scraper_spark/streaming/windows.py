@@ -161,9 +161,12 @@ def streaming_enriched_segments(
     customer dimension (user_id = c_custkey), then a watermarked tumbling
     count/sum per market segment. Stream-static equi-joins are stateless in
     Structured Streaming — the static side is planned like any batch
-    relation (broadcast here), so this adds no state store beyond the
-    windowed agg. At 100 TB the static side is the slowly-changing dim
-    snapshot; re-planning per micro-batch picks up metastore refreshes.
+    relation per micro-batch, so this adds no state store beyond the
+    windowed agg. customer grows with sf, so it carries no broadcast hint:
+    AQE sizes the pruned 2-column projection each micro-batch instead of a
+    forced (potentially multi-GB) broadcast. At 100 TB the static side is
+    the slowly-changing dim snapshot; re-planning per micro-batch picks up
+    metastore refreshes.
     """
     import os
 
@@ -174,7 +177,7 @@ def streaming_enriched_segments(
     src = _events_stream(spark, sf_dir)
     agg = (
         src.withWatermark("ts", watermark)
-        .join(F.broadcast(customer), src.user_id == customer.c_custkey)
+        .join(customer, src.user_id == customer.c_custkey)
         .groupBy(F.window("ts", window_len).alias("w"), F.col("c_mktsegment"))
         .agg(
             F.count("*").alias("n_events"),

@@ -552,3 +552,94 @@ def test_delete_by_key_scopes_to_named_partition_and_empties(spark, tmp_path):
     assert rows == {(7, 1), (9, 1)}
     # The emptied partition directory is really gone.
     assert not os.path.exists(os.path.join(path, "part=0"))
+
+
+# ---------------------------------------------------------------------------
+# No forced broadcasts of scale-proportional tables (VERDICT r2 item 1).
+# ---------------------------------------------------------------------------
+
+# Tables that grow linearly with sf: a forced F.broadcast() on an unfiltered
+# scan of one of these overrides autoBroadcastJoinThreshold and OOMs the
+# executors at 100x scale. Identified by their key column in the analyzed
+# plan's leaf relation output.
+_SCALED_TABLE_KEYS = {
+    "c_custkey": "customer",
+    "s_suppkey": "supplier",
+    "p_partkey": "part",
+    "o_orderkey": "orders",
+    "l_orderkey": "lineitem",
+    "doc_id": "documents/embeddings",
+    "event_id": "events",
+}
+
+# Node classes that shrink or transform their input: a broadcast hint above
+# one of these is a deliberate "broadcast the small derived side" choice,
+# not a forced broadcast of the raw table.
+_SHRINKING_NODES = (
+    "Filter", "Join", "Aggregate", "GlobalLimit", "LocalLimit", "Sample",
+    "Distinct", "Deduplicate", "Window",
+)
+
+
+def _walk_logical(node):
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk_logical(children.apply(i))
+
+
+def _forced_big_broadcasts(df) -> list[str]:
+    """Names of scale-proportional tables broadcast-hinted with no shrinking
+    operator (filter/join/agg/limit) between the hint and the raw scan."""
+    bad: list[str] = []
+    analyzed = df._jdf.queryExecution().analyzed()
+    for node in _walk_logical(analyzed):
+        cls = node.getClass().getSimpleName()
+        if cls != "ResolvedHint" or "broadcast" not in node.hints().toString():
+            continue
+        shrunk = False
+        leaves: list[str] = []
+        for sub in _walk_logical(node):
+            sub_cls = sub.getClass().getSimpleName()
+            if sub_cls in _SHRINKING_NODES:
+                shrunk = True
+                break
+            if sub.children().size() == 0:
+                out = sub.output().toString()
+                for key, table in _SCALED_TABLE_KEYS.items():
+                    if f"{key}#" in out:
+                        leaves.append(table)
+        if not shrunk:
+            bad.extend(leaves)
+    return bad
+
+
+def test_no_forced_broadcast_of_scaled_tables(spark):
+    """Every broadcast hint in the TPC-H-family plans sits on a fixed-size
+    side (nation/region/keyword lists) or on a filtered/aggregated derived
+    frame — never on a raw customer/supplier/part/fact scan. AQE picks the
+    strategy for those from runtime sizes (the hint-free plan broadcasts at
+    sf0.1 but degrades to shuffle at 100 TB instead of OOM)."""
+    from crz_scraper_spark.plans import core_plans, extra_plans, tpch_plans, tpch2_plans
+
+    sf = "/root/testdata/sf0.001"
+    fns = [
+        core_plans.revenue_by_nation,
+        tpch_plans.returned_revenue_by_customer,
+        tpch_plans.large_volume_orders,
+        tpch_plans.regional_local_volume,
+        tpch_plans.nation_volume_shipping,
+        tpch_plans.lonely_returning_supplier,
+        tpch_plans.promo_revenue_ratio,
+        tpch_plans.disjunctive_brand_quantity,
+        tpch2_plans.nation_market_share,
+        tpch2_plans.product_profit,
+        tpch2_plans.top_revenue_supplier,
+        extra_plans.brand_part_rollup,
+    ]
+    offenders = {}
+    for fn in fns:
+        bad = _forced_big_broadcasts(fn(spark, sf))
+        if bad:
+            offenders[fn.__name__] = bad
+    assert not offenders, f"forced broadcasts of scaled tables: {offenders}"
