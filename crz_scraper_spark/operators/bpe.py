@@ -144,14 +144,29 @@ def bpe_token_stats(
     driver-side — vocabulary training is index metadata, the FAISS-trainer
     rationale); application is one map-only scan with the rank table
     broadcast. chars_per_token_ppm is integer (chars*1e6 div tokens) — the
-    fertility metric token-budget planning divides by."""
+    fertility metric token-budget planning divides by.
+
+    The sample is the `sample_ids` documents with the smallest
+    xxhash64(id) — a deterministic pseudo-random pick that works on ANY id
+    space (sparse, offset, string), unlike an `id < N` predicate which
+    silently returns nothing off a dense 0-based space and would degrade
+    every word to character-level tokens. Compiles to per-partition top-K
+    + driver merge (TakeOrdered), not a global sort."""
     sample = [
         r[0]
-        for r in docs.filter(F.col(id_col) < sample_ids)
-        .select(text_col)
-        .orderBy(id_col)
+        for r in docs.select(
+            text_col, F.xxhash64(F.col(id_col)).alias("__h")
+        )
+        .orderBy("__h")
+        .limit(sample_ids)
         .collect()
     ]
+    if not sample:
+        raise ValueError(
+            "bpe_token_stats: empty training sample — the input corpus has "
+            "no rows; merges learned from nothing would silently degrade "
+            "every word to character-level tokens"
+        )
     merges = learn_bpe(sample, n_merges=n_merges)
     count_udf = bpe_token_count_udf(spark, merges)
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")

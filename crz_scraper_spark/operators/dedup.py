@@ -742,6 +742,14 @@ def minhash_incremental(
     - idempotent: ids already present in the store are never re-appended,
       so re-running a batch cannot duplicate store rows (duplicates would
       fan out every future pair join);
+    - atomic commit: each batch is written to a dot-prefixed staging dir
+      (invisible to parquet listings) and RENAMED into the store as
+      `batch-<uuid>/` — one FS rename, so a crashed or partially-failed
+      run leaves only an invisible staging dir, never half a batch that
+      the anti-join would treat as committed;
+    - single-writer: concurrent callers on the same store are not
+      coordinated (two simultaneous runs can each commit the same ids) —
+      serialize batches per store, the daily-ingest cadence this models;
     - store listing and snapshot pinning go through the Hadoop FileSystem
       API, so hdfs:///s3a:// stores work — a driver-local glob would
       silently see an empty store and skip the entire history;
@@ -758,6 +766,9 @@ def minhash_incremental(
     rows = num_hashes // bands
 
     def _store_files() -> list[str]:
+        """Committed store paths: batch-* subdirs (the atomic-commit
+        layout) plus legacy top-level part files. Dot/underscore-prefixed
+        entries (in-flight staging dirs, _SUCCESS) are invisible."""
         fs, jvm = _hadoop_fs(spark, store_path)
         p = jvm.org.apache.hadoop.fs.Path(store_path)
         if not fs.exists(p):
@@ -765,7 +776,8 @@ def minhash_incremental(
         return sorted(
             f.getPath().toString()
             for f in fs.listStatus(p)
-            if f.getPath().getName().endswith(".parquet")
+            if f.getPath().getName().startswith("batch-")
+            or f.getPath().getName().endswith(".parquet")
         )
 
     sig_new = minhash_signatures(
@@ -779,7 +791,20 @@ def minhash_incremental(
         )
     else:
         to_append = sig_new
-    to_append.write.mode("append").parquet(store_path)
+    # Two-phase commit: write the batch under an invisible staging name,
+    # then a single rename makes it visible. A failure before the rename
+    # leaves only the dot-dir, which no listing or parquet read sees.
+    import uuid
+
+    batch_id = uuid.uuid4().hex
+    fs, jvm = _hadoop_fs(spark, store_path)
+    staging = jvm.org.apache.hadoop.fs.Path(store_path, f".staging-{batch_id}")
+    to_append.write.mode("overwrite").parquet(staging.toString())
+    committed = jvm.org.apache.hadoop.fs.Path(store_path, f"batch-{batch_id}")
+    if not fs.rename(staging, committed):
+        raise RuntimeError(
+            f"minhash_incremental: commit rename failed for {committed}"
+        )
 
     all_files = _store_files()
     sig_all = spark.read.parquet(*all_files)

@@ -271,13 +271,26 @@ def _try_chain(*tiers):
     falls through to the next tier instead of failing the Spark task — one
     bad document must never kill a 100 TB job (the reference's per-page
     timeout + skip-and-log posture, `06_extract_tables.py:197-215`). The
-    LAST tier is the guaranteed-total fallback (stub / empty)."""
+    LAST tier is the guaranteed-total fallback (stub / empty). Each
+    fall-through is logged with the tier name and exception, so a
+    programming error in a tier (NameError, AttributeError) or a transient
+    backend failure is visible in executor logs instead of silently
+    becoming an empty extraction."""
+    import logging
+
+    logger = logging.getLogger(__name__)
 
     def run(*args):
         for tier in tiers[:-1]:
             try:
                 return tier(*args)
-            except Exception:  # noqa: BLE001 - any backend failure degrades
+            except Exception as exc:  # noqa: BLE001 - backend failure degrades
+                logger.warning(
+                    "extraction tier %s failed (%s: %s); falling through",
+                    getattr(tier, "__name__", repr(tier)),
+                    type(exc).__name__,
+                    exc,
+                )
                 continue
         return tiers[-1](*args)
 

@@ -194,8 +194,23 @@ def delete_by_key(
     data the rewrite used.
 
     Returns {"partitions_rewritten": n, "rows_deleted": n} for the audit
-    log a deletion pipeline is obligated to keep.
+    log a deletion pipeline is obligated to keep —
+    `partitions_rewritten` counts partitions actually present in the
+    table, not merely named by opt-out records.
+
+    NULL partition values in `delete_keys` are rejected loudly: neither
+    `isin` nor the equi anti-join matches NULL, so accepting them would
+    silently drop those opt-out records and under-report `rows_deleted`.
     """
+    null_parts = delete_keys.filter(F.col(partition_col).isNull()).count()
+    if null_parts:
+        raise ValueError(
+            f"delete_by_key: {null_parts} delete_keys rows have a NULL "
+            f"{partition_col!r}; NULL never matches isin() or an equi "
+            "anti-join, so these opt-out records would be silently "
+            "ignored. Resolve the partition (key->partition index lookup) "
+            "before calling."
+        )
     touched = [
         r[0] for r in delete_keys.select(partition_col).distinct().collect()
     ]
@@ -208,7 +223,10 @@ def delete_by_key(
         .persist()  # one read serves count, anti-join, and the rewrite
     )
     try:
-        before = base.count()
+        before_per_part = {
+            r[0]: r[1] for r in base.groupBy(partition_col).count().collect()
+        }
+        before = sum(before_per_part.values())
         keys = delete_keys.select(*join_cols).distinct()
         kept = base.join(F.broadcast(keys), join_cols, "left_anti")
         kept_per_part = {
@@ -225,19 +243,46 @@ def delete_by_key(
             .parquet(base_path)
         )
         # Partitions emptied entirely: dynamic overwrite wrote nothing for
-        # them — drop their directories so the deletion is real.
+        # them — drop their directories so the deletion is real. The
+        # directory name must go through Spark's own partition-path
+        # escaping (':', '/', '%', timestamps, ... are percent-encoded on
+        # write), else the delete misses and the rows stay readable.
         fs, jvm = _hadoop_fs(spark, base_path)
-        for p in touched:
+        for p in before_per_part:
             if kept_per_part.get(p, 0) == 0:
-                fs.delete(
-                    jvm.org.apache.hadoop.fs.Path(
-                        f"{base_path}/{partition_col}={p}"
-                    ),
-                    True,
+                dir_path = jvm.org.apache.hadoop.fs.Path(
+                    base_path, _partition_dir(spark, partition_col, p)
                 )
+                if not fs.exists(dir_path):
+                    raise RuntimeError(
+                        f"delete_by_key: computed partition directory "
+                        f"{dir_path} does not exist — escaping mismatch "
+                        "would leave deleted rows readable; aborting loudly"
+                    )
+                fs.delete(dir_path, True)
     finally:
         base.unpersist()
     return {
-        "partitions_rewritten": len(touched),
+        # Partitions actually present in the table (an opt-out may name a
+        # partition that holds no rows — nothing is rewritten for it).
+        "partitions_rewritten": len(before_per_part),
         "rows_deleted": deleted,
     }
+
+
+def _partition_dir(spark: SparkSession, col: str, value) -> str:
+    """`col=value` directory fragment exactly as Spark writes it —
+    delegates to Catalyst's ExternalCatalogUtils.getPartitionPathString so
+    special characters (':', '/', '%', '#', ...) get the same
+    percent-escaping the writer used. The value's string form must match
+    Spark's cast-to-string (notably booleans are lowercase)."""
+    if value is None:
+        s = "__HIVE_DEFAULT_PARTITION__"
+    elif isinstance(value, bool):
+        s = "true" if value else "false"
+    else:
+        s = str(value)
+    utils = (
+        spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    )
+    return utils.getPartitionPathString(col, s)

@@ -559,6 +559,11 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("toks").alias("dl"),
             F.array(*[_term_tf(t) for t in _BM25_TERMS]).alias("tf_arr"),
         )
+        # per_doc feeds BOTH the corpus stats agg and the tf posting list;
+        # without the persist the tokenize + per-term array scans (the
+        # expensive part) run twice. The cached frame is (id, int, small
+        # struct array) — tokens themselves are already projected away.
+        .persist()
     )
     stats = per_doc.agg(
         F.count("*").alias("n_docs"),
@@ -591,9 +596,23 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum("contrib"), 4).alias("score"))
     )
+    # Global top-10: an unpartitioned window moves ALL scored rows to one
+    # task — fine at test scale, a straggler at 100 TB where every doc
+    # matching any term gets a score. Pre-prune to the top 10 PER PARTITION
+    # first (map-side, no shuffle); only <= 10 * n_partitions candidates
+    # reach the single-partition ranking window. Same result: a global
+    # top-10 row is necessarily a top-10 row of its partition.
+    w_local = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    candidates = (
+        scored.withColumn("lrnk", F.row_number().over(w_local))
+        .filter(F.col("lrnk") <= 10)
+        .drop("lrnk")
+    )
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        candidates.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 10)
         .select("doc_id", "score", "rnk")
     )

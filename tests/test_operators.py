@@ -288,6 +288,31 @@ def test_connected_components_paths_agree_on_random_graphs(spark):
         assert uf == loop, (seed, uf, loop)
 
 
+def test_connected_components_threshold_boundary(spark):
+    """Exactly at the driver_max_edges boundary (2*n_pairs == threshold)
+    the driver path runs; one below it the distributed loop runs — both
+    produce identical labels on the same input, proving the switch is
+    purely a physical-strategy choice."""
+    from crz_scraper_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)]
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    at = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(
+            pairs, driver_max_edges=2 * len(edges)
+        ).collect()
+    }
+    below = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(
+            pairs, driver_max_edges=2 * len(edges) - 1
+        ).collect()
+    }
+    assert at == want and below == want
+
+
 def test_lsh_multiprobe_improves_recall(spark, sf_dir):
     """Multi-probe LSH strictly widens the candidate set: recall@5 vs the
     exact brute force is monotonically non-decreasing in probe radius, and
@@ -650,9 +675,46 @@ def test_minhash_incremental_daily_batches(spark, tmp_path):
     )
     p2 = minhash_incremental(spark, day2, "doc_id", "text", store).collect()
     assert {(r["id_new"], r["id_other"]) for r in p2} == {(10, 1)}
-    # Store now carries all four signatures.
-    assert spark.read.parquet(store).count() == 4
+    # Store now carries all four signatures (committed batch-* subdirs).
+    stored = (
+        spark.read.option("recursiveFileLookup", "true").parquet(store)
+    )
+    assert stored.count() == 4
     # Re-running the same batch pairs it against its stored twin — the
     # idempotence signal a dedup pipeline checks before re-ingesting.
     p3 = minhash_incremental(spark, day2, "doc_id", "text", store)
     assert p3.filter("id_new = id_other").count() == 0
+
+
+def test_minhash_incremental_ignores_uncommitted_staging(spark, tmp_path):
+    """A crashed run's leftover staging dir (dot-prefixed, never renamed)
+    is invisible to the store listing: the next run neither reads it nor
+    double-counts its ids, and commits its own batch atomically."""
+    import os
+
+    from crz_scraper_spark.operators.dedup import minhash_incremental
+
+    store = str(tmp_path / "sigstore")
+    day1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "a completely different document about spark plans")],
+        "doc_id bigint, text string",
+    )
+    minhash_incremental(spark, day1, "doc_id", "text", store).collect()
+    committed = [d for d in os.listdir(store) if d.startswith("batch-")]
+    assert len(committed) == 1
+    # Simulate a crashed writer: a staging dir that never got renamed.
+    fake = os.path.join(store, ".staging-deadbeef")
+    os.makedirs(fake)
+    with open(os.path.join(fake, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"not a real parquet file")
+    day2 = spark.createDataFrame(
+        [(3, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id bigint, text string",
+    )
+    pairs = minhash_incremental(spark, day2, "doc_id", "text", store).collect()
+    # Doc 3 duplicates doc 1 across batches; the garbage staging file was
+    # never read (it would have failed the parquet scan).
+    assert {(p["id_new"], p["id_other"]) for p in pairs} == {(3, 1)}
+    committed = sorted(d for d in os.listdir(store) if d.startswith("batch-"))
+    assert len(committed) == 2

@@ -643,3 +643,51 @@ def test_no_forced_broadcast_of_scaled_tables(spark):
         if bad:
             offenders[fn.__name__] = bad
     assert not offenders, f"forced broadcasts of scaled tables: {offenders}"
+
+
+def test_delete_by_key_escaped_partition_values(spark, tmp_path):
+    """Partition values with characters Spark percent-escapes in directory
+    names (':' in timestamps) still get their emptied directories removed
+    — the cleanup must derive the path via Spark's own escaping, not
+    naive f-string interpolation."""
+    import os
+
+    from crz_scraper_spark.operators.upsert import delete_by_key
+
+    path = str(tmp_path / "docs_ts")
+    df = spark.createDataFrame(
+        [(1, "2020-01-01 00:00:00"), (2, "2020-01-01 00:00:00"),
+         (3, "2020-01-02 00:00:00")],
+        "doc_id bigint, day string",
+    )
+    df.write.mode("overwrite").partitionBy("day").parquet(path)
+    escaped = [d for d in os.listdir(path) if d.startswith("day=")]
+    assert any("%3A" in d for d in escaped)  # ':' was escaped on write
+    dels = spark.createDataFrame(
+        [(1, "2020-01-01 00:00:00"), (2, "2020-01-01 00:00:00")],
+        "doc_id bigint, day string",
+    )
+    stats = delete_by_key(spark, path, dels, ["doc_id"], "day")
+    assert stats["rows_deleted"] == 2
+    rows = {r["doc_id"] for r in spark.read.parquet(path).collect()}
+    assert rows == {3}
+    # The emptied, escaped directory is really gone.
+    remaining = [d for d in os.listdir(path) if d.startswith("day=")]
+    assert len(remaining) == 1 and "2020-01-02" in remaining[0]
+
+
+def test_delete_by_key_rejects_null_partitions(spark, tmp_path):
+    """NULL partition values in delete_keys never match isin()/equi-joins,
+    so they must be rejected loudly instead of silently dropping the
+    opt-out records."""
+    import pytest as _pytest
+
+    from crz_scraper_spark.operators.upsert import delete_by_key
+
+    path = str(tmp_path / "docs_null")
+    spark.createDataFrame(
+        [(1, 0)], "doc_id bigint, part bigint"
+    ).write.mode("overwrite").partitionBy("part").parquet(path)
+    dels = spark.createDataFrame([(1, None)], "doc_id bigint, part bigint")
+    with _pytest.raises(ValueError, match="NULL"):
+        delete_by_key(spark, path, dels, ["doc_id"], "part")
