@@ -94,6 +94,47 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_md5(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(id, sig: array<bigint>) signatures on the engine-portable md5
+    Carter-Wegman family (`minhash_pairs_md5`'s hash, array-shaped like
+    `minhash_signatures`) — the oracle-reproducible signature tier for
+    consumers that store/join signature arrays (the incremental store).
+    Same map-only plan: one md5 per shingle, per-seed affine min."""
+    based = docs.select(
+        F.col(id_col), char_shingles(text_col, shingle_n).alias("__shs")
+    ).select(
+        F.col(id_col),
+        F.transform(
+            F.col("__shs"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast(
+                "bigint"
+            ),
+        ).alias("__xs"),
+    )
+    coeffs = _minhash_coeffs(num_hashes)
+
+    def _seed_min(a: int, c: int) -> Column:
+        return F.array_min(
+            F.transform(
+                F.col("__xs"),
+                lambda x: (F.lit(a) * x + F.lit(c)) % F.lit(MINHASH_PRIME),
+            )
+        )
+
+    return based.select(
+        F.col(id_col),
+        F.array(
+            *[_seed_min(a, c) for a, c in coeffs]
+        ).alias("sig"),
+    )
+
+
 def _band_keys(
     sig: DataFrame,
     id_col: str,
@@ -727,6 +768,7 @@ def minhash_incremental(
     bands: int = 8,
     shingle_n: int = 5,
     threshold: float = 0.8,
+    signature_fn=None,
 ) -> DataFrame:
     """Incremental near-dup maintenance — the daily-ingest form of
     `minhash_dedup`: signatures are computed for the NEW batch only
@@ -780,7 +822,12 @@ def minhash_incremental(
             or f.getPath().getName().endswith(".parquet")
         )
 
-    sig_new = minhash_signatures(
+    # signature_fn picks the hash family: xxhash64 (default, production)
+    # or minhash_signatures_md5 (engine-portable — lets a SQL oracle
+    # reproduce the store and the pair report exactly).
+    if signature_fn is None:
+        signature_fn = minhash_signatures
+    sig_new = signature_fn(
         new_docs, id_col, text_col, num_hashes, shingle_n
     )
     old_files = _store_files()

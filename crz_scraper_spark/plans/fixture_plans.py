@@ -1,0 +1,462 @@
+"""Driver-oracled queries for the source/sink and maintenance surfaces that
+were previously proven only by local pytest (VERDICT r2 items 3 & 8):
+
+- S3/S4/S7  pipe-CSV scan + quoted-multiline repair + pipe-CSV sink
+  (`02_filter_by_CIN.py:94`'s `sep='|'` scan, `09_clean_tables.py:154-176`'s
+  in-quote newline repair, `01_parse_xml.py:208`'s sink) — round-tripped.
+- S5/S6     directory-tree text scan + binary source
+  (`04_tag_text_contracts.py:27-48`'s corpus listing).
+- S8        wordlist sink (`05_build_special_dictionary.py:149-155`).
+- A10/X7    weighted word-score accumulation
+  (`09_clean_tables.py:310-324`'s suggested-keyword dict).
+- O3        natural (alphanumeric) sort
+  (`04_convert_contracts_to_text.py:51-54`).
+- incremental MinHash maintenance and the copy-on-write opt-out delete,
+  exercised end-to-end through their operators on materialized fixtures.
+
+Every fixture follows `xml_ingest_flatten`'s discipline: deterministic
+content derived from the driver's parquet tables, per-pid paths (no races
+between concurrent sessions), build-once-per-process (repeat invocations
+measure the operator under test, not fixture I/O). Fixture writes are test
+scaffolding — at 100 TB the corresponding inputs already exist as files.
+"""
+
+from __future__ import annotations
+
+import hashlib as _hl
+import os as _os
+import shutil as _sh
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crz_scraper_spark.catalog import fan_out, load_table
+from crz_scraper_spark.functions.casts import dsum
+
+_BUILT: set = set()
+
+
+def _fixture_dir(tag: str, sf_dir: str) -> str:
+    return (
+        f"/tmp/crz_{tag}_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+        f"_{_os.getpid()}"
+    )
+
+
+_DSUM_SQL = "CAST(round(sum(CAST({x} AS DECIMAL(18,6))), 2) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# pipe_csv_roundtrip — S3 + S4 + S7 in one driver-checked pass: orders
+# rendered with a deliberately hostile `note` column (embedded newline,
+# pipe, double quote — everything the reference's hand-rolled repair at
+# `09_clean_tables.py:154-176` exists for), written through the S7 sink,
+# read back through the S3 scan with the S4 multiLine repair, and
+# aggregated. The oracle computes the same aggregate from parquet directly:
+# any quoting/escaping/typing defect in the CSV path changes a sum.
+# ---------------------------------------------------------------------------
+
+
+def pipe_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.sources.csv import read_pipe_csv, write_pipe_csv
+
+    out_dir = _fixture_dir("pipe_csv", sf_dir)
+    if out_dir not in _BUILT:
+        orders = load_table(spark, sf_dir, "orders")
+        rendered = orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.concat(
+                F.lit("nl\n"), F.col("o_orderstatus"), F.lit('|x"q"')
+            ).alias("note"),
+        )
+        _sh.rmtree(out_dir, ignore_errors=True)
+        write_pipe_csv(rendered.repartition(4), out_dir)
+        _BUILT.add(out_dir)
+    back = read_pipe_csv(
+        spark,
+        out_dir,
+        schema="o_orderkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, note STRING",
+        multi_line=True,
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+        F.sum(F.length("note")).alias("sum_note_chars"),
+    )
+
+
+PIPE_CSV_ROUNDTRIP_SQL = f"""
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       {_DSUM_SQL.format(x="o_totalprice")} AS sum_price,
+       CAST(sum(len('nl' || chr(10) || o_orderstatus || '|x"q"')) AS BIGINT)
+         AS sum_note_chars
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# dir_tree_corpus_scan — S5 (whole-file text rows from a corpus tree) and
+# S6 (binary source) over a materialized `<doc_id>/doc_<doc_id>.txt` tree
+# (the reference's contracts_text/<ID>/ layout). n_chars comes through the
+# text scan, n_bytes through the binary scan — char vs byte length diverge
+# on any non-ASCII document, so both decode paths are independently
+# verified against the parquet originals.
+# ---------------------------------------------------------------------------
+
+
+def dir_tree_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.sources.files import (
+        read_binary_tree,
+        read_text_tree,
+    )
+
+    root = _fixture_dir("dirtree", sf_dir)
+    if root not in _BUILT:
+        subset = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 17 == 0)
+            .select("doc_id", "text")
+            .collect()  # bounded: ~6% of documents, fixture scaffolding only
+        )
+        _sh.rmtree(root, ignore_errors=True)
+        for r in subset:
+            d = _os.path.join(root, str(r["doc_id"]))
+            _os.makedirs(d, exist_ok=True)
+            with open(
+                _os.path.join(d, f"doc_{r['doc_id']}.txt"),
+                "w",
+                encoding="utf-8",
+                newline="",
+            ) as fh:
+                fh.write(r["text"] or "")
+        _BUILT.add(root)
+    txt = read_text_tree(spark, root).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        "filename",
+        F.length("text").alias("n_chars"),
+    )
+    binary = read_binary_tree(spark, root, glob="*.txt").select(
+        F.col("filename").alias("bin_filename"),
+        F.col("length").alias("n_bytes"),
+    )
+    return txt.join(
+        binary, txt.filename == binary.bin_filename
+    ).select("doc_id", "filename", "n_chars", "n_bytes")
+
+
+DIR_TREE_CORPUS_SCAN_SQL = """
+SELECT doc_id,
+       'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS filename,
+       CAST(len(text) AS INT) AS n_chars,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+WHERE doc_id % 17 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# wordlist_sink_roundtrip — S8: the word-frequency table (A4/A5 semantics,
+# count floor > 5) written through the one-word-per-line wordlist sink and
+# read back. The oracle recomputes the frequency table directly — a lost
+# line, broken encoding, or mangled count in the sink breaks the match.
+# ---------------------------------------------------------------------------
+
+
+def wordlist_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.functions.text import tokens_nonempty
+    from crz_scraper_spark.sources.csv import write_wordlist
+
+    out_dir = _fixture_dir("wordlist", sf_dir)
+    if out_dir not in _BUILT:
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        freq = (
+            docs.select(F.explode(tokens_nonempty("text")).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") > 5)
+        )
+        write_wordlist(
+            freq.select(
+                F.concat_ws("\t", "word", F.col("cnt").cast("string")).alias(
+                    "value"
+                )
+            ),
+            out_dir,
+        )
+        _BUILT.add(out_dir)
+    lines = spark.read.text(out_dir)
+    parts = F.split(F.col("value"), "\t")
+    return lines.select(
+        parts[0].alias("word"),
+        parts[1].cast("bigint").alias("cnt"),
+    )
+
+
+WORDLIST_SINK_ROUNDTRIP_SQL = """
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+        '[^a-z0-9áäčďéíľĺňóôŕšťúýž]+'), w -> w <> '')) AS word
+      FROM documents)
+GROUP BY word
+HAVING count(*) > 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# suggested_keywords_score — A10/X7: header words of qualifying columns
+# accumulate the column's score (`09_clean_tables.py:310-324`), exercised
+# through operators/profiling.suggest_keywords on a deterministic fixture
+# derived from part: 200 (table, column) pairs whose "header" is p_name
+# and whose score is a DYADIC weight (k/16 — exactly representable, so the
+# double sum is order-independent and hash-stable across engines).
+# ---------------------------------------------------------------------------
+
+
+def suggested_keywords_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.operators.profiling import suggest_keywords
+
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    table_id = (F.col("p_partkey") % 50).alias("table_id")
+    col = F.concat(
+        F.lit("c"), (F.col("p_partkey") / 50).cast("int").cast("string")
+    ).alias("col")
+    cells = part.select(
+        table_id,
+        col,
+        F.lit(0).alias("row_no"),
+        F.col("p_name").alias("cell"),
+    )
+    classified = part.select(
+        table_id,
+        col,
+        (((F.col("p_partkey") * 7) % 16) / 16.0).alias("digit_ratio"),
+    )
+    return suggest_keywords(cells, classified)
+
+
+SUGGESTED_KEYWORDS_SCORE_SQL = """
+WITH h AS (
+  SELECT p_name, ((p_partkey * 7) % 16) / 16.0 AS w
+  FROM part WHERE p_partkey < 200
+)
+SELECT word, round(sum(w), 6) AS score
+FROM (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(p_name),
+           '[^a-z0-9áäčďéíľĺňóôŕšťúýž]+'), x -> x <> '')) AS word,
+         w
+  FROM h
+)
+GROUP BY word
+"""
+
+
+# ---------------------------------------------------------------------------
+# natural_sort_rank — O3: `file10` after `file2`. Filenames with two
+# independent numeric runs are ranked by natural_sort_key (digit runs
+# left-padded inside an array sort key, fully JVM-side); the oracle ranks
+# by the numeric runs themselves — identical iff the key construction
+# compares digit runs numerically and text runs lexicographically.
+# ---------------------------------------------------------------------------
+
+
+def natural_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.functions.text import natural_sort_key
+
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    named = part.select(
+        F.concat(
+            F.lit("table_"),
+            (F.col("p_partkey") % 7).cast("string"),
+            F.lit("_"),
+            F.col("p_partkey").cast("string"),
+            F.lit(".csv"),
+        ).alias("fname")
+    )
+    w = Window.orderBy(natural_sort_key("fname"))
+    return named.select("fname", F.row_number().over(w).alias("rnk"))
+
+
+NATURAL_SORT_RANK_SQL = """
+SELECT 'table_' || CAST(p_partkey % 7 AS VARCHAR) || '_'
+         || CAST(p_partkey AS VARCHAR) || '.csv' AS fname,
+       CAST(row_number() OVER (ORDER BY p_partkey % 7, p_partkey) AS INT)
+         AS rnk
+FROM part WHERE p_partkey < 500
+"""
+
+
+# ---------------------------------------------------------------------------
+# minhash_incremental_md5 — incremental near-dup maintenance as a
+# driver-checked query: documents split into two ingest batches (even ids =
+# day 1, odd = day 2), day 1 ingested into a persisted signature store, day
+# 2's report returned. Signatures use the engine-portable md5 Carter-Wegman
+# family, so the oracle reproduces the ENTIRE path — signatures, band
+# buckets, candidate join, agreement scores — from the raw table: the
+# day-2 report must equal the full-corpus pair set restricted to odd
+# id_new. Repeat invocations re-run the day-2 call against the existing
+# store (idempotent append — the maintenance property under test).
+# ---------------------------------------------------------------------------
+
+_MHI_HASHES = 16
+_MHI_BANDS = 4
+_MHI_SHINGLE = 5
+_MHI_THRESHOLD = 0.5
+
+
+def minhash_incremental_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.operators.dedup import (
+        minhash_incremental,
+        minhash_signatures_md5,
+    )
+
+    store = _fixture_dir("mhinc", sf_dir)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    kw = dict(
+        num_hashes=_MHI_HASHES,
+        bands=_MHI_BANDS,
+        shingle_n=_MHI_SHINGLE,
+        threshold=_MHI_THRESHOLD,
+        signature_fn=minhash_signatures_md5,
+    )
+    if store not in _BUILT:
+        _sh.rmtree(store, ignore_errors=True)
+        day1 = docs.filter(F.col("doc_id") % 2 == 0)
+        minhash_incremental(
+            spark, day1, "doc_id", "text", store, **kw
+        ).count()  # materialize day-1 ingest (report discarded)
+        _BUILT.add(store)
+    day2 = docs.filter(F.col("doc_id") % 2 == 1)
+    report = minhash_incremental(spark, day2, "doc_id", "text", store, **kw)
+    return report.select(
+        "id_new", "id_other", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def _minhash_incremental_sql() -> str:
+    from crz_scraper_spark.operators.dedup import (
+        MINHASH_PRIME,
+        _minhash_coeffs,
+    )
+
+    n, nh, nb = _MHI_SHINGLE, _MHI_HASHES, _MHI_BANDS
+    rows = nh // nb
+    mins = ",\n         ".join(
+        f"min(({a} * x + {c}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, c) in enumerate(_minhash_coeffs(nh))
+    )
+    # Band equality is slice-value equality (the engine hashes the slice,
+    # the oracle compares the concatenated values — equivalent).
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(f"h{b * rows + j}::VARCHAR" for j in range(rows))
+        + " AS bv FROM sig"
+        for b in range(nb)
+    )
+    agree = " + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(nh))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(length(t) - {n - 1}, 1) + 1),
+           i -> substr(t, i, {n})))) AS s
+  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+),
+based AS (
+  SELECT doc_id, ('0x' || substr(md5(s),1,8))::BIGINT AS x
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM based GROUP BY doc_id
+),
+banded AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS id_new, a.doc_id AS id_other
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+  WHERE b.doc_id % 2 = 1
+)
+SELECT c.id_new, c.id_other,
+       round(({agree}) / {nh}.0, 6) AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.id_new
+JOIN sig sb ON sb.doc_id = c.id_other
+WHERE round(({agree}) / {nh}.0, 6) >= {_MHI_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# delete_by_key_audit — the copy-on-write opt-out delete as a driver-checked
+# query: orders materialized as a parquet table partitioned by status, every
+# 7th orderkey deleted through operators/upsert.delete_by_key (partition-
+# pruned read, broadcast anti-join, dynamic overwrite), then the surviving
+# table is aggregated. The oracle aggregates the logically-equivalent
+# filter on the original table — a row that survives deletion, or one
+# deleted too many, breaks the match. Repeat invocations re-issue the same
+# delete (idempotent: 0 rows) and re-read — deterministic.
+# ---------------------------------------------------------------------------
+
+
+def delete_by_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.operators.upsert import delete_by_key
+
+    path = _fixture_dir("delaudit", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    if path not in _BUILT:
+        _sh.rmtree(path, ignore_errors=True)
+        (
+            orders.select(
+                "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+            )
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(path)
+        )
+        _BUILT.add(path)
+    dels = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    delete_by_key(spark, path, dels, ["o_orderkey"], "o_orderstatus")
+    remaining = spark.read.parquet(path)
+    return remaining.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
+DELETE_BY_KEY_AUDIT_SQL = f"""
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       {_DSUM_SQL.format(x="o_totalprice")} AS sum_price
+FROM orders
+WHERE o_orderkey % 7 <> 0
+GROUP BY o_orderstatus
+"""
+
+
+QUERIES: dict = {
+    "pipe_csv_roundtrip": (pipe_csv_roundtrip, PIPE_CSV_ROUNDTRIP_SQL),
+    "dir_tree_corpus_scan": (dir_tree_corpus_scan, DIR_TREE_CORPUS_SCAN_SQL),
+    "wordlist_sink_roundtrip": (
+        wordlist_sink_roundtrip,
+        WORDLIST_SINK_ROUNDTRIP_SQL,
+    ),
+    "suggested_keywords_score": (
+        suggested_keywords_score,
+        SUGGESTED_KEYWORDS_SCORE_SQL,
+    ),
+    "natural_sort_rank": (natural_sort_rank, NATURAL_SORT_RANK_SQL),
+    "minhash_incremental_md5": (
+        minhash_incremental_md5,
+        _minhash_incremental_sql(),
+    ),
+    "delete_by_key_audit": (delete_by_key_audit, DELETE_BY_KEY_AUDIT_SQL),
+}
