@@ -99,6 +99,8 @@ def _capabilities() -> dict[str, bool]:
             "tesseract": _sh.which("tesseract") is not None
             and _sh.which("pdftoppm") is not None,
             "camelot": _ilu.find_spec("camelot") is not None,
+            "ebook_convert": _sh.which("ebook-convert") is not None,
+            "unoconv": _sh.which("unoconv") is not None,
         }
     return _CAPS
 
@@ -263,6 +265,114 @@ def _camelot_tables(payload: bytes, page: int) -> list[tuple[int, int, float]]:
              round(float(t.parsing_report.get("accuracy", 0.0)) / 100, 2))
             for t in tables
         ]
+
+
+def _fake_convert_pdf(payload: bytes, ext: str) -> bytes:
+    """STUB for X3 doc/docx→pdf: a deterministic minimal PDF whose content
+    encodes the source digest — downstream X1/X4 tiers (incl. the pure
+    parser) can consume it, so the full route→convert→extract pipeline is
+    exercisable with no binaries installed."""
+    h = hashlib.sha256(payload).hexdigest()[:16]
+    txt = f"converted {ext} {h}".encode()
+    body = b"BT (%s) Tj ET" % txt
+    return (
+        b"%PDF-1.4\n1 0 obj << /Type /Page >> endobj\n"
+        b"stream\n" + body + b"\nendstream\n%%EOF\n"
+    )
+
+
+def _ebook_convert_pdf(payload: bytes, ext: str) -> bytes:
+    """X3 real adapter: `ebook-convert in.<ext> out.pdf` exactly as
+    04_convert_contracts_to_text.py:251."""
+    import os as _os
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        src = _os.path.join(td, f"in.{ext}")
+        dst = _os.path.join(td, "out.pdf")
+        with open(src, "wb") as fh:
+            fh.write(payload)
+        subprocess.run(
+            ["ebook-convert", src, dst],
+            capture_output=True,
+            timeout=TIMEOUT_SECONDS * 6,
+        )
+        with open(dst, "rb") as fh:
+            return fh.read()
+
+
+def _unoconv_pdf(payload: bytes, ext: str) -> bytes:
+    """X3 real adapter: `unoconv -f pdf -o out.pdf in.<ext>` exactly as
+    04_convert_contracts_to_text.py:256."""
+    import os as _os
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        src = _os.path.join(td, f"in.{ext}")
+        dst = _os.path.join(td, "out.pdf")
+        with open(src, "wb") as fh:
+            fh.write(payload)
+        subprocess.run(
+            ["unoconv", "-f", "pdf", "-o", dst, src],
+            capture_output=True,
+            timeout=TIMEOUT_SECONDS * 6,
+        )
+        with open(dst, "rb") as fh:
+            return fh.read()
+
+
+def _resolve_convert(backend: str):
+    if backend == "stub":
+        return _fake_convert_pdf
+    caps = _capabilities()
+    if caps["ebook_convert"]:
+        return _try_chain(_ebook_convert_pdf, _fake_convert_pdf)
+    if caps["unoconv"]:
+        return _try_chain(_unoconv_pdf, _fake_convert_pdf)
+    return _fake_convert_pdf
+
+
+CONVERT_SCHEMA = "id string, filename string, pdf binary, method string"
+
+
+def convert_to_pdf(binaries: DataFrame, backend: str = "auto") -> DataFrame:
+    """X3: normalize every document to PDF. Rows routed `pdf` pass through
+    untouched; `convert` rows (doc/docx, P11 routing) go through the
+    ebook-convert/unoconv adapter (stub tier in minimal images); everything
+    else is dropped — exactly the reference's per-extension ladder
+    (`04_convert_contracts_to_text.py:222-256`). Arrow-batched map, no
+    shuffle; at 100 TB conversion parallelizes as tasks the same way the
+    per-file subprocess loop did not."""
+    from crz_scraper_spark.sources.files import route_by_extension
+
+    routed = route_by_extension(binaries, "filename").filter(
+        F.col("route").isin("pdf", "convert")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        convert_fn = _resolve_convert(backend)
+        for pdf in it:
+            out: dict[str, list] = {
+                "id": [], "filename": [], "pdf": [], "method": [],
+            }
+            for rid, fname, payload, route in zip(
+                pdf["id"], pdf["filename"], pdf["content"], pdf["route"]
+            ):
+                p = payload if payload is not None else b""
+                if route == "pdf":
+                    blob, method = bytes(p), "passthrough"
+                else:
+                    ext = str(fname).rsplit(".", 1)[-1].lower()
+                    blob, method = convert_fn(bytes(p), ext), "converted"
+                out["id"].append(rid)
+                out["filename"].append(fname)
+                out["pdf"].append(blob)
+                out["method"].append(method)
+            yield pd.DataFrame(out)
+
+    return routed.mapInPandas(batches, CONVERT_SCHEMA)
 
 
 def _try_chain(*tiers):
