@@ -44,6 +44,20 @@ def learn_bpe(texts: Iterable[str], n_merges: int = 200) -> list[tuple[str, str]
         for w in split_re.split(t.lower()):
             if w:
                 word_freq[w] += 1
+    return learn_bpe_from_word_counts(word_freq.items(), n_merges)
+
+
+def learn_bpe_from_word_counts(
+    word_counts: Iterable[tuple[str, int]], n_merges: int = 200
+) -> list[tuple[str, str]]:
+    """The Sennrich pair-count loop over a (word, frequency) table — the
+    form that scales: BPE learning needs only word FREQUENCIES, never the
+    token stream, so a 100 TB corpus reduces to one distributed word-count
+    aggregate whose distinct-word result (vocab-sized, millions at most)
+    fits the driver. Same deterministic tie-break as `learn_bpe`."""
+    word_freq: Counter = Counter()
+    for w, c in word_counts:
+        word_freq[w] += c
     # word -> tuple of current symbols
     seqs: dict[str, list[str]] = {
         w: [*w, _END] for w in word_freq
@@ -170,6 +184,12 @@ def bpe_token_stats(
     merges = learn_bpe(sample, n_merges=n_merges)
     count_udf = bpe_token_count_udf(spark, merges)
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    return _apply_bpe_stats(docs, spark, merges, id_col, text_col)
+
+
+def _apply_bpe_stats(docs, spark, merges, id_col, text_col) -> DataFrame:
+    count_udf = bpe_token_count_udf(spark, merges)
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
     return docs.select(
         F.col(id_col),
         F.size(toks).cast("bigint").alias("n_words"),
@@ -183,3 +203,45 @@ def bpe_token_stats(
             "CAST(__chars * 1000000 div greatest(n_bpe_tokens, 1) AS BIGINT)"
         ).alias("chars_per_token_ppm"),
     )
+
+
+def bpe_corpus_token_stats(
+    docs: DataFrame,
+    spark: SparkSession,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_vocab: int = 65_536,
+    n_merges: int = 200,
+) -> DataFrame:
+    """The exact-corpus form of `bpe_token_stats`: merges are learned from
+    the FULL corpus's word frequencies instead of a document sample.
+
+    100 TB posture: ONE distributed word-count aggregate (explode →
+    partial+final hash agg — the same shape as `word_frequency`) reduces
+    the token stream to its distinct-word table; only the top `max_vocab`
+    words by (count desc, word asc) — a deterministic total order — reach
+    the driver, bounding memory regardless of corpus size. Truncation
+    drops only tail words whose frequencies are too small to win a merge
+    against head pairs, so for realistic Zipfian corpora the merge list
+    equals the untruncated one. Application is unchanged: map-only scan,
+    broadcast ranks, per-word memo."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    counts = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(max_vocab)
+        .collect()
+    )
+    if not counts:
+        raise ValueError(
+            "bpe_corpus_token_stats: empty corpus — no word frequencies to "
+            "learn merges from"
+        )
+    merges = learn_bpe_from_word_counts(
+        ((r["word"], r["cnt"]) for r in counts), n_merges
+    )
+    return _apply_bpe_stats(docs, spark, merges, id_col, text_col)

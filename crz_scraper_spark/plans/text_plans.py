@@ -672,8 +672,20 @@ def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(docs, spark)
 
 
+def bpe_corpus_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact-corpus vocabulary: merges learned from the FULL corpus's word
+    # frequencies via one distributed word-count agg (top-max_vocab rows
+    # reach the driver — bounded at any corpus size), not from a document
+    # sample. Rows-only check (merge learning has no SQL analog).
+    from crz_scraper_spark.operators.bpe import bpe_corpus_token_stats
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return bpe_corpus_token_stats(docs, spark)
+
+
 QUERIES: dict = {
     "bpe_token_stats": (bpe_token_stats_q, None),
+    "bpe_corpus_token_stats": (bpe_corpus_token_stats_q, None),
     "word_frequency": (word_frequency, WORD_FREQUENCY_SQL),
     "bm25_search": (bm25_search, _bm25_sql()),
     "tf_idf_top_terms": (tf_idf_top_terms, TF_IDF_TOP_TERMS_SQL),

@@ -718,3 +718,50 @@ def test_minhash_incremental_ignores_uncommitted_staging(spark, tmp_path):
     assert {(p["id_new"], p["id_other"]) for p in pairs} == {(3, 1)}
     committed = sorted(d for d in os.listdir(store) if d.startswith("batch-"))
     assert len(committed) == 2
+
+
+def test_bpe_corpus_learning_matches_driver_learning(spark):
+    """Corpus-wide word-count learning must produce exactly the merges the
+    in-driver learner finds on the same text (same word frequencies -> same
+    deterministic pair-count loop), and the applied stats must agree."""
+    from crz_scraper_spark.operators.bpe import (
+        bpe_corpus_token_stats,
+        learn_bpe,
+        learn_bpe_from_word_counts,
+    )
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low lowly",
+        "the newest of the new lows",
+    ]
+    from collections import Counter
+
+    wf = Counter(w for t in texts for w in t.lower().split())
+    assert learn_bpe_from_word_counts(wf.items(), 8) == learn_bpe(texts, 8)
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bpe_corpus_token_stats(docs, spark, n_merges=8).collect()
+    }
+    assert len(rows) == 3
+    for r in rows.values():
+        assert r["n_bpe_tokens"] >= r["n_words"]
+
+
+def test_bpe_corpus_vocab_cap_is_deterministic(spark):
+    """Truncating to max_vocab uses the (count desc, word asc) total order:
+    two runs over the same data give identical merge lists even when the
+    cap bites."""
+    from crz_scraper_spark.operators.bpe import bpe_corpus_token_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma w{i} w{i} shared shared shared") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    a = sorted(map(tuple, bpe_corpus_token_stats(docs, spark, max_vocab=6, n_merges=10).collect()))
+    b = sorted(map(tuple, bpe_corpus_token_stats(docs, spark, max_vocab=6, n_merges=10).collect()))
+    assert a == b
