@@ -786,6 +786,24 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup_scaled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's PRODUCTION posture demonstrated: n_cells grows with the
+    corpus (~250 vectors/cell) so within-cell pair work stays LINEAR in
+    corpus size — the `semantic_dedup` query above pins n_cells=8 for its
+    SQL oracle and therefore scales quadratically per cell (the sf1 bench
+    flags it by design; this variant is the fix it documents). Rows-only
+    check: the centroid count depends on the input count, so the oracle
+    SQL cannot be a static string. One extra count() job; everything else
+    is the same codegen argmax + cell equi-join."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    n = emb.count()
+    n_cells = max(8, n // 250)
+    cents = fixed_centroids(_SEMDEDUP_DIM, n_cells, _SEMDEDUP_SEED)
+    return semantic_dedup(
+        emb, cents, "vec_id", "embedding", threshold=_SEMDEDUP_TAU, round_to=4
+    )
+
+
 def _semantic_dedup_sql() -> str:
     cents = fixed_centroids(_SEMDEDUP_DIM, _SEMDEDUP_CELLS, _SEMDEDUP_SEED)
     cent_rows = ",\n    ".join(
@@ -961,6 +979,7 @@ WHERE rank <= 3
 QUERIES: dict = {
     "udtf_widen_roundtrip": (udtf_widen_roundtrip, UDTF_WIDEN_ROUNDTRIP_SQL),
     "semantic_dedup": (semantic_dedup_q, _semantic_dedup_sql()),
+    "semantic_dedup_scaled": (semantic_dedup_scaled_q, None),
     "ann_lsh_recall": (ann_lsh_recall, _ann_lsh_recall_sql()),
     "hard_negative_mining": (hard_negative_mining, HARD_NEGATIVE_MINING_SQL),
     "fuzzy_name_pairs": (fuzzy_name_pairs, FUZZY_NAME_PAIRS_SQL),
