@@ -729,6 +729,70 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# fuzzy_name_pairs_refined — the 100 TB form of the blocking key above:
+# (brand, FIRST NAME TOKEN) instead of brand alone, so block size is
+# governed by the name distribution, not the fixed brand count (brand-only
+# blocks grow linearly with sf → within-block pairs grow quadratically —
+# the sf1 slope analysis flags the coarse query by design; this is the
+# documented refinement, expressed and ORACLED). Recall semantics shift
+# with the key — pairs differing in their first token are no longer found
+# — which is exactly the blocking-key recall trade entity resolution makes
+# explicit; both engines compute the identical refined pair set.
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_name_pairs_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = fan_out(load_table(spark, sf_dir, "part")).select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.length("p_name").alias("ln"),
+        F.split(F.col("p_name"), " ")[0].alias("tok0"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("ak"),
+        F.col("p_name").alias("an"),
+        F.col("p_brand").alias("brand"),
+        F.col("ln").alias("al"),
+        F.col("tok0").alias("t0"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("bk"),
+        F.col("p_name").alias("bn"),
+        F.col("p_brand").alias("brand"),
+        F.col("ln").alias("bl"),
+        F.col("tok0").alias("t0"),
+    )
+    return (
+        a.join(b, ["brand", "t0"])
+        .filter(
+            (F.col("ak") < F.col("bk"))
+            & (F.abs(F.col("al") - F.col("bl")) <= 1)
+        )
+        .select("brand", F.expr("levenshtein(an, bn, 2)").alias("d"))
+        .filter(F.col("d") >= 0)
+        .groupBy("brand")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("d"), 6).alias("avg_dist"),
+        )
+    )
+
+
+FUZZY_NAME_PAIRS_REFINED_SQL = """
+SELECT a.p_brand AS brand, count(*) AS n_pairs,
+       round(avg(levenshtein(a.p_name, b.p_name)), 6) AS avg_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand
+ AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+ AND a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= 1
+ AND levenshtein(a.p_name, b.p_name) <= 2
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # udtf_widen_roundtrip — the dynamic-schema UDTF (analyze() computes the
 # output schema from its argument at plan time; operators/extraction.py::
 # widen_cells) proven by a round trip: four part columns unpivoted to
@@ -983,6 +1047,10 @@ QUERIES: dict = {
     "ann_lsh_recall": (ann_lsh_recall, _ann_lsh_recall_sql()),
     "hard_negative_mining": (hard_negative_mining, HARD_NEGATIVE_MINING_SQL),
     "fuzzy_name_pairs": (fuzzy_name_pairs, FUZZY_NAME_PAIRS_SQL),
+    "fuzzy_name_pairs_refined": (
+        fuzzy_name_pairs_refined,
+        FUZZY_NAME_PAIRS_REFINED_SQL,
+    ),
     "cosine_topk_bruteforce": (cosine_topk_bruteforce, COSINE_TOPK_SQL),
     "pdf_text_extract": (pdf_text_extract, PDF_TEXT_EXTRACT_SQL),
     "pdf_table_detect": (pdf_table_detect, PDF_TABLE_DETECT_SQL),
