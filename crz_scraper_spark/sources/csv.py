@@ -58,6 +58,12 @@ def write_pipe_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     `single_file` coalesces to one partition for small edge outputs (the
     reference's one-CSV-per-stage shape); large outputs keep one file per
     partition — a 100 TB sink must never funnel through one writer.
+
+    Spark's CSV WRITER trims leading/trailing whitespace by default
+    (`ignoreLeading/TrailingWhiteSpace` default true on write, false on
+    read) — silent data loss the reference's `to_csv` never has; both are
+    pinned false so whitespace-bearing cells round-trip exactly (caught by
+    the `test_pipe_csv_roundtrip_arbitrary_content` property fuzz).
     """
     out = df.coalesce(1) if single_file else df
     (
@@ -66,6 +72,8 @@ def write_pipe_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
         .option("header", True)
         .option("quote", '"')
         .option("escape", '"')
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
         .csv(path)
     )
 

@@ -225,3 +225,34 @@ def test_upsert_by_key_equals_dict_semantics(spark, tmp_path_factory, batches):
         for r in spark.read.parquet(path).collect()
     }
     assert got == expect
+
+
+# Hostile CSV content: quotes, pipes, CR/LF, leading/trailing whitespace —
+# everything the S7 sink must escape and the S3/S4 scan must reassemble.
+_csv_cell = st.text(
+    alphabet='abc 0123456789"|\n\r\t,\\\'',
+    max_size=24,
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_csv_cell, min_size=1, max_size=8))
+def test_pipe_csv_roundtrip_arbitrary_content(spark, tmp_path_factory, cells):
+    """write_pipe_csv → read_pipe_csv(multi_line=True) is lossless for ANY
+    cell content: embedded pipes, double quotes, newlines, and carriage
+    returns survive the quote/escape/multiline machinery byte-for-byte.
+    (Cells that are empty read back as NULL — the reference's pandas
+    `dtype=str` path has the same ''≈NaN ambiguity, SURVEY §7 Hard-2 —
+    so the property normalizes '' to None on the expected side.)"""
+    from crz_scraper_spark.sources.csv import read_pipe_csv, write_pipe_csv
+
+    out = str(tmp_path_factory.mktemp("pipecsv"))
+    rows = [(i, c) for i, c in enumerate(cells)]
+    df = spark.createDataFrame(rows, "k bigint, payload string")
+    write_pipe_csv(df, out)
+    back = read_pipe_csv(
+        spark, out, schema="k bigint, payload string", multi_line=True
+    )
+    got = {r["k"]: r["payload"] for r in back.collect()}
+    want = {i: (c if c != "" else None) for i, c in rows}
+    assert got == want
