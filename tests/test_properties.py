@@ -256,3 +256,79 @@ def test_pipe_csv_roundtrip_arbitrary_content(spark, tmp_path_factory, cells):
     got = {r["k"]: r["payload"] for r in back.collect()}
     want = {i: (c if c != "" else None) for i, c in rows}
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_text, min_size=1, max_size=10))
+def test_subject_extract_matches_python_reference(spark, texts):
+    """subject_extract ≡ the reference's find-anchor-take-600 ladder
+    (08_extract_subject.py:42-57) reimplemented in Python, on arbitrary
+    text: first anchor wins, miss falls through, double miss -> NULL."""
+    from crz_scraper_spark.functions.text import subject_extract
+
+    anchors = ("predmet zmluvy", "úvodné ustanovenia")
+    # Seed some anchor hits so the property exercises both branches.
+    seeded = [
+        (i, t if i % 3 else f"{t} Predmet Zmluvy: {t}")
+        for i, t in enumerate(texts)
+    ]
+
+    def ref(t: str):
+        low = t.lower()
+        for a in anchors:
+            pos = low.find(a)
+            if pos != -1:
+                return low[pos : pos + 600]
+        return None
+
+    df = spark.createDataFrame(seeded, "k bigint, text string")
+    got = {
+        r["k"]: r["subj"]
+        for r in df.select(
+            "k", subject_extract("text").alias("subj")
+        ).collect()
+    }
+    want = {i: ref(t) for i, t in seeded}
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="abc0123456789_.", min_size=1, max_size=16),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_natural_sort_matches_python_reference(spark, names):
+    """natural_sort_key ordering ≡ the reference's digit/non-digit split
+    with numeric comparison (04_convert_contracts_to_text.py:51-54), on
+    arbitrary alphanumeric names."""
+    import re
+
+    from crz_scraper_spark.functions.text import natural_sort_key
+
+    def ref_key(s: str):
+        return [
+            int(p) if p.isdigit() else p
+            for p in re.findall(r"\d+|\D+", s)
+        ]
+
+    # Python can't compare int vs str: map each run to a (type, value)
+    # tuple the way natural sort semantics define the order only when the
+    # runs align in type; restrict comparison to a stable total order by
+    # padding — the same trick the Spark key uses.
+    def ref_key_total(s: str):
+        return [
+            p.zfill(20) if p.isdigit() else p
+            for p in re.findall(r"\d+|\D+", s)
+        ]
+
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = [
+        r["name"]
+        for r in df.orderBy(natural_sort_key("name"), "name").collect()
+    ]
+    want = sorted(names, key=lambda s: (ref_key_total(s), s))
+    assert got == want
