@@ -332,3 +332,39 @@ def test_natural_sort_matches_python_reference(spark, names):
     ]
     want = sorted(names, key=lambda s: (ref_key_total(s), s))
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet='ab čž"\\\n\r\t{}[]:,0京γ',
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_jsonl_roundtrip_arbitrary_content(spark, tmp_path_factory, texts):
+    """write_jsonl -> read_jsonl is lossless for arbitrary text payloads:
+    JSON escaping keeps newlines/quotes/unicode inside ONE line per record
+    (the line-splittability the 100 TB interchange format depends on), and
+    every value survives byte-for-byte."""
+    from pyspark.sql import types as T
+
+    from crz_scraper_spark.sources.jsonl import read_jsonl, split_corrupt, write_jsonl
+
+    out = str(tmp_path_factory.mktemp("jsonl"))
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    write_jsonl(df, out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    clean, corrupt = split_corrupt(read_jsonl(spark, out, schema))
+    assert corrupt.count() == 0
+    got = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert got == dict(rows)
