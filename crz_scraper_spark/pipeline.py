@@ -164,4 +164,111 @@ def tables_pipeline(
     }
 
 
-__all__ = ["contracts_pipeline", "documents_pipeline", "tables_pipeline"]
+def curation_pipeline(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_dup_threshold: float = 0.8,
+    quality_min: float = 0.3,
+    train_pct: int = 80,
+) -> dict[str, DataFrame]:
+    """The training-data curation chain, end-to-end as one composition —
+    what a corpus owner actually runs nightly: exact dedup → MinHash-LSH
+    near-dup clustering (keep one representative per cluster) → quality
+    floor → deterministic hash-bucket train/test split. Every stage is the
+    already-verified operator; this function only wires them, so the
+    composition inherits each stage's oracle/test evidence.
+
+    Scale posture: exact dedup groups on a 16-byte digest (narrow
+    shuffle); near-dup is the banded-LSH equi-join (never O(n²));
+    quality/lang are map-only column expressions; the split is a
+    shuffle-free hash bucket. The returned `audit` frame carries
+    row-counts per stage — the lineage record a deletion/curation
+    pipeline is obligated to keep (computed in one action per stage when
+    materialized; callers persist `survivors` first if they want the
+    counts for free).
+
+    Returns:
+    - `survivors`  — (id, text, quality_score, lang_guess, split)
+    - `dropped`    — (id, stage) for every removed document
+    - `near_dup_clusters` — (doc_id, cluster_id) over the LSH pair graph
+    - `audit`      — (stage, n_rows) counts after each stage
+    """
+    from crz_scraper_spark.operators.dedup import (
+        connected_components,
+        first_wins_dedup,
+        minhash_dedup,
+    )
+    from crz_scraper_spark.operators.textquality import (
+        lang_id_scores,
+        quality_score,
+    )
+
+    base = docs.select(id_col, text_col)
+    # Stage 1 — exact dedup: group on the content digest, keep lowest id.
+    exact = first_wins_dedup(
+        base.withColumn("__h", F.xxhash64(F.col(text_col))),
+        keys=["__h"],
+        order_by=[F.asc(id_col)],
+    ).drop("__h")
+    # Stage 2 — near-dup: LSH pairs -> connected components -> keep the
+    # cluster representative (minimum reachable id).
+    pairs = minhash_dedup(
+        exact, id_col, text_col, threshold=near_dup_threshold
+    ).select(F.col("id_a"), F.col("id_b"))
+    clusters = connected_components(pairs)
+    non_reps = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    deduped = exact.join(F.broadcast(non_reps), id_col, "left_anti")
+    # Stage 3 — quality floor + language tag (map-only).
+    scored = (
+        deduped.join(quality_score(deduped, id_col, text_col)
+                     .select(id_col, "quality_score"), id_col)
+        .join(lang_id_scores(deduped, id_col, text_col)
+              .select(id_col, "lang_guess"), id_col)
+    )
+    kept = scored.filter(F.col("quality_score") >= quality_min)
+    # Stage 4 — deterministic hash-bucket split (shuffle-free, stable
+    # across runs and partitionings: bucket = md5(id) % 100).
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    )
+    survivors = kept.withColumn(
+        "split",
+        F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("test")),
+    )
+    dropped = (
+        base.select(id_col).join(exact.select(id_col), id_col, "left_anti")
+        .withColumn("stage", F.lit("exact_dup"))
+        .unionByName(non_reps.withColumn("stage", F.lit("near_dup")))
+        .unionByName(
+            scored.filter(F.col("quality_score") < quality_min)
+            .select(id_col).withColumn("stage", F.lit("low_quality"))
+        )
+    )
+    audit_rows = [
+        ("input", base), ("exact_dedup", exact), ("near_dedup", deduped),
+        ("quality_floor", kept), ("final", survivors),
+    ]
+    audit = None
+    for name, frame in audit_rows:
+        one = frame.agg(F.count("*").alias("n_rows")).select(
+            F.lit(name).alias("stage"), "n_rows"
+        )
+        audit = one if audit is None else audit.unionByName(one)
+    return {
+        "survivors": survivors,
+        "dropped": dropped,
+        "near_dup_clusters": clusters,
+        "audit": audit,
+    }
+
+
+__all__ = [
+    "contracts_pipeline",
+    "documents_pipeline",
+    "tables_pipeline",
+    "curation_pipeline",
+]

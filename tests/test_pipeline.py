@@ -396,3 +396,41 @@ def test_cli_list_and_unknown():
     with redirect_stderr(err):
         assert main(["run", "definitely_not_a_query"]) == 2
     assert "unknown queries" in err.getvalue()
+
+
+def test_curation_pipeline_end_to_end(spark, sf_dir):
+    """The curation chain composes the verified operators: stage counts are
+    monotone non-increasing, every dropped id carries a stage tag, the
+    drop ledger + survivors exactly partition the input, near-dup
+    representatives are cluster minima, and two runs are identical
+    (deterministic dedup/split)."""
+    from crz_scraper_spark.pipeline import curation_pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curation_pipeline(docs)
+    audit = {r["stage"]: r["n_rows"] for r in out["audit"].collect()}
+    assert (
+        audit["input"] >= audit["exact_dedup"] >= audit["near_dedup"]
+        >= audit["quality_floor"] == audit["final"]
+    )
+    survivors = out["survivors"].collect()
+    dropped = out["dropped"].collect()
+    assert len(survivors) == audit["final"]
+    # Partition property: survivors ∪ dropped == input ids, disjoint.
+    s_ids = {r["doc_id"] for r in survivors}
+    d_ids = {r["doc_id"] for r in dropped}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert s_ids | d_ids == all_ids and not (s_ids & d_ids)
+    assert {r["stage"] for r in dropped} <= {
+        "exact_dup", "near_dup", "low_quality"
+    }
+    # Representatives are cluster minima.
+    for r in out["near_dup_clusters"].collect():
+        assert r["cluster_id"] <= r["doc_id"]
+    # Determinism: a second run reproduces survivors + splits exactly.
+    again = curation_pipeline(docs)["survivors"].collect()
+    assert sorted(map(tuple, survivors)) == sorted(map(tuple, again))
+    # Split buckets roughly honor the 80/20 target.
+    splits = {r["doc_id"]: r["split"] for r in survivors}
+    frac = sum(1 for v in splits.values() if v == "train") / len(splits)
+    assert 0.7 < frac < 0.9
