@@ -46,6 +46,8 @@ def main() -> None:
     # free ride from its warmup. SPARK_GRAFT_BENCH_WARMUP=0 restores
     # cold-plan timing.
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+    import gc
+
     timings: dict[str, float] = {}
     for name, (fn, _sql) in sorted(REGISTRY.items()):
         if warmup:
@@ -56,6 +58,12 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
         spark.catalog.clearCache()
+        # Drop py4j refs so Spark's ContextCleaner reclaims the session's
+        # accumulated broadcasts/codegen state: without this, memory
+        # pressure late in a 150-query run inflated individual timings
+        # 3-10x over their standalone cost (measured 3s -> 37s).
+        df = None
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     full = {

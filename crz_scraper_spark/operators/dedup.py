@@ -720,15 +720,31 @@ def semantic_dedup(
     sims = F.transform(
         cm, lambda c: F.round(_dot(v, c) / (_norm(v) * _norm(c)), 6)
     )
-    base = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-    ).withColumns(
-        {
-            "cell": (F.array_position(sims, F.array_max(sims)) - 1).cast("int"),
-            "__nrm": _norm(v),
-        }
-    )
+    # Expression argmax costs O(n_cells) interpreted array ops per row —
+    # right for the oracled fixed-cell query (n_cells=8, SQL-reproducible),
+    # wrong once n_cells scales with the corpus: the BLAS path below does
+    # ONE (batch × dim) @ (dim × n_cells) matrix multiply per Arrow batch.
+    # Both round to 6 dp before the argmax with lowest-index tie-break;
+    # assignment agreement is asserted empirically in tests (BLAS pairwise
+    # summation can differ in the last ulp, absorbed by the round).
+    if len(centroids) > 16:
+        assign = _assign_cells_numpy_udf(centroids)
+        base = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ).withColumns({"cell": assign("__v"), "__nrm": _norm(v)})
+    else:
+        base = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ).withColumns(
+            {
+                "cell": (
+                    F.array_position(sims, F.array_max(sims)) - 1
+                ).cast("int"),
+                "__nrm": _norm(v),
+            }
+        )
     a, b = base.alias("a"), base.alias("b")
     pair_sim = F.round(
         _dot(F.col("a.__v"), F.col("b.__v"))
@@ -756,6 +772,29 @@ def semantic_dedup(
             F.coalesce(F.col("__rep"), F.col("vec_id")).alias("rep_id"),
         )
     )
+
+
+def _assign_cells_numpy_udf(centroids: list[list[float]]):
+    """Arrow-batched cell assignment: cosine argmax via one BLAS matrix
+    multiply per batch. Mirrors the expression argmax's form — dot first,
+    THEN divide by the norm product, 6-dp round before the argmax, lowest
+    index on ties (np.argmax returns the first maximum). BLAS pairwise
+    summation can differ from the expression's sequential sum in the last
+    ulp, which the 6-dp round absorbs (assignment parity is asserted
+    empirically in tests); deterministic run-to-run either way."""
+    import numpy as np
+
+    cm = np.asarray(centroids, dtype=np.float64)  # (n_cells, dim)
+    cm_nrm = np.linalg.norm(cm, axis=1)  # (n_cells,)
+
+    @F.pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy())  # (batch, dim)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)  # (batch, 1)
+        sims = np.round((mat @ cm.T) / (nrm * cm_nrm[None, :]), 6)
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    return assign
 
 
 def minhash_incremental(

@@ -765,3 +765,40 @@ def test_bpe_corpus_vocab_cap_is_deterministic(spark):
     a = sorted(map(tuple, bpe_corpus_token_stats(docs, spark, max_vocab=6, n_merges=10).collect()))
     b = sorted(map(tuple, bpe_corpus_token_stats(docs, spark, max_vocab=6, n_merges=10).collect()))
     assert a == b
+
+
+def test_semantic_dedup_numpy_assignment_matches_expr(spark, sf_dir):
+    """The BLAS cell-assignment path (n_cells > 16) must assign every
+    vector to the same cell as the codegen expression argmax on the same
+    centroids — the 6-dp round before the argmax absorbs summation-order
+    ulp differences."""
+    from pyspark.sql import functions as F
+
+    from crz_scraper_spark.operators.dedup import (
+        _assign_cells_numpy_udf,
+        fixed_centroids,
+    )
+    from crz_scraper_spark.operators.similarity import _dot, _norm
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = fixed_centroids(64, 32, seed=5)
+    cm = F.lit([[float(x) for x in c] for c in cents])
+    sims = F.transform(
+        cm, lambda c: F.round(_dot(F.col("v"), c) / (_norm(F.col("v")) * _norm(c)), 6)
+    )
+    expr_cells = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id",
+            (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cell"),
+        ).collect()
+    }
+    np_cells = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id", _assign_cells_numpy_udf(cents)("v").alias("cell")
+        ).collect()
+    }
+    assert expr_cells == np_cells
