@@ -745,6 +745,10 @@ def semantic_dedup(
                 "__nrm": _norm(v),
             }
         )
+    # base feeds BOTH self-join sides AND the final result join — persist
+    # so the scan + cell assignment + norms compute once, not three times
+    # (at scaled n_cells the assignment is the third of the cost).
+    base = base.persist()
     a, b = base.alias("a"), base.alias("b")
     pair_sim = F.round(
         _dot(F.col("a.__v"), F.col("b.__v"))
