@@ -684,6 +684,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.35,
     round_to: int = 4,
+    pair_impl: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
     embedding space, then drop any vector whose cosine similarity to a
@@ -749,22 +750,59 @@ def semantic_dedup(
     # so the scan + cell assignment + norms compute once, not three times
     # (at scaled n_cells the assignment is the third of the cost).
     base = base.persist()
-    a, b = base.alias("a"), base.alias("b")
-    pair_sim = F.round(
-        _dot(F.col("a.__v"), F.col("b.__v"))
-        / (F.col("a.__nrm") * F.col("b.__nrm")),
-        round_to,
-    )
-    drops = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    if pair_impl == "gram":
+        # Per-cell BLAS gram matrix instead of the pair self-join: one
+        # applyInPandas group per cell computes all within-cell cosines as
+        # (X @ X.T) / outer(norms) in vectorized BLAS — same dot-first,
+        # divide-then-round form as the expression path (last-ulp pairwise
+        # vs sequential summation absorbed by the round; parity asserted
+        # empirically in tests). Memory is O(cell_size²) per task, which
+        # is exactly the quantity SemDeDup's n_cells ∝ corpus bounds —
+        # the path for the scaled variant, while the oracled fixed-cell
+        # query keeps the SQL-reproducible expression join.
+        pair_schema = "vec_id bigint, __rep bigint"
+        tau, rt = threshold, round_to
+
+        def _cell_drops(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            ids = pdf["vec_id"].to_numpy()
+            x = np.stack(pdf["__v"].to_numpy())  # (c, dim)
+            nrm = pdf["__nrm"].to_numpy()
+            sims = np.round((x @ x.T) / np.outer(nrm, nrm), rt)
+            lo = ids[:, None] < ids[None, :]  # a.vec_id < b.vec_id
+            ai, bi = np.nonzero((sims >= tau) & lo)
+            if len(bi) == 0:
+                return pd.DataFrame({"vec_id": [], "__rep": []}).astype(
+                    {"vec_id": "int64", "__rep": "int64"}
+                )
+            out = pd.DataFrame({"vec_id": ids[bi], "__rep": ids[ai]})
+            return out.groupby("vec_id", as_index=False)["__rep"].min()
+
+        drops = (
+            base.select("vec_id", "cell", "__v", "__nrm")
+            .groupBy("cell")
+            .applyInPandas(lambda _key, pdf: _cell_drops(pdf), pair_schema)
+            .groupBy("vec_id")
+            .agg(F.min("__rep").alias("__rep"))
         )
-        .filter(pair_sim >= threshold)
-        .groupBy(F.col("b.vec_id").alias("vec_id"))
-        .agg(F.min(F.col("a.vec_id")).alias("__rep"))
-    )
+    else:
+        a, b = base.alias("a"), base.alias("b")
+        pair_sim = F.round(
+            _dot(F.col("a.__v"), F.col("b.__v"))
+            / (F.col("a.__nrm") * F.col("b.__nrm")),
+            round_to,
+        )
+        drops = (
+            a.join(
+                b,
+                (F.col("a.cell") == F.col("b.cell"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .filter(pair_sim >= threshold)
+            .groupBy(F.col("b.vec_id").alias("vec_id"))
+            .agg(F.min(F.col("a.vec_id")).alias("__rep"))
+        )
     return (
         base.join(drops, "vec_id", "left")
         .select(

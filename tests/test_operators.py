@@ -802,3 +802,29 @@ def test_semantic_dedup_numpy_assignment_matches_expr(spark, sf_dir):
         ).collect()
     }
     assert expr_cells == np_cells
+
+
+def test_semantic_dedup_gram_pair_path_matches_expr(spark, sf_dir):
+    """The per-cell BLAS gram pair phase must produce exactly the same
+    (vec_id, cell, kept, rep_id) table as the expression self-join on the
+    same centroids — the 4-dp round before the threshold absorbs pairwise
+    vs sequential summation ulp."""
+    from pyspark.sql import functions as F
+
+    from crz_scraper_spark.operators.dedup import (
+        fixed_centroids,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = fixed_centroids(64, 8, seed=99)
+    kw = dict(threshold=0.35, round_to=4)
+    expr_out = sorted(
+        map(tuple, semantic_dedup(emb, cents, **kw).collect())
+    )
+    gram_out = sorted(
+        map(tuple, semantic_dedup(emb, cents, pair_impl="gram", **kw).collect())
+    )
+    assert expr_out == gram_out
