@@ -265,13 +265,21 @@ GROUP BY id
 
 
 def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crz_scraper_spark.operators.similarity import _dot, _norm
+    import pandas as pd
 
-    # Norms are precomputed once per ROW before the pair join — higher-order
-    # array expressions are interpreted (not codegen'd), so leaving the two
-    # norm traversals inside the O(pairs) loop tripled the per-pair work
-    # (measured 3.1 s → 1.2 s at sf0.1). Same doubles as computing cosine()
-    # inline: dot/(norm_a*norm_b) with identical operands.
+    from crz_scraper_spark.operators.similarity import _norm
+
+    # Norms are precomputed once per ROW (higher-order array expressions
+    # are interpreted; leaving the norm traversals inside the O(pairs)
+    # loop tripled the per-pair work — measured 3.1 s → 1.2 s at sf0.1).
+    # The pair phase is one BLAS gram matrix PER LABEL BLOCK
+    # (applyInPandas: (c × dim) @ (dim × c) / outer(norms)) instead of a
+    # self-join evaluating an interpreted 64-term dot per pair — same
+    # dot-first-divide-then-round-4 doubles (the round absorbs pairwise vs
+    # sequential summation ulp exactly as it already absorbs DuckDB's own
+    # summation order in the oracle), measured 17.2 s → see PLANS.md at
+    # sf1. Memory is O(block²) per task — bounded by the block key, which
+    # at 100 TB is an LSH bucket (`ann_lsh_topk`), not a raw label.
     emb = (
         fan_out(load_table(spark, sf_dir, "embeddings"))
         .select(
@@ -280,20 +288,31 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("nrm", _norm(F.col("emb")))
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+    out_schema = "label int, vec_a bigint, vec_b bigint, cos_sim double"
+
+    def _block_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["vec_id"].to_numpy()
+        x = np.stack(pdf["emb"].to_numpy())
+        nrm = pdf["nrm"].to_numpy()
+        sims = np.round((x @ x.T) / np.outer(nrm, nrm), 4)
+        lo = ids[:, None] < ids[None, :]
+        ai, bi = np.nonzero((sims >= 0.35) & lo)
+        return pd.DataFrame(
+            {
+                "label": np.full(len(ai), key[0], dtype="int64"),
+                "vec_a": ids[ai],
+                "vec_b": ids[bi],
+                "cos_sim": sims[ai, bi],
+            }
+        )
+
+    return (
+        emb.groupBy("label")
+        .applyInPandas(_block_pairs, out_schema)
     )
-    sim = _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return pairs.select(
-        F.col("a.label").alias("label"),
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.round(sim, 4).alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= 0.35)
 
 
 EMBEDDING_COSINE_NEAR_DUP_SQL = """
