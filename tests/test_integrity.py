@@ -183,3 +183,32 @@ def test_checksum_sum_catches_even_multiplicity_swap(spark):
     b = comps([33, 33, 44, 44])
     assert a[0] == b[0] == 0  # the xor blind spot, demonstrated
     assert a[1] != b[1]  # the sum component catches it
+
+
+def test_window_rotation_covers_never_checked():
+    """The 50-query driver window must keep its rotation contract: exactly
+    50 entries, first in registry order, and (this round) >= 40 queries
+    that no prior CORRECTNESS record has ever checked."""
+    import json
+    import os
+
+    from crz_scraper_spark.plans.registry import _FIRST_WINDOW, REGISTRY
+
+    assert len(_FIRST_WINDOW) == 50
+    assert list(REGISTRY)[:50] == _FIRST_WINDOW
+    checked: set = set()
+    for n in (1, 2):
+        p = f"/root/repo/CORRECTNESS_r0{n}.json"
+        if os.path.exists(p):
+            checked |= set(json.load(open(p)))
+    fresh = [q for q in _FIRST_WINDOW if q not in checked]
+    assert len(fresh) >= 40, f"only {len(fresh)} first-time-checked"
+
+
+def test_every_window_query_is_oracled():
+    """Driver-window slots are too valuable for rows-only checks: every
+    window entry must carry SQL oracle text."""
+    from crz_scraper_spark.plans.registry import _FIRST_WINDOW, REGISTRY
+
+    rows_only = [n for n in _FIRST_WINDOW if REGISTRY[n][1] is None]
+    assert not rows_only, rows_only
