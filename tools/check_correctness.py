@@ -1,6 +1,8 @@
 """Local stand-in for the driver's correctness gate.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py [sf_dir] --window
+         (exactly the driver's first-50 registry window)
 """
 
 from __future__ import annotations
@@ -12,13 +14,17 @@ import traceback
 sys.path.insert(0, "/root/repo")
 
 from crz_scraper_spark.oracle import compare, duckdb_connection  # noqa: E402
-from crz_scraper_spark.plans.registry import REGISTRY  # noqa: E402
+from crz_scraper_spark.plans.registry import _FIRST_WINDOW, REGISTRY  # noqa: E402
 from crz_scraper_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[2:]
+    if args == ["--window"]:
+        only = set(_FIRST_WINDOW)
+    else:
+        only = set(args)
     spark = get_spark("check_correctness", cpus=8)
     con = duckdb_connection(sf_dir)
     failures = []
