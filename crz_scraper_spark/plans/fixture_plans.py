@@ -442,8 +442,26 @@ GROUP BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# curation_pipeline_audit — the end-to-end training-data curation chain
+# (pipeline.curation_pipeline: exact dedup → LSH near-dup clustering →
+# quality floor → split) run on the documents table, returning the
+# per-stage audit ledger. Rows-only: the near-dup stage rides the
+# production xxhash64 MinHash (no SQL analog); the stage ordering /
+# partition properties are pinned by tests/test_pipeline.py.
+# ---------------------------------------------------------------------------
+
+
+def curation_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.pipeline import curation_pipeline
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return curation_pipeline(docs)["audit"]
+
+
 QUERIES: dict = {
     "pipe_csv_roundtrip": (pipe_csv_roundtrip, PIPE_CSV_ROUNDTRIP_SQL),
+    "curation_pipeline_audit": (curation_pipeline_audit, None),
     "dir_tree_corpus_scan": (dir_tree_corpus_scan, DIR_TREE_CORPUS_SCAN_SQL),
     "wordlist_sink_roundtrip": (
         wordlist_sink_roundtrip,
