@@ -403,3 +403,127 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_dist", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd's k-means — the in-engine trainer for IVF/PQ-style
+# coarse quantizers. The sampled driver-side fit (`_kmeans` above) is the
+# FAISS-style default (codebooks are index metadata, samples suffice);
+# this is the path when the training set itself must be the FULL corpus:
+# each iteration is one map-only assignment pass + one groupBy-mean
+# shuffle of (cell, dim, partial-sum) rows, and only the k x dim centroid
+# matrix ever reaches the driver.
+# ---------------------------------------------------------------------------
+
+
+def kmeans_lloyd_distributed(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 5,
+    dim: int = 64,
+    seed: int = 99,
+    round_to: int = 9,
+):
+    """Full-corpus Lloyd iterations, deterministic across partitionings.
+
+    Determinism discipline (the reason this is not just `avg(...)`):
+    centroid updates are DECIMAL-exact sums divided by counts, rounded to
+    `round_to` before re-broadcast — double `avg` is summation-order-
+    dependent, so without this two runs on different partition layouts
+    could drift assignments after the first iteration. Assignment is the
+    L2 argmin over the current centroid matrix, computed per Arrow batch
+    with one BLAS expansion (||x||² - 2x·c + ||c||²; monotone in true
+    distance, argmin identical), ties to the lowest cell index. Empty
+    cells keep their previous centroid (standard Lloyd convention).
+
+    Returns (assignments DataFrame[(id, cell)], centroids list, inertia
+    history list) — inertia (decimal-exact sum of squared distances) is
+    the monotone-non-increasing convergence witness.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((k, dim)).tolist()
+
+    base = emb.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).persist()
+    inertia_hist: list[float] = []
+    assigned = None
+    try:
+        for _ in range(n_iter):
+            assign_udf = _assign_l2_numpy_udf(cents)
+            assigned = base.withColumn("cell", assign_udf("__v"))
+            # Decimal-exact per-(cell, dim) means: explode dims, exact sum.
+            stats = (
+                assigned.select(
+                    "cell", F.posexplode("__v").alias("dim", "val")
+                )
+                .groupBy("cell", "dim")
+                .agg(
+                    F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
+                    F.count("*").alias("n"),
+                )
+                .select(
+                    "cell",
+                    "dim",
+                    F.round(
+                        (F.col("s") / F.col("n")).cast("double"), round_to
+                    ).alias("m"),
+                )
+                .collect()
+            )
+            new_cents = [list(c) for c in cents]  # empty cells keep old
+            for r in stats:
+                new_cents[r["cell"]][r["dim"]] = r["m"]
+            cents = new_cents
+            sq = _sq_dist_to_centroid_col(cents)
+            inertia = (
+                assigned.select(sq.alias("d2"))
+                .agg(
+                    F.round(
+                        F.sum(F.col("d2").cast("decimal(28,9)")), 3
+                    ).cast("double").alias("i")
+                )
+                .collect()[0]["i"]
+            )
+            inertia_hist.append(inertia)
+        final = assigned.select(
+            F.col("__id").alias(id_col), "cell"
+        )
+        return final, cents, inertia_hist
+    finally:
+        base.unpersist()
+
+
+def _assign_l2_numpy_udf(centroids: list[list[float]]):
+    """Arrow-batched L2 argmin over the centroid matrix (BLAS expansion)."""
+    import numpy as np
+
+    cm = np.asarray(centroids, dtype=np.float64)
+    c_sq = (cm * cm).sum(axis=1)  # (k,)
+
+    @F.pandas_udf("int")
+    def assign(vs):
+        import pandas as pd
+
+        mat = np.stack(vs.to_numpy())
+        d2 = (mat * mat).sum(axis=1, keepdims=True) - 2.0 * (mat @ cm.T) + c_sq
+        return pd.Series(np.argmin(np.round(d2, 9), axis=1).astype("int32"))
+
+    return assign
+
+
+def _sq_dist_to_centroid_col(centroids: list[list[float]]) -> Column:
+    """Squared distance from __v to ITS cell's centroid (codegen-side,
+    via the 2-D literal + element_at on the cell index)."""
+    cm = F.lit([[float(x) for x in c] for c in centroids])
+    own = F.element_at(cm, F.col("cell") + 1)
+    return F.aggregate(
+        F.zip_with(F.col("__v"), own, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0).cast("double"),
+        lambda a, v: a + v,
+    )

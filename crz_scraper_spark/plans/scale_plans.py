@@ -859,6 +859,30 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_kmeans_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the full embeddings table
+    (operators/similarity.kmeans_lloyd_distributed): per-iteration
+    assignment is a map-only BLAS pass, centroid updates are decimal-exact
+    groupBy means (deterministic across partitionings), only the k×dim
+    matrix reaches the driver. Output: per-cluster size + final inertia
+    (scaled to ppm-integer for a stable rows-only check). The in-engine
+    trainer for IVF/PQ codebooks when a sample will not do."""
+    from crz_scraper_spark.operators.similarity import (
+        kmeans_lloyd_distributed,
+    )
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    assigned, _cents, hist = kmeans_lloyd_distributed(
+        emb, "vec_id", "embedding", k=8, n_iter=4
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+        .withColumn("final_inertia", F.lit(round(hist[-1], 3)))
+        .orderBy("cell")
+    )
+
+
 def semantic_dedup_scaled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup's PRODUCTION posture demonstrated: n_cells grows with the
     corpus (~250 vectors/cell) so within-cell pair work stays LINEAR in
@@ -1062,6 +1086,7 @@ QUERIES: dict = {
     "udtf_widen_roundtrip": (udtf_widen_roundtrip, UDTF_WIDEN_ROUNDTRIP_SQL),
     "semantic_dedup": (semantic_dedup_q, _semantic_dedup_sql()),
     "semantic_dedup_scaled": (semantic_dedup_scaled_q, None),
+    "embedding_kmeans_clusters": (embedding_kmeans_clusters_q, None),
     "ann_lsh_recall": (ann_lsh_recall, _ann_lsh_recall_sql()),
     "hard_negative_mining": (hard_negative_mining, HARD_NEGATIVE_MINING_SQL),
     "fuzzy_name_pairs": (fuzzy_name_pairs, FUZZY_NAME_PAIRS_SQL),

@@ -828,3 +828,28 @@ def test_semantic_dedup_gram_pair_path_matches_expr(spark, sf_dir):
         map(tuple, semantic_dedup(emb, cents, pair_impl="gram", **kw).collect())
     )
     assert expr_out == gram_out
+
+
+def test_kmeans_distributed_converges_and_is_deterministic(spark, sf_dir):
+    """Distributed Lloyd: inertia is monotone non-increasing across
+    iterations (the Lloyd guarantee, preserved under decimal-exact
+    centroid updates), every vector gets a cell, and two runs produce
+    identical assignments + centroids (order-independent updates)."""
+    from pyspark.sql import functions as F
+
+    from crz_scraper_spark.operators.similarity import (
+        kmeans_lloyd_distributed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a1, c1, h1 = kmeans_lloyd_distributed(emb, k=4, n_iter=4)
+    rows1 = sorted(map(tuple, a1.collect()))
+    assert len(rows1) == emb.count()
+    assert all(h1[i + 1] <= h1[i] + 1e-6 for i in range(len(h1) - 1)), h1
+    # Determinism across runs (and thus across partition layouts, since
+    # the sums are decimal-exact): identical assignments and centroids.
+    a2, c2, h2 = kmeans_lloyd_distributed(
+        emb.repartition(7), k=4, n_iter=4
+    )
+    assert sorted(map(tuple, a2.collect())) == rows1
+    assert c1 == c2 and h1 == h2
