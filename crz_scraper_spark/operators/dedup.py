@@ -884,24 +884,7 @@ def minhash_incremental(
     ingest ids are monotonically increasing across batches (daily ingest's
     natural property) — the `other < new` direction filter relies on it.
     """
-    from crz_scraper_spark.operators.upsert import _hadoop_fs
-
     rows = num_hashes // bands
-
-    def _store_files() -> list[str]:
-        """Committed store paths: batch-* subdirs (the atomic-commit
-        layout) plus legacy top-level part files. Dot/underscore-prefixed
-        entries (in-flight staging dirs, _SUCCESS) are invisible."""
-        fs, jvm = _hadoop_fs(spark, store_path)
-        p = jvm.org.apache.hadoop.fs.Path(store_path)
-        if not fs.exists(p):
-            return []
-        return sorted(
-            f.getPath().toString()
-            for f in fs.listStatus(p)
-            if f.getPath().getName().startswith("batch-")
-            or f.getPath().getName().endswith(".parquet")
-        )
 
     # signature_fn picks the hash family: xxhash64 (default, production)
     # or minhash_signatures_md5 (engine-portable — lets a SQL oracle
@@ -911,7 +894,7 @@ def minhash_incremental(
     sig_new = signature_fn(
         new_docs, id_col, text_col, num_hashes, shingle_n
     )
-    old_files = _store_files()
+    old_files = _store_list(spark, store_path)
     if old_files:
         sig_old = spark.read.parquet(*old_files)
         to_append = sig_new.join(
@@ -919,22 +902,9 @@ def minhash_incremental(
         )
     else:
         to_append = sig_new
-    # Two-phase commit: write the batch under an invisible staging name,
-    # then a single rename makes it visible. A failure before the rename
-    # leaves only the dot-dir, which no listing or parquet read sees.
-    import uuid
+    _store_commit(spark, to_append, store_path)
 
-    batch_id = uuid.uuid4().hex
-    fs, jvm = _hadoop_fs(spark, store_path)
-    staging = jvm.org.apache.hadoop.fs.Path(store_path, f".staging-{batch_id}")
-    to_append.write.mode("overwrite").parquet(staging.toString())
-    committed = jvm.org.apache.hadoop.fs.Path(store_path, f"batch-{batch_id}")
-    if not fs.rename(staging, committed):
-        raise RuntimeError(
-            f"minhash_incremental: commit rename failed for {committed}"
-        )
-
-    all_files = _store_files()
+    all_files = _store_list(spark, store_path)
     sig_all = spark.read.parquet(*all_files)
     sig_batch = sig_all.join(
         new_docs.select(id_col).distinct(), id_col, "left_semi"
@@ -970,4 +940,116 @@ def minhash_incremental(
         )
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_new", "id_other", "est_jaccard")
+    )
+
+
+def _store_list(spark, store_path: str) -> list[str]:
+    """Committed signature-store paths: batch-* subdirs (the atomic-commit
+    layout) plus legacy top-level part files. Dot/underscore-prefixed
+    entries (in-flight staging dirs, _SUCCESS) are invisible. Hadoop
+    FileSystem API, so hdfs:///s3a:// stores work."""
+    from crz_scraper_spark.operators.upsert import _hadoop_fs
+
+    fs, jvm = _hadoop_fs(spark, store_path)
+    p = jvm.org.apache.hadoop.fs.Path(store_path)
+    if not fs.exists(p):
+        return []
+    return sorted(
+        f.getPath().toString()
+        for f in fs.listStatus(p)
+        if f.getPath().getName().startswith("batch-")
+        or f.getPath().getName().endswith(".parquet")
+    )
+
+
+def _store_commit(spark, df: DataFrame, store_path: str) -> None:
+    """Two-phase batch commit: write under an invisible dot-prefixed
+    staging name, then a single FS rename makes it visible. A failure
+    before the rename leaves only the dot-dir, which no listing or
+    parquet read sees. Single-writer per store (daily-ingest cadence)."""
+    import uuid
+
+    from crz_scraper_spark.operators.upsert import _hadoop_fs
+
+    batch_id = uuid.uuid4().hex
+    fs, jvm = _hadoop_fs(spark, store_path)
+    staging = jvm.org.apache.hadoop.fs.Path(store_path, f".staging-{batch_id}")
+    df.write.mode("overwrite").parquet(staging.toString())
+    committed = jvm.org.apache.hadoop.fs.Path(store_path, f"batch-{batch_id}")
+    if not fs.rename(staging, committed):
+        raise RuntimeError(
+            f"signature store: commit rename failed for {committed}"
+        )
+
+
+def simhash_incremental(
+    spark,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_path: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Incremental SimHash maintenance — `minhash_incremental`'s twin for
+    the second hash family: the new batch's 60-bit portable-md5 simhashes
+    are computed (map-only over the increment), committed to the persisted
+    store atomically (same staging+rename protocol, same idempotent
+    anti-join, same single-writer assumption), and the batch is compared
+    against store ∪ batch via the 15-bit pigeonhole block equi-join
+    (4 blocks cover Hamming ≤ 3) + exact bit_count verify. Daily cost is
+    O(increment); the store carries 8 bytes/doc.
+
+    Fully oracle-able: every step (token md5, bit votes, block keys,
+    Hamming) is reproducible in ANSI SQL — `simhash_incremental_md5` in
+    the registry pins it against DuckDB.
+
+    Returns (id_new, id_other, hamming): `id_new` from this batch,
+    `id_other` any earlier-stored or same-batch lower-id document.
+    """
+    sh_new = simhash_md5(new_docs, id_col, text_col)
+    old_files = _store_list(spark, store_path)
+    if old_files:
+        sh_old = spark.read.parquet(*old_files)
+        to_append = sh_new.join(sh_old.select(id_col), id_col, "left_anti")
+    else:
+        to_append = sh_new
+    _store_commit(spark, to_append, store_path)
+
+    sh_all = spark.read.parquet(*_store_list(spark, store_path))
+    sh_batch = sh_all.join(
+        new_docs.select(id_col).distinct(), id_col, "left_semi"
+    )
+
+    def _blocked(df: DataFrame, out_id: str) -> DataFrame:
+        blocks = F.array(
+            *[
+                F.struct(
+                    F.lit(q).alias("q"),
+                    F.shiftright(F.col("simhash"), q * 15)
+                    .bitwiseAND(F.lit(0x7FFF))
+                    .alias("qv"),
+                )
+                for q in range(4)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col("simhash").alias(f"sh_{out_id}"),
+            F.explode(blocks).alias("qq"),
+        ).select(out_id, f"sh_{out_id}", "qq.q", "qq.qv")
+
+    a = _blocked(sh_batch, "id_new")
+    b = _blocked(sh_all, "id_other")
+    return (
+        a.join(b, ["q", "qv"])
+        .filter(F.col("id_other") < F.col("id_new"))
+        .select(
+            "id_new",
+            "id_other",
+            F.bit_count(
+                F.col("sh_id_new").bitwiseXOR(F.col("sh_id_other"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )

@@ -394,6 +394,74 @@ WHERE round(({agree}) / {nh}.0, 6) >= {_MHI_THRESHOLD}
 
 
 # ---------------------------------------------------------------------------
+# simhash_incremental_md5 — incremental SimHash maintenance as a
+# driver-checked query (minhash_incremental_md5's twin for the second hash
+# family): even-id documents ingested as day 1 into a persisted simhash
+# store (atomic staged-batch commits), odd ids as day 2, day-2 report
+# returned. The portable-md5 token hash makes the ENTIRE path — bit
+# votes, 15-bit pigeonhole blocks, candidate join, Hamming verify —
+# reproducible in SQL: the report must equal the full-corpus near-pair
+# set restricted to odd id_new (block equality for Hamming <= 3 is
+# guaranteed by pigeonhole, so the oracle can filter on Hamming alone).
+# ---------------------------------------------------------------------------
+
+_SHI_MAX_HAMMING = 3
+
+
+def simhash_incremental_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.operators.dedup import simhash_incremental
+
+    store = _fixture_dir("shinc", sf_dir)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    if store not in _BUILT:
+        _sh.rmtree(store, ignore_errors=True)
+        day1 = docs.filter(F.col("doc_id") % 2 == 0)
+        simhash_incremental(
+            spark, day1, "doc_id", "text", store, _SHI_MAX_HAMMING
+        ).count()  # materialize day-1 ingest (report discarded)
+        _BUILT.add(store)
+    day2 = docs.filter(F.col("doc_id") % 2 == 1)
+    return simhash_incremental(
+        spark, day2, "doc_id", "text", store, _SHI_MAX_HAMMING
+    )
+
+
+def _simhash_incremental_sql() -> str:
+    from crz_scraper_spark.functions.text import WORD_SEPARATOR_RE
+    from crz_scraper_spark.operators.dedup import SIMHASH_MD5_BITS
+
+    toks = (
+        "list_filter(regexp_split_to_array(lower(text), '"
+        + WORD_SEPARATOR_RE
+        + "'), w -> w <> '')"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS t FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(t),1,15))::BIGINT AS h FROM toks
+),
+bits AS (
+  SELECT doc_id, r.b AS b,
+         sum(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+  FROM h CROSS JOIN range({SIMHASH_MD5_BITS}) r(b)
+  GROUP BY doc_id, r.b
+),
+sh AS (
+  SELECT doc_id, sum(CASE WHEN c >= 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)
+           AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT b.doc_id AS id_new, a.doc_id AS id_other,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE b.doc_id % 2 = 1
+  AND bit_count(xor(a.simhash, b.simhash)) <= {_SHI_MAX_HAMMING}
+"""
+
+
+# ---------------------------------------------------------------------------
 # delete_by_key_audit — the copy-on-write opt-out delete as a driver-checked
 # query: orders materialized as a parquet table partitioned by status, every
 # 7th orderkey deleted through operators/upsert.delete_by_key (partition-
@@ -475,6 +543,10 @@ QUERIES: dict = {
     "minhash_incremental_md5": (
         minhash_incremental_md5,
         _minhash_incremental_sql(),
+    ),
+    "simhash_incremental_md5": (
+        simhash_incremental_md5,
+        _simhash_incremental_sql(),
     ),
     "delete_by_key_audit": (delete_by_key_audit, DELETE_BY_KEY_AUDIT_SQL),
 }
