@@ -883,6 +883,34 @@ def embedding_kmeans_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a TRAINED coarse quantizer — the paper's actual
+    design: centroids come from distributed full-corpus Lloyd's k-means
+    (decimal-exact updates ⇒ deterministic), then the standard
+    cluster-then-prune with the BLAS gram pair phase. Trained cells track
+    the data distribution, so occupancy is balanced where the
+    fixed-random-centroid variants can leave cells empty. Rows-only (the
+    trained centroids have no closed SQL form); determinism is inherited
+    from the trainer's cross-layout bit-stability."""
+    from crz_scraper_spark.operators.similarity import (
+        kmeans_lloyd_distributed,
+    )
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    _assigned, cents, _hist = kmeans_lloyd_distributed(
+        emb, "vec_id", "embedding", k=8, n_iter=3
+    )
+    return semantic_dedup(
+        emb,
+        cents,
+        "vec_id",
+        "embedding",
+        threshold=_SEMDEDUP_TAU,
+        round_to=4,
+        pair_impl="gram",
+    )
+
+
 def semantic_dedup_scaled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup's PRODUCTION posture demonstrated: n_cells grows with the
     corpus (~250 vectors/cell) so within-cell pair work stays LINEAR in
@@ -1086,6 +1114,7 @@ QUERIES: dict = {
     "udtf_widen_roundtrip": (udtf_widen_roundtrip, UDTF_WIDEN_ROUNDTRIP_SQL),
     "semantic_dedup": (semantic_dedup_q, _semantic_dedup_sql()),
     "semantic_dedup_scaled": (semantic_dedup_scaled_q, None),
+    "semantic_dedup_trained": (semantic_dedup_trained_q, None),
     "embedding_kmeans_clusters": (embedding_kmeans_clusters_q, None),
     "ann_lsh_recall": (ann_lsh_recall, _ann_lsh_recall_sql()),
     "hard_negative_mining": (hard_negative_mining, HARD_NEGATIVE_MINING_SQL),
