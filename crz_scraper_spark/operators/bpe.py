@@ -182,8 +182,6 @@ def bpe_token_stats(
             "every word to character-level tokens"
         )
     merges = learn_bpe(sample, n_merges=n_merges)
-    count_udf = bpe_token_count_udf(spark, merges)
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
     return _apply_bpe_stats(docs, spark, merges, id_col, text_col)
 
 

@@ -30,6 +30,49 @@ def _stopword_hits(tokens: Column, words: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(wordset, t)))
 
 
+def lang_guess_expr(text_col: str = "text") -> Column:
+    """Argmax language guess as a single Column expression — the map-only
+    form of `lang_id_scores` for pipelines that append the guess in place
+    (zero joins, zero shuffles). Same tie-break: alphabetically-first
+    language among the max scores; zero hits everywhere → 'und'."""
+    toks = tokens_nonempty(text_col)
+    scores = {
+        lang: _stopword_hits(toks, words) for lang, words in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    guess = F.lit("und")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        guess = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(guess)
+    return guess
+
+
+def quality_score_expr(text_col: str = "text") -> Column:
+    """Composite quality score as a single Column expression — the map-only
+    form of `quality_score` (same weights, same 6-decimal rounding) for
+    in-place appends."""
+    t = F.col(text_col)
+    toks = tokens_nonempty(text_col)
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    stopset = F.array(*[F.lit(w) for w in all_stop])
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    punct_ratio = F.when(
+        n_chars > 0,
+        (n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("double") / n_chars,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tokens > 0,
+        F.size(F.filter(toks, lambda w: F.array_contains(stopset, w))).cast("double")
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))) * 0.3
+    )
+    return F.round(score, 6)
+
+
 def lang_id_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-language stopword-hit scores + argmax language guess.
 
@@ -81,11 +124,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         n_chars > 0,
         (n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))).cast("double") / n_chars,
     ).otherwise(F.lit(0.0))
-    score = (
-        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
-        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
-        + (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))) * 0.3
-    )
+    score = quality_score_expr(text_col)
     return docs.select(
         F.col(id_col),
         n_chars.alias("n_chars_calc"),
@@ -94,7 +133,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(upper_ratio, 6).alias("upper_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        score.alias("quality_score"),
     )
 
 

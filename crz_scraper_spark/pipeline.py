@@ -171,6 +171,7 @@ def curation_pipeline(
     near_dup_threshold: float = 0.8,
     quality_min: float = 0.3,
     train_pct: int = 80,
+    persist: bool = True,
 ) -> dict[str, DataFrame]:
     """The training-data curation chain, end-to-end as one composition —
     what a corpus owner actually runs nightly: exact dedup → MinHash-LSH
@@ -180,28 +181,38 @@ def curation_pipeline(
     composition inherits each stage's oracle/test evidence.
 
     Scale posture: exact dedup groups on a 16-byte digest (narrow
-    shuffle); near-dup is the banded-LSH equi-join (never O(n²));
-    quality/lang are map-only column expressions; the split is a
-    shuffle-free hash bucket. The returned `audit` frame carries
-    row-counts per stage — the lineage record a deletion/curation
-    pipeline is obligated to keep (computed in one action per stage when
-    materialized; callers persist `survivors` first if they want the
-    counts for free).
+    shuffle); near-dup is the banded-LSH equi-join (never O(n²)) with
+    the anti-join strategy left to AQE — `non_reps` is
+    corpus-proportional (web-scale near-dup rates run 30–80%), so a
+    forced broadcast would OOM at 100 TB; quality/lang are appended
+    in place as map-only column expressions (zero joins, zero
+    shuffles); the split is a shuffle-free hash bucket.
+
+    With `persist=True` (default) the two frames every downstream output
+    re-reads — `exact` and `deduped` — are persisted MEMORY_AND_DISK, so
+    materializing the five-stage `audit` costs ONE dedup + ONE LSH pass
+    instead of re-running the chain per count. The persisted frames are
+    returned under `"cached"`; long-lived sessions should
+    `for f in out["cached"]: f.unpersist()` when done (bench/tests clear
+    cache; library callers own the lifetime).
 
     Returns:
     - `survivors`  — (id, text, quality_score, lang_guess, split)
     - `dropped`    — (id, stage) for every removed document
     - `near_dup_clusters` — (doc_id, cluster_id) over the LSH pair graph
     - `audit`      — (stage, n_rows) counts after each stage
+    - `cached`     — the persisted intermediates (unpersist when done)
     """
+    from pyspark import StorageLevel
+
     from crz_scraper_spark.operators.dedup import (
         connected_components,
         first_wins_dedup,
         minhash_dedup,
     )
     from crz_scraper_spark.operators.textquality import (
-        lang_id_scores,
-        quality_score,
+        lang_guess_expr,
+        quality_score_expr,
     )
 
     base = docs.select(id_col, text_col)
@@ -211,8 +222,11 @@ def curation_pipeline(
         keys=["__h"],
         order_by=[F.asc(id_col)],
     ).drop("__h")
+    if persist:
+        exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
     # Stage 2 — near-dup: LSH pairs -> connected components -> keep the
-    # cluster representative (minimum reachable id).
+    # cluster representative (minimum reachable id). No broadcast hint:
+    # non_reps scales with the corpus; AQE picks the join strategy.
     pairs = minhash_dedup(
         exact, id_col, text_col, threshold=near_dup_threshold
     ).select(F.col("id_a"), F.col("id_b"))
@@ -220,13 +234,17 @@ def curation_pipeline(
     non_reps = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    deduped = exact.join(F.broadcast(non_reps), id_col, "left_anti")
-    # Stage 3 — quality floor + language tag (map-only).
-    scored = (
-        deduped.join(quality_score(deduped, id_col, text_col)
-                     .select(id_col, "quality_score"), id_col)
-        .join(lang_id_scores(deduped, id_col, text_col)
-              .select(id_col, "lang_guess"), id_col)
+    deduped = exact.join(non_reps, id_col, "left_anti")
+    if persist:
+        deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
+    # Stage 3 — quality floor + language tag, appended in place (map-only;
+    # the old join-back shape cost two full-corpus shuffles for columns
+    # that are pure functions of `text`).
+    scored = deduped.withColumns(
+        {
+            "quality_score": quality_score_expr(text_col),
+            "lang_guess": lang_guess_expr(text_col),
+        }
     )
     kept = scored.filter(F.col("quality_score") >= quality_min)
     # Stage 4 — deterministic hash-bucket split (shuffle-free, stable
@@ -248,21 +266,35 @@ def curation_pipeline(
             .select(id_col).withColumn("stage", F.lit("low_quality"))
         )
     )
-    audit_rows = [
-        ("input", base), ("exact_dedup", exact), ("near_dedup", deduped),
-        ("quality_floor", kept), ("final", survivors),
-    ]
-    audit = None
-    for name, frame in audit_rows:
-        one = frame.agg(F.count("*").alias("n_rows")).select(
-            F.lit(name).alias("stage"), "n_rows"
+    # Audit ledger in THREE branches, not five: one conditional-aggregate
+    # scan of the (cached) post-dedup frame yields near_dedup,
+    # quality_floor AND final in a single pass (`final` == `quality_floor`
+    # by construction — the split stage only appends a column), plus a
+    # column-pruned count of the input and a count of the cached `exact`.
+    dd_counts = scored.agg(
+        F.count(F.lit(1)).alias("near_dedup"),
+        F.count(
+            F.when(F.col("quality_score") >= quality_min, 1)
+        ).alias("quality_floor"),
+    ).selectExpr(
+        "stack(3, 'near_dedup', near_dedup, 'quality_floor', quality_floor,"
+        " 'final', quality_floor) AS (stage, n_rows)"
+    )
+    audit = (
+        base.agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit("input").alias("stage"), "n_rows")
+        .unionByName(
+            exact.agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.lit("exact_dedup").alias("stage"), "n_rows")
         )
-        audit = one if audit is None else audit.unionByName(one)
+        .unionByName(dd_counts)
+    )
     return {
         "survivors": survivors,
         "dropped": dropped,
         "near_dup_clusters": clusters,
         "audit": audit,
+        "cached": [exact, deduped] if persist else [],
     }
 
 

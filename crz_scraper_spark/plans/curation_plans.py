@@ -335,11 +335,18 @@ WHERE rnk <= {_SAMPLE_PER_CLASS}
 # is none of those), gets key = -ln(u)/w with w = the row's weight
 # (n_chars: longer docs proportionally likelier), and the global top-K
 # smallest keys are the sample. This is how "sample 10k docs proportional
-# to quality" runs at 100 TB: one scan + one top-K (map-side
-# WindowGroupLimit keeps K rows per partition before the single-partition
-# exchange; for huge K, rank on approx thresholds first). The exponential
-# key is computed from exact integer hashes ⇒ identical doubles on both
-# engines; ranking uses the rounded key (cosine-top-k discipline).
+# to quality" runs at 100 TB: one scan + one bounded top-K — the
+# rank-then-filter shape compiles to TakeOrderedAndProject(limit=K)
+# (Spark's LimitPushDownThroughWindow + InsertWindowGroupLimit rewrite:
+# per-partition bounded heap, no corpus-wide sort, no single-partition
+# WindowExec; only K survivors per partition travel), and the row_number
+# window then runs over just the K winners. The physical shape is pinned
+# by tests/test_scale_layout.py::test_global_topk_plans_are_bounded — do
+# NOT "help" with a manual per-partition pre-prune: it hides the filter
+# from the rewrite and regresses to a real shuffle + WindowExec. The
+# exponential key is computed from exact integer hashes ⇒ identical
+# doubles on both engines; ranking uses the rounded key (cosine-top-k
+# discipline).
 # ---------------------------------------------------------------------------
 
 _WSAMPLE_K = 100

@@ -53,10 +53,14 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             supplier.s_nationkey == nation.n_nationkey,
         ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    # euro_supp (~1/5 of supplier) and the LARGE part slice are constant
+    # FRACTIONS of sf-proportional tables — still sf-proportional, so no
+    # forced broadcast: AQE broadcasts them at small sf and degrades to
+    # shuffle joins at 100 TB instead of OOMing.
     pair_min = (
-        li.join(F.broadcast(euro_supp), li.l_suppkey == euro_supp.s_suppkey)
+        li.join(euro_supp, li.l_suppkey == euro_supp.s_suppkey)
         .join(
-            F.broadcast(part.filter(F.col("p_type") == "LARGE")),
+            part.filter(F.col("p_type") == "LARGE"),
             li.l_partkey == part.p_partkey,
         )
         .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
@@ -120,14 +124,15 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table, so it runs BEFORE the lineitem⋈orders shuffle (Catalyst does not
     # reorder across a left-semi without CBO stats): at 100 TB it is the
     # difference between shuffling the full fact table and shuffling only the
-    # ECONOMY slice. Fixed-size dims (part slice, nation) stay broadcast;
-    # customer is pre-shrunk to the AMERICA region (1/5 of rows) with a
-    # 5-row-broadcast semi-join and then joined UNHINTED, and supp_nation
-    # (supplier-sized, 10k × sf) is unhinted too — both grow with sf, so a
-    # forced broadcast would OOM at 100×; AQE decides from runtime sizes.
-    # The one guaranteed shuffle is the pre-filtered li⋈orders.
+    # ECONOMY slice. The ECONOMY part slice is a constant fraction of the
+    # sf-proportional part table, so it carries NO hint (AQE broadcasts it
+    # while it fits, shuffles at 100 TB); customer is pre-shrunk to the
+    # AMERICA region (1/5 of rows) with a 5-row-broadcast semi-join and
+    # then joined UNHINTED, and supp_nation (supplier-sized, 10k × sf) is
+    # unhinted too. The one guaranteed shuffle is the pre-filtered
+    # li⋈orders.
     li_econ = li.join(
-        F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+        part.filter(F.col("p_type") == "ECONOMY"),
         li.l_partkey == part.p_partkey,
         "left_semi",
     )
@@ -190,11 +195,11 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity") / F.lit(100.0)
     return (
+        # 'red' parts are a constant fraction of the part table (sf-
+        # proportional) — unhinted, AQE decides.
         li.join(
-            F.broadcast(
-                part.filter(F.col("p_name").contains("red")).select(
-                    "p_partkey", "p_retailprice"
-                )
+            part.filter(F.col("p_name").contains("red")).select(
+                "p_partkey", "p_retailprice"
             ),
             li.l_partkey == F.col("p_partkey"),
         )
@@ -244,9 +249,8 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         supplier.s_nationkey == nation.n_nationkey,
         "left_semi",
     ).select("s_suppkey")
-    base = li.join(
-        F.broadcast(n3_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi"
-    )
+    # n3_supp is 1/25 of supplier — still sf-proportional, so unhinted.
+    base = li.join(n3_supp, li.l_suppkey == F.col("s_suppkey"), "left_semi")
     per_part = base.groupBy("l_partkey").agg(
         dsum(F.col("l_extendedprice")).alias("part_value")
     )
@@ -349,9 +353,11 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     bad_supp = supplier.filter(F.col("s_acctbal") < 100.0).select("s_suppkey")
+    # bad_supp / keep_parts are constant fractions of supplier / part —
+    # sf-proportional, so no forced broadcast (AQE decides).
     return (
-        li.join(F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(keep_parts), li.l_partkey == F.col("p_partkey"))
+        li.join(bad_supp, li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(keep_parts, li.l_partkey == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -374,8 +380,8 @@ GROUP BY 1, 2, 3
 # excess_quantity_suppliers — Q20 shape: nested semi-join chain. Suppliers
 # in NATION_5 who shipped more than 60 units of blue parts during 1997.
 # part-filter semi-join → per-supplier HAVING aggregate → semi-join into the
-# supplier dim; lineitem shuffles once on l_suppkey, everything else
-# broadcasts.
+# supplier dim; lineitem shuffles once on l_suppkey. Only the fixed-size
+# nation slice is hinted; every sf-proportional side is left to AQE.
 # ---------------------------------------------------------------------------
 
 
@@ -391,14 +397,16 @@ def excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(blue_parts), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(blue_parts, li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(dsum(F.col("l_quantity")).alias("blue_qty"))
         .filter(F.col("blue_qty") > 60.0)
     )
+    # big_shippers is a per-supplier aggregate — supplier-cardinality, i.e.
+    # sf-proportional — so it carries no hint either (blue_parts likewise).
     return (
         supplier.join(
-            F.broadcast(big_shippers),
+            big_shippers,
             supplier.s_suppkey == F.col("l_suppkey"),
         )
         .join(
@@ -454,6 +462,11 @@ def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
     )
+    # Global top-20 via rank-then-filter: compiles to
+    # TakeOrderedAndProject(limit=20) (bounded per-partition heap, no
+    # corpus-wide sort, no single-partition WindowExec over the pairs
+    # table — which is part²-shaped in the worst case). Physical shape
+    # pinned by tests/test_scale_layout.py::test_global_topk_plans_are_bounded.
     w = Window.orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
     return (
         pairs.withColumn("rnk", F.row_number().over(w))

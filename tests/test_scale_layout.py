@@ -572,13 +572,14 @@ _SCALED_TABLE_KEYS = {
     "event_id": "events",
 }
 
-# Node classes that shrink or transform their input: a broadcast hint above
-# one of these is a deliberate "broadcast the small derived side" choice,
-# not a forced broadcast of the raw table.
-_SHRINKING_NODES = (
-    "Filter", "Join", "Aggregate", "GlobalLimit", "LocalLimit", "Sample",
-    "Distinct", "Deduplicate", "Window",
-)
+# Node classes that BOUND output cardinality regardless of input size: a
+# broadcast hint above one of these is legitimate even when an
+# sf-proportional table sits underneath. Everything else — Filter, Join,
+# Sample, Window, group-by Aggregate — only shrinks by a constant FACTOR,
+# and a constant fraction of an sf-proportional table is still
+# sf-proportional (the round-3 loophole: 'EUROPE suppliers' ≈ 1/5 of
+# supplier attempted a multi-GB broadcast at 100×).
+_BOUNDING_NODES = ("GlobalLimit", "LocalLimit")
 
 
 def _walk_logical(node):
@@ -588,29 +589,43 @@ def _walk_logical(node):
         yield from _walk_logical(children.apply(i))
 
 
+def _unbounded_scaled_leaves(node) -> list[str]:
+    """Scale-proportional leaf tables reachable from `node` with no
+    cardinality-BOUNDING operator (limit, scalar aggregate) on the path.
+    Path-aware: a limit in one branch does not whitelist a sibling."""
+    cls = node.getClass().getSimpleName()
+    if cls in _BOUNDING_NODES:
+        return []
+    if cls == "Aggregate" and node.groupingExpressions().isEmpty():
+        return []  # scalar aggregate -> exactly one row
+    children = node.children()
+    if children.size() == 0:
+        out = node.output().toString()
+        return [
+            table
+            for key, table in _SCALED_TABLE_KEYS.items()
+            if f"{key}#" in out
+        ]
+    found: list[str] = []
+    for i in range(children.size()):
+        found.extend(_unbounded_scaled_leaves(children.apply(i)))
+    return found
+
+
 def _forced_big_broadcasts(df) -> list[str]:
-    """Names of scale-proportional tables broadcast-hinted with no shrinking
-    operator (filter/join/agg/limit) between the hint and the raw scan."""
+    """Names of scale-proportional tables under a broadcast hint with no
+    cardinality-bounding operator between the hint and the scan. A hint is
+    legitimate only when its side is genuinely fixed-size: built from
+    fixed-cardinality tables (nation/region/taxonomy/literals), a scalar
+    aggregate, or a limit — a Filter/Join/group-by over customer/supplier/
+    part/facts does NOT qualify (constant fractions stay sf-proportional)."""
     bad: list[str] = []
     analyzed = df._jdf.queryExecution().analyzed()
     for node in _walk_logical(analyzed):
         cls = node.getClass().getSimpleName()
         if cls != "ResolvedHint" or "broadcast" not in node.hints().toString():
             continue
-        shrunk = False
-        leaves: list[str] = []
-        for sub in _walk_logical(node):
-            sub_cls = sub.getClass().getSimpleName()
-            if sub_cls in _SHRINKING_NODES:
-                shrunk = True
-                break
-            if sub.children().size() == 0:
-                out = sub.output().toString()
-                for key, table in _SCALED_TABLE_KEYS.items():
-                    if f"{key}#" in out:
-                        leaves.append(table)
-        if not shrunk:
-            bad.extend(leaves)
+        bad.extend(_unbounded_scaled_leaves(node))
     return bad
 
 
@@ -632,9 +647,14 @@ def test_no_forced_broadcast_of_scaled_tables(spark):
         tpch_plans.lonely_returning_supplier,
         tpch_plans.promo_revenue_ratio,
         tpch_plans.disjunctive_brand_quantity,
+        tpch2_plans.min_cost_supplier,
         tpch2_plans.nation_market_share,
         tpch2_plans.product_profit,
+        tpch2_plans.important_part_value,
         tpch2_plans.top_revenue_supplier,
+        tpch2_plans.part_supplier_variety,
+        tpch2_plans.excess_quantity_suppliers,
+        tpch2_plans.part_affinity,
         extra_plans.brand_part_rollup,
     ]
     offenders = {}
@@ -643,6 +663,95 @@ def test_no_forced_broadcast_of_scaled_tables(spark):
         if bad:
             offenders[fn.__name__] = bad
     assert not offenders, f"forced broadcasts of scaled tables: {offenders}"
+
+
+def test_walk_flags_fraction_filter_broadcast(spark):
+    """Regression for the round-3 loophole: a broadcast hint on a constant-
+    FRACTION slice of an sf-proportional table (filter, fraction semi-join,
+    group-by aggregate on a scaled key) must be flagged — only limits,
+    scalar aggregates, and fixed-size tables legitimize a hint."""
+    sf = "/root/testdata/sf0.001"
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+
+    # The exact shapes the old _SHRINKING_NODES whitelisted:
+    filtered = li.join(
+        F.broadcast(part.filter(F.col("p_type") == "LARGE")),
+        li.l_partkey == part.p_partkey,
+    )
+    assert "part" in _forced_big_broadcasts(filtered)
+    per_key_agg = li.join(
+        F.broadcast(li.groupBy("l_suppkey").agg(F.count("*").alias("n"))),
+        "l_suppkey",
+    )
+    assert "lineitem" in _forced_big_broadcasts(per_key_agg)
+    # ...and the shapes that remain legitimate:
+    scalar_agg = li.join(F.broadcast(li.agg(F.max("l_orderkey").alias("m"))))
+    assert not _forced_big_broadcasts(scalar_agg)
+    limited = li.join(
+        F.broadcast(part.orderBy("p_partkey").limit(10)),
+        li.l_partkey == part.p_partkey,
+    )
+    assert not _forced_big_broadcasts(limited)
+
+
+def test_global_topk_plans_are_bounded(spark):
+    """VERDICT r3 item 4: global top-K queries must never feed the whole
+    input to a single-partition WindowExec. The rank-then-filter shape
+    compiles to TakeOrderedAndProject(limit=K) — a bounded per-partition
+    heap; only K rows per partition travel — via Spark's
+    LimitPushDownThroughWindow rewrite. This pins the physical shape so a
+    refactor that hides the rnk filter from the rewrite (e.g. a manual
+    pre-prune window) fails loudly. The residual unpartitioned rnk window
+    sits ABOVE the limit, so its input is ≤ K rows."""
+    from crz_scraper_spark.plans import curation_plans, tpch2_plans
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (curation_plans.weighted_sample, tpch2_plans.part_affinity):
+        df = fn(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, (
+            f"{fn.__name__}: global top-K no longer compiles to "
+            f"TakeOrderedAndProject — whole input would hit one partition"
+        )
+
+
+def test_curation_pipeline_scale_plan(spark, sf_dir):
+    """VERDICT r3 item 1: the nightly curation chain must (a) carry no
+    broadcast hint above any corpus-derived frame (non_reps is corpus-
+    proportional), (b) persist the dedup intermediates so the five-stage
+    audit costs one dedup + one LSH pass instead of five, and (c) append
+    quality/lang as map-only columns (no join-back of score frames)."""
+    from crz_scraper_spark.pipeline import curation_pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curation_pipeline(docs)
+    try:
+        for frame in (out["survivors"], out["audit"], out["dropped"]):
+            assert not _forced_big_broadcasts(frame)
+        # (b) both intermediates persisted; audit's executed plan reads them
+        # from cache (InMemoryTableScan) rather than re-deriving the chain.
+        assert len(out["cached"]) == 2
+        for frame in out["cached"]:
+            assert frame.storageLevel.useMemory or frame.storageLevel.useDisk
+        out["audit"].collect()
+        executed = out["audit"]._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in executed or "TableCacheQueryStage" in executed
+        # (c) survivors' analyzed plan has no Join introduced after the
+        # anti-join stage: quality/lang ride as Project expressions. Count
+        # joins in the survivors plan == joins in the deduped plan (exact
+        # dedup + LSH anti-join machinery), not two more.
+        def n_joins(df):
+            return sum(
+                1
+                for n in _walk_logical(df._jdf.queryExecution().analyzed())
+                if n.getClass().getSimpleName() == "Join"
+            )
+
+        assert n_joins(out["survivors"]) == n_joins(out["cached"][1])
+    finally:
+        for frame in out["cached"]:
+            frame.unpersist()
 
 
 def test_delete_by_key_escaped_partition_values(spark, tmp_path):
