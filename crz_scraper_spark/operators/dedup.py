@@ -751,6 +751,17 @@ def semantic_dedup(
     # (at scaled n_cells the assignment is the third of the cost).
     base = base.persist()
     if pair_impl == "gram":
+        # Schema must follow the id column's actual type — hardcoding
+        # bigint would miscast/fail for string or decimal ids that the
+        # expression path accepts.
+        id_type = base.schema["vec_id"].dataType.simpleString()
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"semantic_dedup(pair_impl='gram'): id column {id_col!r} "
+                f"has type {id_type}; the BLAS gram path requires an "
+                f"integral id (numpy comparison + min semantics). Use "
+                f"pair_impl='expr' or map ids to integers first."
+            )
         # Per-cell BLAS gram matrix instead of the pair self-join: one
         # applyInPandas group per cell computes all within-cell cosines as
         # (X @ X.T) / outer(norms) in vectorized BLAS — same dot-first,
@@ -760,7 +771,7 @@ def semantic_dedup(
         # is exactly the quantity SemDeDup's n_cells ∝ corpus bounds —
         # the path for the scaled variant, while the oracled fixed-cell
         # query keeps the SQL-reproducible expression join.
-        pair_schema = "vec_id bigint, __rep bigint"
+        pair_schema = f"vec_id {id_type}, __rep {id_type}"
         tau, rt = threshold, round_to
 
         def _cell_drops(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -803,17 +814,21 @@ def semantic_dedup(
             .groupBy(F.col("b.vec_id").alias("vec_id"))
             .agg(F.min(F.col("a.vec_id")).alias("__rep"))
         )
-    return (
-        base.join(drops, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cell",
-            F.when(F.col("__rep").isNull(), F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("kept"),
-            F.coalesce(F.col("__rep"), F.col("vec_id")).alias("rep_id"),
-        )
+    result = base.join(drops, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.when(F.col("__rep").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("kept"),
+        F.coalesce(F.col("__rep"), F.col("vec_id")).alias("rep_id"),
     )
+    # `base` is persisted because it feeds the self-join sides AND the
+    # result join; a lazy return can't unpersist it here without losing
+    # the sharing. Expose the handle so long-lived sessions can release
+    # it after materializing (`result._crz_cached.unpersist()`); bench
+    # and tests clear the cache between queries.
+    result._crz_cached = base
+    return result
 
 
 def _assign_cells_numpy_udf(centroids: list[list[float]]):
@@ -891,6 +906,17 @@ def minhash_incremental(
     # reproduce the store and the pair report exactly).
     if signature_fn is None:
         signature_fn = minhash_signatures
+    # One store = one hash family, forever: a store built with xxhash64
+    # signatures later fed md5 signatures would pass the id anti-join
+    # silently and report meaningless est_jaccard values from
+    # cross-family signature comparisons. The first batch records the
+    # family in a `_family` marker; every later batch must match.
+    _store_family_check(
+        spark,
+        store_path,
+        f"{getattr(signature_fn, '__name__', repr(signature_fn))}"
+        f":h{num_hashes}:n{shingle_n}",
+    )
     sig_new = signature_fn(
         new_docs, id_col, text_col, num_hashes, shingle_n
     )
@@ -962,6 +988,37 @@ def _store_list(spark, store_path: str) -> list[str]:
     )
 
 
+def _store_family_check(spark, store_path: str, family: str) -> None:
+    """Hash-family guard for an incremental signature store. First call
+    writes the family string (fn name + signature-shaping params) to a
+    `_family` marker file (underscore prefix ⇒ invisible to listings and
+    parquet reads); later calls assert it matches, so one store can never
+    silently mix signature families or widths across batches."""
+    from crz_scraper_spark.operators.upsert import _hadoop_fs
+
+    fs, jvm = _hadoop_fs(spark, store_path)
+    marker = jvm.org.apache.hadoop.fs.Path(store_path, "_family")
+    if fs.exists(marker):
+        stream = fs.open(marker)
+        try:
+            existing = stream.readUTF()
+        finally:
+            stream.close()
+        if existing != family:
+            raise ValueError(
+                f"signature store at {store_path} was built with family "
+                f"{existing!r}; this batch supplies {family!r}. Mixing "
+                f"families makes est_jaccard meaningless — use a new "
+                f"store path or the original signature_fn/params."
+            )
+    else:
+        out = fs.create(marker, True)
+        try:
+            out.writeUTF(family)
+        finally:
+            out.close()
+
+
 def _store_commit(spark, df: DataFrame, store_path: str) -> None:
     """Two-phase batch commit: write under an invisible dot-prefixed
     staging name, then a single FS rename makes it visible. A failure
@@ -1006,6 +1063,7 @@ def simhash_incremental(
     Returns (id_new, id_other, hamming): `id_new` from this batch,
     `id_other` any earlier-stored or same-batch lower-id document.
     """
+    _store_family_check(spark, store_path, "simhash_md5:60")
     sh_new = simhash_md5(new_docs, id_col, text_col)
     old_files = _store_list(spark, store_path)
     if old_files:

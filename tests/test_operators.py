@@ -686,6 +686,54 @@ def test_minhash_incremental_daily_batches(spark, tmp_path):
     assert p3.filter("id_new = id_other").count() == 0
 
 
+def test_incremental_store_rejects_mixed_hash_families(spark, tmp_path):
+    """A signature store is permanently bound to the hash family (and
+    signature-shaping params) of its first batch: feeding a different
+    signature_fn, num_hashes, or a simhash batch into a minhash store
+    raises instead of silently producing cross-family est_jaccard noise.
+    The `_family` marker rides the store dir (underscore-prefixed, so
+    parquet listings never see it)."""
+    import os
+
+    import pytest as _pytest
+
+    from crz_scraper_spark.operators.dedup import (
+        minhash_incremental,
+        minhash_signatures_md5,
+        simhash_incremental,
+    )
+
+    store = str(tmp_path / "famstore")
+    day1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "a completely different document about spark plans")],
+        "doc_id bigint, text string",
+    )
+    minhash_incremental(spark, day1, "doc_id", "text", store).collect()
+    assert os.path.exists(os.path.join(store, "_family"))
+    day2 = spark.createDataFrame(
+        [(3, "novel text for the second day entirely")],
+        "doc_id bigint, text string",
+    )
+    # Different hash family on the same store: refused.
+    with _pytest.raises(ValueError, match="family"):
+        minhash_incremental(
+            spark, day2, "doc_id", "text", store,
+            signature_fn=minhash_signatures_md5,
+        )
+    # Different signature width on the same store: refused.
+    with _pytest.raises(ValueError, match="family"):
+        minhash_incremental(spark, day2, "doc_id", "text", store, num_hashes=64)
+    # A simhash batch into a minhash store: refused.
+    with _pytest.raises(ValueError, match="family"):
+        simhash_incremental(spark, day2, "doc_id", "text", store)
+    # The matching family still works, and the store only has day-1 +
+    # day-2 committed batches (failed calls committed nothing).
+    minhash_incremental(spark, day2, "doc_id", "text", store).collect()
+    committed = [d for d in os.listdir(store) if d.startswith("batch-")]
+    assert len(committed) == 2
+
+
 def test_minhash_incremental_ignores_uncommitted_staging(spark, tmp_path):
     """A crashed run's leftover staging dir (dot-prefixed, never renamed)
     is invisible to the store listing: the next run neither reads it nor
