@@ -185,10 +185,69 @@ def test_checksum_sum_catches_even_multiplicity_swap(spark):
     assert a[1] != b[1]  # the sum component catches it
 
 
+def test_range_split_points_approx_mode(spark, sf_dir):
+    """`exact=False` swaps the global rank window for percentile_approx's
+    mergeable sketch (one map-combine pass, no Window/global sort in the
+    plan) and keeps the guarantee that matters for a range layout:
+    every boundary's cumulative fraction is within 1/accuracy (+ the
+    worst single-value tie mass — the sketch returns actual data values,
+    and a duplicated value carries all its rows) of i/R."""
+    from crz_scraper_spark.plans.integrity_plans import (
+        _RANGE_BUCKETS,
+        range_split_points,
+    )
+
+    acc = 100
+    df = range_split_points(spark, sf_dir, exact=False, accuracy=acc)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = events.count()
+    max_tie = (
+        events.groupBy("user_id").count()
+        .agg(F.max("count")).collect()[0][0]
+    ) / n
+    rows = df.collect()
+    assert len(rows) == _RANGE_BUCKETS - 1
+    for r in rows:
+        target = r["bucket_id"] / _RANGE_BUCKETS
+        frac = r["n_rows_le"] / n
+        assert abs(frac - target) <= 1.0 / acc + max_tie, (
+            r["bucket_id"], frac, target, max_tie,
+        )
+
+
+def test_quality_band_filter_approx_mode(spark, sf_dir):
+    """`exact=False` computes the 5%/95% band from the percentile sketch:
+    no Window in the plan, and the kept fraction is 90% within the
+    sketch's rank-error bound (+ boundary tie mass)."""
+    from pyspark.sql import functions as F
+
+    from crz_scraper_spark.plans.corpus_plans import quality_band_filter
+
+    acc = 100
+    df = quality_band_filter(spark, sf_dir, exact=False, accuracy=acc)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    max_tie = (
+        docs.groupBy("n_chars").count().agg(F.max("count")).collect()[0][0]
+    ) / n
+    kept = df.count() / n
+    assert abs(kept - 0.90) <= 2 * (1.0 / acc + max_tie), (kept, max_tie)
+    # Exact and approx agree on the band within the same tolerance.
+    exact_rows = quality_band_filter(spark, sf_dir, exact=True).count() / n
+    assert abs(kept - exact_rows) <= 2 * (1.0 / acc + max_tie)
+
+
 def test_window_rotation_covers_never_checked():
     """The 50-query driver window must keep its rotation contract: exactly
-    50 entries, first in registry order, and (this round) >= 40 queries
-    that no prior CORRECTNESS record has ever checked."""
+    50 entries, first in registry order, and (round 4, the closing
+    rotation) EVERY registry query the r1-r3 CORRECTNESS records never
+    checked — after this window the driver record covers all 154."""
     import json
     import os
 
@@ -197,18 +256,28 @@ def test_window_rotation_covers_never_checked():
     assert len(_FIRST_WINDOW) == 50
     assert list(REGISTRY)[:50] == _FIRST_WINDOW
     checked: set = set()
-    for n in (1, 2):
+    for n in (1, 2, 3):
         p = f"/root/repo/CORRECTNESS_r0{n}.json"
         if os.path.exists(p):
             checked |= set(json.load(open(p)))
-    fresh = [q for q in _FIRST_WINDOW if q not in checked]
-    assert len(fresh) >= 40, f"only {len(fresh)} first-time-checked"
+    never = [q for q in REGISTRY if q not in checked]
+    missing = [q for q in never if q not in _FIRST_WINDOW]
+    assert not missing, f"never-checked queries left out of window: {missing}"
 
 
-def test_every_window_query_is_oracled():
-    """Driver-window slots are too valuable for rows-only checks: every
-    window entry must carry SQL oracle text."""
+def test_window_rows_only_entries_are_the_flagged_tail():
+    """Window slots carry SQL oracles wherever SQL can express the op.
+    Round 4 deliberately rotates the 13 genuinely non-SQL-expressible
+    queries (LSH/IVF/PQ/k-means/streaming-state/pipeline audit) through
+    the driver's rows-only check to complete the 154/154 record — but no
+    NEW rows-only entry may ride along unflagged."""
     from crz_scraper_spark.plans.registry import _FIRST_WINDOW, REGISTRY
 
-    rows_only = [n for n in _FIRST_WINDOW if REGISTRY[n][1] is None]
-    assert not rows_only, rows_only
+    rows_only = {n for n in _FIRST_WINDOW if REGISTRY[n][1] is None}
+    assert rows_only == {
+        "bpe_token_stats", "bpe_corpus_token_stats", "semantic_dedup_scaled",
+        "semantic_dedup_trained", "embedding_kmeans_clusters", "ann_ivf_topk",
+        "ann_pq_topk", "minhash_near_dup", "simhash_near_dup",
+        "multimodal_frame_features", "approx_distinct_profile",
+        "approx_percentile_profile", "curation_pipeline_audit",
+    }, rows_only
