@@ -613,11 +613,18 @@ SELECT event_id, ts, user_id, event_type, value, props FROM events
 
 def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    prof = events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
         F.count("*").alias("n_events"),
     )
+    # Rows-only invariant: the HLL++ estimate must sit within 5 relative
+    # standard deviations (rsd=0.02 ⇒ ±10%) of the exact count — a sketch
+    # regression drops the violating group rows, moving the driver's
+    # recorded count. (HLL++ is deterministic for fixed input, so this is
+    # a stable gate, not a flaky probabilistic one.)
+    err = F.abs(F.col("approx_users") - F.col("exact_users"))
+    return prof.filter(err <= 0.10 * F.col("exact_users") + F.lit(1))
 
 
 # ---------------------------------------------------------------------------
@@ -636,11 +643,20 @@ def approx_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     apct = F.percentile_approx(
         F.col("value"), F.array(F.lit(0.5), F.lit(0.95)), 10000
     )
-    return events.groupBy("event_type").agg(
+    prof = events.groupBy("event_type").agg(
         F.round(F.element_at(apct, 1), 6).alias("approx_p50"),
         F.round(F.element_at(pct, 1), 6).alias("exact_p50"),
         F.round(F.element_at(apct, 2), 6).alias("approx_p95"),
         F.round(F.element_at(pct, 2), 6).alias("exact_p95"),
+    )
+    # Rows-only invariant: the sketch quantiles must be ordered and each
+    # within 10% (in value space, vs the exact spread) of the exact
+    # quantile — a sketch regression drops the violating group rows.
+    spread = F.abs(F.col("exact_p95") - F.col("exact_p50")) + F.lit(1e-6)
+    return prof.filter(
+        (F.col("approx_p50") <= F.col("approx_p95"))
+        & (F.abs(F.col("approx_p50") - F.col("exact_p50")) <= 0.10 * spread)
+        & (F.abs(F.col("approx_p95") - F.col("exact_p95")) <= 0.10 * spread)
     )
 
 

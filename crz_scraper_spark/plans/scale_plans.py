@@ -253,31 +253,102 @@ GROUP BY e.query_id
 """
 
 
+# Recall floors for the self-validating ANN report columns (ppm). Measured
+# aggregate recall@5 at sf0.001/sf0.01: IVF(nprobe=2/8) ≈ 47–50% vs exact
+# cosine; PQ(8×1-byte ADC) ≈ 22–30% vs exact L2. Floors sit at roughly
+# half the measured value: loose enough for cross-sf data variation,
+# tight enough that an index regression collapsing recall drops ALL
+# output rows — which the driver's rows-only count check catches.
+_IVF_RECALL_FLOOR_PPM = 250_000
+_PQ_RECALL_FLOOR_PPM = 100_000
+
+
+def _with_recall_guard(topk: DataFrame, exact: DataFrame, floor_ppm: int) -> DataFrame:
+    """Append corpus_recall_ppm (aggregate recall of `topk` against the
+    exact twin) to every row and drop ALL rows when it falls below the
+    floor — the in-query invariant that turns the driver's weak rows-only
+    count into a real index-health assertion (VERDICT r3 item 7)."""
+    hits = exact.join(
+        topk.select("query_id", "neighbor_id", F.lit(1).alias("__hit")),
+        ["query_id", "neighbor_id"],
+        "left",
+    ).agg(
+        F.count(F.lit(1)).alias("__ne"), F.count("__hit").alias("__no")
+    )
+    health = hits.select(
+        F.expr("CAST(__no * 1000000 div __ne AS BIGINT)").alias(
+            "corpus_recall_ppm"
+        )
+    )
+    return topk.join(F.broadcast(health)).filter(
+        F.col("corpus_recall_ppm") >= floor_ppm
+    )
+
+
+def _exact_l2_topk(emb: DataFrame, k: int = 5) -> DataFrame:
+    """Exact L2 top-k of the standard 8-query cohort — the in-query truth
+    twin for the PQ recall guard (PQ scores asymmetric L2 distance, so
+    cosine_topk_bruteforce is the wrong referee)."""
+    from pyspark.sql.window import Window
+
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("__qv", "__cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(d2, 6).asc(), F.col("neighbor_id")
+    )
+    return (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+
 def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization variant of the ANN scale path (8 one-byte codes
     per 64-dim vector = 32x compression; asymmetric-distance scoring —
     operators/similarity.py::pq_topk). Rows-only check: the codebooks come
     from sampled k-means with no SQL analog; tests/test_operators.py bounds
-    recall@10 against the exact L2 top-k and proves determinism."""
+    recall@10 against the exact L2 top-k and proves determinism. The query
+    itself carries a corpus_recall_ppm guard vs the exact L2 top-5: a
+    recall collapse empties the result, so the driver's row count catches
+    it."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 8)
-    return pq_topk(emb, queries, "vec_id", "embedding", k=5)
+    topk = pq_topk(emb, queries, "vec_id", "embedding", k=5)
+    return _with_recall_guard(topk, _exact_l2_topk(emb), _PQ_RECALL_FLOOR_PPM)
 
 
 def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF variant of the ANN scale path (k-means cells + nprobe probing;
     operators/similarity.py::ivf_topk). Rows-only check: the k-means
     partition depends on MLlib's parallel init, which has no SQL analog;
-    tests/test_operators.py proves nprobe=nlist ≡ exact brute force."""
+    tests/test_operators.py proves nprobe=nlist ≡ exact brute force. The
+    query carries a corpus_recall_ppm guard vs the exact cosine top-5
+    (cosine_topk_bruteforce): a recall collapse empties the result, so the
+    driver's row count catches it."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 8)
-    return ivf_topk(
+    topk = ivf_topk(
         emb, queries, "vec_id", "embedding", k=5, nlist=8, nprobe=2, round_to=4
     )
+    exact = cosine_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    return _with_recall_guard(topk, exact, _IVF_RECALL_FLOOR_PPM)
 
 
 # ---------------------------------------------------------------------------
@@ -288,14 +359,27 @@ def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return minhash_dedup(
+    pairs = minhash_dedup(
         docs, "doc_id", "text", num_hashes=32, bands=8, shingle_n=5, threshold=0.5
+    )
+    # In-query invariant for the rows-only check: every emitted pair must
+    # be ordered and verified (est_jaccard within [threshold, 1]). A
+    # banding/verify regression that emits unordered or sub-threshold
+    # pairs drops them here, moving the driver's recorded row count.
+    return pairs.filter(
+        (F.col("id_a") < F.col("id_b"))
+        & F.col("est_jaccard").between(0.5, 1.0)
     )
 
 
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
+    pairs = simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
+    # Same rows-only invariant discipline: ordered pairs, Hamming within
+    # the advertised bound.
+    return pairs.filter(
+        (F.col("id_a") < F.col("id_b")) & F.col("hamming").between(0, 8)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -594,11 +678,18 @@ def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
-    return feats.select("doc_id", "frame_no", norm.alias("feat_norm")).groupBy(
-        "doc_id"
-    ).agg(
+    rolled = feats.select(
+        "doc_id", "frame_no", norm.alias("feat_norm")
+    ).groupBy("doc_id").agg(
         F.count("*").alias("n_frames"),
         F.round(F.avg("feat_norm"), 4).alias("avg_feat_norm"),
+    )
+    # Rows-only invariant: every doc that produced frames has >= 1 frame
+    # and a non-degenerate feature norm (the stub embeds unit-scale
+    # hash-seeded values — an all-zeros regression in the UDF chain
+    # empties the row's norm and drops it here).
+    return rolled.filter(
+        (F.col("n_frames") >= 1) & (F.col("avg_feat_norm") > 0.0)
     )
 
 
@@ -875,10 +966,17 @@ def embedding_kmeans_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, _cents, hist = kmeans_lloyd_distributed(
         emb, "vec_id", "embedding", k=8, n_iter=4
     )
+    # In-query invariant: Lloyd's inertia is provably non-increasing; a
+    # trainer regression that breaks monotonicity (or empties a cell)
+    # empties the result, which the driver's rows-only count catches.
+    monotone = all(
+        hist[i + 1] <= hist[i] + 1e-9 for i in range(len(hist) - 1)
+    )
     return (
         assigned.groupBy("cell")
         .agg(F.count("*").alias("n_vectors"))
         .withColumn("final_inertia", F.lit(round(hist[-1], 3)))
+        .filter(F.lit(monotone) & (F.col("n_vectors") > 0))
         .orderBy("cell")
     )
 
@@ -900,14 +998,16 @@ def semantic_dedup_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     _assigned, cents, _hist = kmeans_lloyd_distributed(
         emb, "vec_id", "embedding", k=8, n_iter=3
     )
-    return semantic_dedup(
-        emb,
-        cents,
-        "vec_id",
-        "embedding",
-        threshold=_SEMDEDUP_TAU,
-        round_to=4,
-        pair_impl="gram",
+    return _semdedup_invariant(
+        semantic_dedup(
+            emb,
+            cents,
+            "vec_id",
+            "embedding",
+            threshold=_SEMDEDUP_TAU,
+            round_to=4,
+            pair_impl="gram",
+        )
     )
 
 
@@ -924,18 +1024,32 @@ def semantic_dedup_scaled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()
     n_cells = max(8, n // 250)
     cents = fixed_centroids(_SEMDEDUP_DIM, n_cells, _SEMDEDUP_SEED)
-    return semantic_dedup(
-        emb,
-        cents,
-        "vec_id",
-        "embedding",
-        threshold=_SEMDEDUP_TAU,
-        round_to=4,
-        # Per-cell BLAS gram matrix for the pair phase: within-cell work is
-        # one vectorized (c × dim) @ (dim × c) per cell instead of c²/2
-        # interpreted 64-term dots (measured 29s -> see PLANS.md at sf1).
-        pair_impl="gram",
+    return _semdedup_invariant(
+        semantic_dedup(
+            emb,
+            cents,
+            "vec_id",
+            "embedding",
+            threshold=_SEMDEDUP_TAU,
+            round_to=4,
+            # Per-cell BLAS gram matrix for the pair phase: within-cell
+            # work is one vectorized (c × dim) @ (dim × c) per cell
+            # instead of c²/2 interpreted 64-term dots (measured 29s ->
+            # see PLANS.md at sf1).
+            pair_impl="gram",
+        )
     )
+
+
+def _semdedup_invariant(result: DataFrame) -> DataFrame:
+    """Rows-only invariant for the SemDeDup variants: a kept vector is its
+    own representative; a dropped vector's representative has a strictly
+    lower id (keep-lowest-id semantics). A regression violating either
+    drops rows, moving the driver's recorded count. Healthy output keeps
+    every row (one per input vector)."""
+    kept_ok = (F.col("kept") == 1) & (F.col("rep_id") == F.col("vec_id"))
+    drop_ok = (F.col("kept") == 0) & (F.col("rep_id") < F.col("vec_id"))
+    return result.filter(kept_ok | drop_ok)
 
 
 def _semantic_dedup_sql() -> str:

@@ -665,11 +665,20 @@ WHERE rnk <= 10
 # ---------------------------------------------------------------------------
 
 
+def _bpe_invariant(stats: DataFrame) -> DataFrame:
+    """Rows-only invariant for the BPE stats queries: BPE only ever SPLITS
+    whitespace words, so n_bpe_tokens >= n_words for every document — a
+    tokenizer regression that merges across words (or drops tokens) drops
+    rows here, moving the driver's recorded count. Healthy output keeps
+    every document row."""
+    return stats.filter(F.col("n_bpe_tokens") >= F.col("n_words"))
+
+
 def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crz_scraper_spark.operators.bpe import bpe_token_stats
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return bpe_token_stats(docs, spark)
+    return _bpe_invariant(bpe_token_stats(docs, spark))
 
 
 def bpe_corpus_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -680,7 +689,7 @@ def bpe_corpus_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crz_scraper_spark.operators.bpe import bpe_corpus_token_stats
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return bpe_corpus_token_stats(docs, spark)
+    return _bpe_invariant(bpe_corpus_token_stats(docs, spark))
 
 
 QUERIES: dict = {
