@@ -686,6 +686,53 @@ def test_minhash_incremental_daily_batches(spark, tmp_path):
     assert p3.filter("id_new = id_other").count() == 0
 
 
+def test_lsh_bucket_occupancy_and_mega_bucket_cap(spark):
+    """The occupancy audit reports exact per-band bucket stats (implied
+    pairs = sum c(c-1)/2 — the quantity behind the banded join's cost
+    model), and the max_bucket_occupancy guardrail excludes mega-bucket
+    members from pair generation while leaving small clusters intact."""
+    from pyspark.sql import functions as F
+
+    from crz_scraper_spark.operators.dedup import (
+        lsh_bucket_occupancy,
+        minhash_dedup,
+        minhash_signatures,
+    )
+
+    # 6 copies of one template (mega-cluster), one 2-doc near-pair, one
+    # unique doc.
+    template = "the quick brown fox jumps over the lazy dog again " * 6
+    pair = "completely different content about spark physical plans " * 6
+    rows = [(i, template) for i in range(6)]
+    rows += [(10, pair), (11, pair + "tail"), (20, "unique text " * 12)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    sig = minhash_signatures(docs, "doc_id", "text", 32, 5)
+    occ = lsh_bucket_occupancy(sig, "doc_id", 8, 4).collect()
+    assert len(occ) == 8
+    for r in occ:
+        # The 6-doc template cluster shares every band bucket.
+        assert r["max_occupancy"] >= 6
+        # 6 identical docs imply >= 15 pairs per band; plus the near-pair.
+        assert r["implied_pairs"] >= 15
+        assert r["n_buckets"] >= 2
+
+    uncapped = minhash_dedup(
+        docs, "doc_id", "text", num_hashes=32, bands=8, shingle_n=5,
+        threshold=0.5,
+    )
+    capped = minhash_dedup(
+        docs, "doc_id", "text", num_hashes=32, bands=8, shingle_n=5,
+        threshold=0.5, max_bucket_occupancy=4,
+    )
+    un = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cap = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # Uncapped sees all 15 template pairs + the near-pair.
+    assert (10, 11) in un and len(un) >= 16
+    # Capped drops the mega-cluster's pairs but keeps the small pair.
+    assert cap == {(10, 11)}
+
+
 def test_incremental_store_rejects_mixed_hash_families(spark, tmp_path):
     """A signature store is permanently bound to the hash family (and
     signature-shaping params) of its first batch: feeding a different
