@@ -73,7 +73,14 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    with open(os.path.join(_HERE, "BENCH_RESULT.json"), "w") as f:
+    # SPARK_GRAFT_BENCH_OUT redirects the full-results file (e.g. the sf1
+    # slope run writes BENCH_RESULT_sf1.json instead of clobbering the
+    # committed sf0.1 result).
+    out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_RESULT.json")
+    out_path = (
+        out_name if os.path.isabs(out_name) else os.path.join(_HERE, out_name)
+    )
+    with open(out_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
         f.write("\n")
     headline = {
@@ -86,7 +93,7 @@ def main() -> None:
         "queries": headline,
         "sf": sf,
         "n_queries_total": len(timings),
-        "full_results_file": "BENCH_RESULT.json",
+        "full_results_file": os.path.basename(out_path),
     }
     print(json.dumps(compact, separators=(",", ":")))
 
