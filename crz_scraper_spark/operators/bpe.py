@@ -186,7 +186,12 @@ def bpe_token_stats(
 
 
 def _apply_bpe_stats(docs, spark, merges, id_col, text_col) -> DataFrame:
-    count_udf = bpe_token_count_udf(spark, merges)
+    # asNondeterministic: semantically the count IS deterministic, but the
+    # flag stops Catalyst substituting the UDF expression into downstream
+    # filter predicates (e.g. the registry's n_bpe_tokens >= n_words
+    # invariant), which would run the Arrow batch eval TWICE over the
+    # corpus — measured as a second full ArrowEvalPython node in the plan.
+    count_udf = bpe_token_count_udf(spark, merges).asNondeterministic()
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
     return docs.select(
         F.col(id_col),

@@ -253,21 +253,38 @@ GROUP BY e.query_id
 """
 
 
-# Recall floors for the self-validating ANN report columns (ppm). Measured
-# aggregate recall@5 at sf0.001/sf0.01: IVF(nprobe=2/8) ≈ 47–50% vs exact
-# cosine; PQ(8×1-byte ADC) ≈ 22–30% vs exact L2. Floors sit at roughly
-# half the measured value: loose enough for cross-sf data variation,
-# tight enough that an index regression collapsing recall drops ALL
-# output rows — which the driver's rows-only count check catches.
-_IVF_RECALL_FLOOR_PPM = 250_000
-_PQ_RECALL_FLOOR_PPM = 100_000
+# Recall floors for the self-validating ANN report columns, expressed as
+# a MULTIPLE of the random-ranking baseline recall k/(n−1) and computed
+# in-query from the actual corpus count. Absolute floors are
+# scale-fragile: approximate-index recall decays with corpus size at a
+# fixed code/probe budget (measured recall@5 across sf0.001→sf1:
+# IVF 50% → 10%, PQ 30% → 7.5%), while the random baseline decays
+# FASTER (1% → 0.025%), so "N× better than random" stays meaningful at
+# every scale (measured margins ≥ 2× the floor at the tightest point)
+# yet still catches a regression that collapses the index to noise.
+_IVF_FLOOR_X_RANDOM = 10
+_PQ_FLOOR_X_RANDOM = 5
+_ANN_K = 5
 
 
-def _with_recall_guard(topk: DataFrame, exact: DataFrame, floor_ppm: int) -> DataFrame:
+def _with_recall_guard(
+    topk: DataFrame,
+    exact: DataFrame,
+    corpus: DataFrame,
+    floor_x_random: int,
+    k: int = _ANN_K,
+) -> DataFrame:
     """Append corpus_recall_ppm (aggregate recall of `topk` against the
-    exact twin) to every row and drop ALL rows when it falls below the
-    floor — the in-query invariant that turns the driver's weak rows-only
-    count into a real index-health assertion (VERDICT r3 item 7)."""
+    exact twin) and floor_ppm (= floor_x_random × the random-ranking
+    baseline k/(n−1), n from `corpus`) to every row, and drop ALL rows
+    when recall falls below the floor — the in-query invariant that turns
+    the driver's weak rows-only count into a real index-health assertion
+    (VERDICT r3 item 7)."""
+    # topk feeds BOTH the returned rows and the health aggregate — persist
+    # so the ANN pipeline (k-means training, encode, score) runs once per
+    # materialization, not twice (bench clears cache between queries).
+    topk = topk.persist()
+    n = corpus.agg(F.count(F.lit(1)).alias("__n"))
     hits = exact.join(
         topk.select("query_id", "neighbor_id", F.lit(1).alias("__hit")),
         ["query_id", "neighbor_id"],
@@ -275,13 +292,20 @@ def _with_recall_guard(topk: DataFrame, exact: DataFrame, floor_ppm: int) -> Dat
     ).agg(
         F.count(F.lit(1)).alias("__ne"), F.count("__hit").alias("__no")
     )
-    health = hits.select(
-        F.expr("CAST(__no * 1000000 div __ne AS BIGINT)").alias(
-            "corpus_recall_ppm"
+    health = (
+        hits.join(F.broadcast(n))
+        .select(
+            F.expr("CAST(__no * 1000000 div __ne AS BIGINT)").alias(
+                "corpus_recall_ppm"
+            ),
+            F.expr(
+                f"CAST({floor_x_random} * {k} * 1000000 div (__n - 1) "
+                "AS BIGINT)"
+            ).alias("floor_ppm"),
         )
     )
     return topk.join(F.broadcast(health)).filter(
-        F.col("corpus_recall_ppm") >= floor_ppm
+        F.col("corpus_recall_ppm") >= F.col("floor_ppm")
     )
 
 
@@ -327,7 +351,9 @@ def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.filter(F.col("vec_id") < 8)
     topk = pq_topk(emb, queries, "vec_id", "embedding", k=5)
-    return _with_recall_guard(topk, _exact_l2_topk(emb), _PQ_RECALL_FLOOR_PPM)
+    return _with_recall_guard(
+        topk, _exact_l2_topk(emb), emb, _PQ_FLOOR_X_RANDOM
+    )
 
 
 def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,7 +374,7 @@ def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk_bruteforce(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    return _with_recall_guard(topk, exact, _IVF_RECALL_FLOOR_PPM)
+    return _with_recall_guard(topk, exact, emb, _IVF_FLOOR_X_RANDOM)
 
 
 # ---------------------------------------------------------------------------
