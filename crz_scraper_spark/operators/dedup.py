@@ -499,23 +499,20 @@ def _md5_hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def minhash_pairs_md5(
+def minhash_banded_md5(
     docs: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 5,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Fully-oracled MinHash-LSH near-dup pairs: same shingle → per-seed min
-    → band-bucket join → signature-agreement verify pipeline as
-    `minhash_dedup`, built on the portable md5 hash so every intermediate
-    (signatures, band keys, candidates, scores) is reproducible in ANSI SQL.
-
-    Signatures are held as `num_hashes` flat columns (h0..hN) rather than an
-    array — same physical plan, trivially expressible oracle.
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """(signatures, band-keys) for the portable-md5 MinHash-LSH pipeline —
+    the shared front half of `minhash_pairs_md5`, exposed so diagnostics
+    (the band-occupancy report) ride the IDENTICAL construction the
+    candidate join uses. Returns (sig, banded): `sig` holds num_hashes
+    flat columns h0..hN (persisted — it feeds both verify-join sides),
+    `banded` is (id, band, bh)."""
     rows = num_hashes // bands
     shingled = docs.select(
         F.col(id_col), char_shingles(text_col, shingle_n).alias("__shs")
@@ -577,6 +574,29 @@ def minhash_pairs_md5(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bh")
+    return sig, banded
+
+
+def minhash_pairs_md5(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fully-oracled MinHash-LSH near-dup pairs: same shingle → per-seed min
+    → band-bucket join → signature-agreement verify pipeline as
+    `minhash_dedup`, built on the portable md5 hash so every intermediate
+    (signatures, band keys, candidates, scores) is reproducible in ANSI SQL.
+
+    Signatures are held as `num_hashes` flat columns (h0..hN) rather than an
+    array — same physical plan, trivially expressible oracle.
+    """
+    sig, banded = minhash_banded_md5(
+        docs, id_col, text_col, num_hashes, bands, shingle_n
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

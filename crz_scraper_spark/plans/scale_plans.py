@@ -540,6 +540,49 @@ WHERE round(({agree}) / {nh}.0, 6) >= {_MH_THRESHOLD}
 
 
 # ---------------------------------------------------------------------------
+# lsh_band_occupancy_md5 — the banded join's cost model as a FULLY-ORACLED
+# query: per band, bucket count, max occupancy, and the implied candidate
+# pairs sum c·(c−1)/2 the bucket join will enumerate. Round-4 measured 10×
+# docs ⇒ ~96× implied pairs on this corpus (duplicate-cluster size grows
+# with the corpus) — this query makes that scale-health metric part of the
+# driver-verified surface, riding the IDENTICAL `minhash_banded_md5`
+# construction the candidate join uses (shared code, not a re-derivation).
+# ---------------------------------------------------------------------------
+
+
+def lsh_band_occupancy_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.operators.dedup import minhash_banded_md5
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    _sig, banded = minhash_banded_md5(
+        docs, "doc_id", "text", _MH_HASHES, _MH_BANDS, _MH_SHINGLE
+    )
+    per = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("c").alias("max_occupancy"),
+        F.expr("sum(c * (c - 1) div 2)").alias("implied_pairs"),
+    )
+
+
+def _lsh_band_occupancy_md5_sql() -> str:
+    pairs_sql = _minhash_md5_sql().strip()
+    # Re-head the pairs query: keep the shared sh/based/sig/banded CTEs,
+    # replace the candidate join + verify tail with the occupancy rollup.
+    head, _tail = pairs_sql.split(",\ncand AS (", 1)
+    return f"""{head},
+per AS (
+  SELECT band, bh, count(*) AS c FROM banded GROUP BY band, bh
+)
+SELECT band,
+       count(*) AS n_buckets,
+       max(c) AS max_occupancy,
+       CAST(sum(c * (c - 1) // 2) AS BIGINT) AS implied_pairs
+FROM per GROUP BY band
+"""
+
+
+# ---------------------------------------------------------------------------
 # near_dup_clusters — connected components over the portable-hash LSH pairs
 # (operators/dedup.py::connected_components): cluster_id = min reachable doc
 # id. The oracle computes the identical edges (same hash family) and walks
@@ -1276,6 +1319,10 @@ QUERIES: dict = {
     "ann_pq_topk": (pq_ann_topk_q, None),
     "minhash_near_dup": (minhash_near_dup, None),
     "minhash_near_dup_md5": (minhash_near_dup_md5, _minhash_md5_sql()),
+    "lsh_band_occupancy_md5": (
+        lsh_band_occupancy_md5,
+        _lsh_band_occupancy_md5_sql(),
+    ),
     "near_dup_clusters": (near_dup_clusters, _near_dup_clusters_sql()),
     "simhash_near_dup": (simhash_near_dup, None),
     "simhash_near_dup_md5": (simhash_near_dup_md5, _simhash_md5_sql()),
