@@ -52,19 +52,24 @@ def keyword_tag(
     id_col: str = "doc_id",
     text_col: str = "text",
     taxonomy: dict[str, list[str]] | None = None,
+    carry: list | None = None,
 ) -> DataFrame:
     """Wide keyword/category/total hit-count table, one row per document.
 
-    Columns: id, kw_<keyword>... , cat_<category>... , total_hits.
-    Counts are Python-`str.count` (non-overlapping) semantics
-    (`04_tag_text_contracts.py:118`).
-    """
+    Columns: id, [carry...,] kw_<keyword>... , cat_<category>... ,
+    total_hits. Counts are Python-`str.count` (non-overlapping) semantics
+    (`04_tag_text_contracts.py:118`). `carry` takes extra Column
+    expressions to compute IN the same projection — the whole operator is
+    map-only, so consumers that also need text-derived columns
+    (doc length, subject window, quality score) pass them here instead of
+    joining a second projection of the same scan back by id (an avoidable
+    full-corpus shuffle — the curation_pipeline round-4 lesson)."""
     tax = taxonomy or DEFAULT_TAXONOMY
     kw_cols = []
     for cat, kws in tax.items():
         for kw in kws:
             kw_cols.append(substring_count(text_col, kw).alias(f"kw_{_safe(kw)}"))
-    out = docs.select(F.col(id_col), *kw_cols)
+    out = docs.select(F.col(id_col), *(carry or []), *kw_cols)
     for cat, kws in tax.items():
         total = None
         for kw in kws:
@@ -262,11 +267,17 @@ def tag_rank_filter(
     Ranks by (total_hits desc, n_chars desc) — the reference's multi-key
     descending ranking sort (`04_tag_text_contracts.py:189-195`, char count
     appended at `04_tag_text_contracts.py:180-181`) — and drops zero-hit
-    documents (`04_tag_text_contracts.py:198-211`).
+    documents (`04_tag_text_contracts.py:198-211`). The char count rides
+    the tagging projection via `carry` (one scan, zero joins — the old
+    id-join of two projections of the same scan was a full-corpus
+    shuffle for a map-only column).
     """
-    tagged = keyword_tag(docs, id_col, text_col, taxonomy)
-    with_len = tagged.join(
-        docs.select(F.col(id_col), F.length(text_col).alias("n_chars_calc")), id_col
+    with_len = keyword_tag(
+        docs,
+        id_col,
+        text_col,
+        taxonomy,
+        carry=[F.length(text_col).alias("n_chars_calc")],
     )
     return (
         with_len.filter(F.col("total_hits") > 0)

@@ -18,8 +18,7 @@ from pyspark.sql import functions as F
 
 from crz_scraper_spark.functions.text import subject_extract
 from crz_scraper_spark.operators.filtering import stage2_clean, stage2_filter
-from crz_scraper_spark.operators.tagging import DEFAULT_TAXONOMY, tag_rank_filter
-from crz_scraper_spark.operators.textquality import lang_id_scores, quality_score
+from crz_scraper_spark.operators.tagging import DEFAULT_TAXONOMY
 from crz_scraper_spark.sources.xml import (
     flatten_contracts,
     read_contracts_xml,
@@ -100,20 +99,37 @@ def documents_pipeline(
     subject_width: int = 600,
 ) -> DataFrame:
     """Entry 2 (stages 4b→8 plus the text-analysis extensions): per-document
-    keyword tagging + ranking + zero-hit filter (`tag_rank_filter`), subject
-    window (O5), quality score and language guess — one wide result, one
-    pass over the corpus text (all scalar expressions; the only shuffle is
-    the ranking sort).
+    keyword tagging + ranking + zero-hit filter, subject window (O5),
+    quality score and language guess — one wide result from ONE projection
+    over the corpus text (every column is a scalar expression of the same
+    row, so they ride the tagging scan via `keyword_tag(carry=...)`; the
+    only shuffle in the whole plan is the final ranking sort). The
+    previous shape joined four map-only projections of the same scan back
+    by id — three avoidable full-corpus shuffles at 100 TB.
     """
-    taxonomy = taxonomy or DEFAULT_TAXONOMY
-    tagged = tag_rank_filter(docs, id_col, text_col, taxonomy)
-    subjects = docs.select(
-        F.col(id_col),
-        subject_extract(text_col, anchors, subject_width).alias("subject"),
+    from crz_scraper_spark.operators.tagging import keyword_tag
+    from crz_scraper_spark.operators.textquality import (
+        lang_guess_expr,
+        quality_score_expr,
     )
-    quality = quality_score(docs, id_col, text_col).select(id_col, "quality_score")
-    langs = lang_id_scores(docs, id_col, text_col).select(id_col, "lang_guess")
-    return tagged.join(subjects, id_col).join(quality, id_col).join(langs, id_col)
+
+    taxonomy = taxonomy or DEFAULT_TAXONOMY
+    wide = keyword_tag(
+        docs,
+        id_col,
+        text_col,
+        taxonomy,
+        carry=[
+            F.length(text_col).alias("n_chars_calc"),
+            subject_extract(text_col, anchors, subject_width).alias("subject"),
+            quality_score_expr(text_col).alias("quality_score"),
+            lang_guess_expr(text_col).alias("lang_guess"),
+        ],
+    )
+    return (
+        wide.filter(F.col("total_hits") > 0)
+        .orderBy(F.desc("total_hits"), F.desc("n_chars_calc"), F.asc(id_col))
+    )
 
 
 def tables_pipeline(

@@ -716,6 +716,24 @@ def test_global_topk_plans_are_bounded(spark):
         )
 
 
+def test_documents_pipeline_is_single_projection(spark, sf_dir):
+    """documents_pipeline computes tagging + subject + quality + language
+    as ONE projection over the corpus scan — zero Join nodes in the plan
+    (the old shape id-joined four map-only projections of the same scan:
+    three avoidable full-corpus shuffles at 100 TB). Only the final
+    ranking sort may shuffle."""
+    from crz_scraper_spark.pipeline import documents_pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = documents_pipeline(docs)
+    joins = [
+        n
+        for n in _walk_logical(out._jdf.queryExecution().analyzed())
+        if n.getClass().getSimpleName() == "Join"
+    ]
+    assert not joins, f"documents_pipeline plan contains joins: {len(joins)}"
+
+
 def test_curation_pipeline_scale_plan(spark, sf_dir):
     """VERDICT r3 item 1: the nightly curation chain must (a) carry no
     broadcast hint above any corpus-derived frame (non_reps is corpus-
