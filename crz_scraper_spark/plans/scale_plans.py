@@ -398,6 +398,28 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production posture of the near-dup pair report when
+    duplicate-cluster sizes grow with the corpus (this corpus: 10× docs ⇒
+    96× implied pairs uncapped — see lsh_band_occupancy_md5):
+    max_bucket_occupancy=64 excludes mega-buckets from pair generation,
+    bounding per-bucket work at 64²/2 forever. Rows-only (xxhash64), same
+    ordered-pair invariant as the uncapped twin. Measured at 10×-sf0.1
+    the signature pass still dominates (runtime parity) but the pair
+    OUTPUT drops 4× (26k vs 100k) — the quantity that feeds every
+    downstream join/clustering stage, and the one that grows
+    quadratically with cluster size uncapped."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_dedup(
+        docs, "doc_id", "text", num_hashes=32, bands=8, shingle_n=5,
+        threshold=0.5, max_bucket_occupancy=64,
+    )
+    return pairs.filter(
+        (F.col("id_a") < F.col("id_b"))
+        & F.col("est_jaccard").between(0.5, 1.0)
+    )
+
+
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     pairs = simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
@@ -1318,6 +1340,7 @@ QUERIES: dict = {
     "ann_ivf_topk": (ivf_ann_topk_q, None),
     "ann_pq_topk": (pq_ann_topk_q, None),
     "minhash_near_dup": (minhash_near_dup, None),
+    "minhash_near_dup_capped": (minhash_near_dup_capped, None),
     "minhash_near_dup_md5": (minhash_near_dup_md5, _minhash_md5_sql()),
     "lsh_band_occupancy_md5": (
         lsh_band_occupancy_md5,
