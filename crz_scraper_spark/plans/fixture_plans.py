@@ -527,8 +527,83 @@ def curation_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_pipeline(docs)["audit"]
 
 
+# ---------------------------------------------------------------------------
+# bucketed_colocated_join — bucketing as the 100 TB co-location strategy,
+# demonstrated end to end: orders and lineitem are written as bucketed
+# tables (same bucket count, same key), so the fact-fact equi-join reads
+# both sides ALREADY partitioned by the join key and runs with ZERO
+# shuffle exchange under the join (the plan's only Exchange is the final
+# small group-by; pinned by tests/test_scale_layout.py). This is the
+# layout upgrade every repeated big join earns at scale — pay the bucketed
+# write once, skip the join shuffle on every subsequent query. The merge
+# hint forces sort-merge (at tiny SF the planner would broadcast and hide
+# the co-location evidence); buckets are sorted on the key so the SMJ
+# needs no extra sort either. FULLY oracled (the layout changes the plan,
+# not the answer).
+# ---------------------------------------------------------------------------
+
+_BUCKETS = 8
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    h = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    pid = _os.getpid()
+    o_tbl, l_tbl = f"crz_bo_{h}_{pid}", f"crz_bl_{h}_{pid}"
+    key = f"buckets_{h}_{pid}"
+    if key not in _BUILT:
+        base = _fixture_dir("buckets", sf_dir)
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus")
+            .write.mode("overwrite")
+            .bucketBy(_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", f"{base}/orders")
+            .saveAsTable(o_tbl)
+        )
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .write.mode("overwrite")
+            .bucketBy(_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", f"{base}/lineitem")
+            .saveAsTable(l_tbl)
+        )
+        _BUILT.add(key)
+    return o_tbl, l_tbl
+
+
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_tbl, l_tbl = _bucketed_tables(spark, sf_dir)
+    o = spark.table(o_tbl)
+    li = spark.table(l_tbl)
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == F.col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+    )
+
+
+BUCKETED_COLOCATED_JOIN_SQL = f"""
+SELECT o.o_orderstatus,
+       count(*) AS n_lines,
+       {_DSUM_SQL.format(x="l.l_extendedprice")} AS sum_price
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""
+
+
 QUERIES: dict = {
     "pipe_csv_roundtrip": (pipe_csv_roundtrip, PIPE_CSV_ROUNDTRIP_SQL),
+    "bucketed_colocated_join": (
+        bucketed_colocated_join,
+        BUCKETED_COLOCATED_JOIN_SQL,
+    ),
     "curation_pipeline_audit": (curation_pipeline_audit, None),
     "dir_tree_corpus_scan": (dir_tree_corpus_scan, DIR_TREE_CORPUS_SCAN_SQL),
     "wordlist_sink_roundtrip": (

@@ -264,7 +264,11 @@ def test_window_rotation_covers_never_checked():
     missing = [q for q in never if q not in _FIRST_WINDOW]
     # Queries REGISTERED after the round-4 rotation was fixed can't occupy
     # one of its 50 slots; they queue for the next rotation.
-    post_rotation = {"lsh_band_occupancy_md5", "minhash_near_dup_capped"}
+    post_rotation = {
+        "lsh_band_occupancy_md5",
+        "minhash_near_dup_capped",
+        "bucketed_colocated_join",
+    }
     missing = [q for q in missing if q not in post_rotation]
     assert not missing, f"never-checked queries left out of window: {missing}"
 

@@ -716,6 +716,25 @@ def test_global_topk_plans_are_bounded(spark):
         )
 
 
+def test_bucketed_join_has_no_join_shuffle(spark, sf_dir):
+    """The bucketed-layout join must read both fact sides pre-partitioned
+    by the join key: SortMergeJoin directly over the bucketed FileScans,
+    with the plan's ONLY Exchange being the final small group-by — the
+    pay-once-write, skip-every-join-shuffle contract that makes bucketing
+    the co-location strategy at 100 TB."""
+    from crz_scraper_spark.plans.fixture_plans import bucketed_colocated_join
+
+    df = bucketed_colocated_join(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange") == 1, plan  # the group-by only
+    assert "BroadcastExchange" not in plan, plan
+    # Both scans carry bucket metadata (SelectedBucketsCount appears when
+    # bucket pruning/reading is active on a bucketed scan).
+    assert plan.count("Bucketed: true") == 2 or "SelectedBucketsCount" in plan, plan
+
+
 def test_documents_pipeline_is_single_projection(spark, sf_dir):
     """documents_pipeline computes tagging + subject + quality + language
     as ONE projection over the corpus scan — zero Join nodes in the plan
