@@ -692,7 +692,86 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
 
 
+# ---------------------------------------------------------------------------
+# salted_skew_join — key-salting as the portable skew treatment,
+# demonstrated with a provably-skewed key: ~40% of lineitem rows collapse
+# onto hot key 0 (l_orderkey % 5 < 2), so an unsalted shuffle join would
+# put 40% of the fact table in ONE reducer task — the classic straggler.
+# The fact side appends salt = pmod(xxhash64(linenumber-disambiguated
+# row), SALTS); the dim side EXPLODES ×SALTS; the join keys on
+# (key, salt), splitting the hot key across SALTS tasks. The merge hint
+# keeps it a shuffle join (a broadcast would hide the technique at test
+# SF — at 100 TB the dim that needs salting is precisely the one too big
+# to broadcast). FULLY oracled against the plain unsalted join: salting
+# must change the distribution, never the answer.
+# ---------------------------------------------------------------------------
+
+_SALTS = 8
+
+
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 5 < 2, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+    ).withColumn(
+        "salt",
+        F.pmod(
+            F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber")),
+            F.lit(_SALTS),
+        ).cast("int"),
+    )
+    dim = (
+        li.select(
+            F.when(F.col("l_orderkey") % 5 < 2, F.lit(0))
+            .otherwise(F.col("l_orderkey"))
+            .alias("k")
+        )
+        .distinct()
+        .withColumn("grp", F.pmod(F.col("k"), F.lit(10)).cast("int"))
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALTS - 1)))
+        )
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    return (
+        fact.hint("merge")
+        .join(dim, ["k", "salt"])
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(
+                "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)"
+                " AS DOUBLE)"
+            ).alias("sum_price"),
+        )
+    )
+
+
+SALTED_SKEW_JOIN_SQL = """
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 5 < 2 THEN 0 ELSE l_orderkey END AS k,
+         l_extendedprice
+  FROM lineitem
+),
+dim AS (
+  SELECT DISTINCT k, CAST(k % 10 AS INT) AS grp FROM fact
+)
+SELECT d.grp,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(f.l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_price
+FROM fact f JOIN dim d ON f.k = d.k
+GROUP BY d.grp
+"""
+
+
 QUERIES: dict = {
+    "salted_skew_join": (salted_skew_join, SALTED_SKEW_JOIN_SQL),
     "approx_distinct_profile": (approx_distinct_profile, None),
     "approx_percentile_profile": (approx_percentile_profile, None),
     "status_priority_grouping_sets": (

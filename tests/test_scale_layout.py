@@ -735,6 +735,38 @@ def test_bucketed_join_has_no_join_shuffle(spark, sf_dir):
     assert plan.count("Bucketed: true") == 2 or "SelectedBucketsCount" in plan, plan
 
 
+def test_salted_join_splits_the_hot_key(spark, sf_dir):
+    """The salted join must actually key on (k, salt) — splitting the hot
+    key (~40% of fact rows) across _SALTS reducer tasks instead of one
+    straggler — and the salt must spread the hot key's rows near-uniformly
+    (xxhash64 on a per-row-unique column)."""
+    from crz_scraper_spark.plans.extra_plans import _SALTS, salted_skew_join
+
+    df = salted_skew_join(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    smj = next(l for l in plan.splitlines() if "SortMergeJoin" in l)
+    assert "salt" in smj and "k#" in smj, smj
+    # Distribution: hot-key rows occupy every salt bucket, none dominant.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    hot = (
+        li.filter(F.col("l_orderkey") % 5 < 2)
+        .select(
+            F.pmod(
+                F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber")),
+                F.lit(_SALTS),
+            ).alias("salt")
+        )
+        .groupBy("salt")
+        .count()
+        .collect()
+    )
+    counts = {r["salt"]: r["count"] for r in hot}
+    assert len(counts) == _SALTS
+    assert max(counts.values()) < 2 * min(counts.values())
+
+
 def test_documents_pipeline_is_single_projection(spark, sf_dir):
     """documents_pipeline computes tagging + subject + quality + language
     as ONE projection over the corpus scan — zero Join nodes in the plan
