@@ -57,6 +57,48 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_tumbling_agg(spark, sf_dir, "1 hour", "2 hours")
 
 
+def streaming_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production streaming SINK pattern, driver-verified end to end:
+    watermarked tumbling aggregation → `foreachBatch` with
+    dynamic-partition overwrite into date-partitioned parquet → read the
+    store back. The stream runs TWICE into the same store before reading —
+    the idempotent re-save is the point (S10 done right: a failure-retry
+    or full re-run rewrites exactly the partitions it touches and lands on
+    identical bytes, where the reference rewrote its whole CSV per
+    contract). Oracled against the batch tumbling aggregate: exhaustive
+    processing over bounded input ⇒ the store equals the batch answer, and
+    the double-run proves the overwrite is idempotent, not appending."""
+    import hashlib as _hl
+    import os as _os
+
+    from crz_scraper_spark.streaming.windows import (
+        stream_to_partitioned_parquet,
+    )
+
+    out = (
+        f"/tmp/crz_streamsink_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+        f"_{_os.getpid()}"
+    )
+    stream_to_partitioned_parquet(spark, sf_dir, out)
+    stream_to_partitioned_parquet(spark, sf_dir, out)  # idempotent re-run
+    return spark.read.parquet(out).select(
+        "window_start",
+        F.col("window_date").cast("date").alias("window_date"),
+        "event_type",
+        "n_events",
+    )
+
+
+STREAMING_PARQUET_SINK_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       CAST(time_bucket(INTERVAL '1 hour', ts) AS DATE) AS window_date,
+       event_type,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (clicks ⋈ same-user purchases within
     30 min) executed by the streaming engine with watermark-bounded join
@@ -593,6 +635,10 @@ QUERIES: dict = {
     ),
     "tumbling_hourly": (tumbling_hourly, TUMBLING_HOURLY_SQL),
     "streaming_tumbling_hourly": (streaming_tumbling_hourly, TUMBLING_HOURLY_SQL),
+    "streaming_parquet_sink_roundtrip": (
+        streaming_parquet_sink_roundtrip,
+        STREAMING_PARQUET_SINK_SQL,
+    ),
     "streaming_enriched_segments": (
         streaming_enriched_segments_q,
         STREAMING_ENRICHED_SEGMENTS_SQL,
