@@ -99,6 +99,35 @@ GROUP BY 1, 2, 3
 """
 
 
+def streaming_upsert_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTI-BATCH-SAFE streaming sink driver-verified: foreachBatch
+    merges each micro-batch's changed windows into the store by
+    (window_start, event_type) key via `upsert_by_key` — arrival-order-
+    proof where the partition-overwrite sink is single-batch-only (the
+    hazard and fix are pinned in tests/test_streaming_late.py over a
+    4-file maxFilesPerTrigger=1 source). Same oracle as the overwrite
+    sink: exhaustive processing over bounded input equals the batch
+    tumbling aggregate."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+
+    from crz_scraper_spark.streaming.windows import stream_to_upsert_store
+
+    out = (
+        f"/tmp/crz_upsertsink_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+        f"_{_os.getpid()}"
+    )
+    _sh.rmtree(out, ignore_errors=True)  # fresh store per invocation
+    stream_to_upsert_store(spark, sf_dir, out)
+    return spark.read.parquet(out).select(
+        "window_start",
+        F.col("window_date").cast("date").alias("window_date"),
+        "event_type",
+        "n_events",
+    )
+
+
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (clicks ⋈ same-user purchases within
     30 min) executed by the streaming engine with watermark-bounded join
@@ -637,6 +666,10 @@ QUERIES: dict = {
     "streaming_tumbling_hourly": (streaming_tumbling_hourly, TUMBLING_HOURLY_SQL),
     "streaming_parquet_sink_roundtrip": (
         streaming_parquet_sink_roundtrip,
+        STREAMING_PARQUET_SINK_SQL,
+    ),
+    "streaming_upsert_sink_roundtrip": (
+        streaming_upsert_sink_roundtrip,
         STREAMING_PARQUET_SINK_SQL,
     ),
     "streaming_enriched_segments": (

@@ -208,24 +208,8 @@ def streaming_dedup(
     return _run_bounded(dedup, "append", "stream_dedup")
 
 
-def stream_to_partitioned_parquet(
-    spark: SparkSession,
-    sf_dir: str,
-    out_dir: str,
-    window_len: str = "1 hour",
-    watermark: str = "2 hours",
-) -> None:
-    """Production sink pattern (S10's idempotent re-save, done right): the
-    watermarked tumbling aggregation lands in date-partitioned parquet via
-    `foreachBatch` with dynamic partition overwrite — each micro-batch
-    rewrites exactly the partitions it touches, so re-running a batch after
-    failure is idempotent (the reference instead rewrote its whole CSV
-    after every contract, `06_extract_tables.py:246`). In update mode only
-    windows changed by the batch flow through, bounding each rewrite to
-    recent partitions once the watermark passes.
-    """
-    src = _events_stream(spark, sf_dir)
-    agg = (
+def _windowed_counts(src: DataFrame, window_len: str, watermark: str) -> DataFrame:
+    return (
         src.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_len).alias("w"), F.col("event_type"))
         .agg(F.count("*").alias("n_events"))
@@ -237,18 +221,12 @@ def stream_to_partitioned_parquet(
         )
     )
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("window_date")
-            .parquet(out_dir)
-        )
 
-    # Same state-partition sizing as _run_bounded: the agg's state store
-    # commits one delta file per partition per micro-batch — inheriting the
-    # batch shuffle default (32) is pure fixed overhead for state that fits
-    # in one page (measured ~2× on the whole run locally).
+def _run_foreach_batch(spark: SparkSession, agg: DataFrame, write_batch) -> None:
+    """Run an update-mode foreachBatch stream to completion with the same
+    explicit state-partition sizing as _run_bounded (32 default shuffle
+    partitions = 32 state-store delta commits per micro-batch for state
+    that fits a page — measured ~2× on the whole run locally)."""
     batch_parts = spark.conf.get("spark.sql.shuffle.partitions")
     state_parts = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "8")
     spark.conf.set("spark.sql.shuffle.partitions", state_parts)
@@ -264,6 +242,91 @@ def stream_to_partitioned_parquet(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", batch_parts)
+
+
+def stream_to_upsert_store(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+    stream_src: DataFrame | None = None,
+) -> None:
+    """The MULTI-BATCH-SAFE streaming sink: each micro-batch MERGES its
+    changed windows into the store by key (`upsert_by_key` on
+    (window_start, event_type)) instead of overwriting date partitions.
+
+    Why a second sink exists: `stream_to_partitioned_parquet`'s
+    dynamic-partition overwrite is exactly right when a micro-batch
+    carries COMPLETE partitions (the bounded daily-drop replay — one day
+    per batch). Under multi-batch arrival, update mode emits only the
+    windows a batch CHANGED, and overwriting a whole date directory with
+    just those rows silently DROPS that date's unchanged windows — a
+    silent-loss hazard `tests/test_streaming_late.py` pins by driving
+    both sinks over a 4-file source with maxFilesPerTrigger=1. The merge
+    form is arrival-order-proof: re-delivered batches overwrite
+    themselves (idempotent), partial batches only touch their own keys.
+    """
+    from crz_scraper_spark.operators.upsert import _hadoop_fs, upsert_by_key
+
+    src = stream_src if stream_src is not None else _events_stream(spark, sf_dir)
+    agg = _windowed_counts(src, window_len, watermark)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fs, jvm = _hadoop_fs(spark, out_dir)
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(out_dir)):
+            (
+                batch_df.write.mode("overwrite")
+                .partitionBy("window_date")
+                .parquet(out_dir)
+            )
+        else:
+            upsert_by_key(
+                spark,
+                out_dir,
+                batch_df,
+                ["window_start", "event_type"],
+                "window_date",
+            )
+
+    _run_foreach_batch(spark, agg, write_batch)
+
+
+def stream_to_partitioned_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+    stream_src: DataFrame | None = None,
+) -> None:
+    """Production sink pattern (S10's idempotent re-save, done right): the
+    watermarked tumbling aggregation lands in date-partitioned parquet via
+    `foreachBatch` with dynamic partition overwrite — each micro-batch
+    rewrites exactly the partitions it touches, so re-running a batch after
+    failure is idempotent (the reference instead rewrote its whole CSV
+    after every contract, `06_extract_tables.py:246`). In update mode only
+    windows changed by the batch flow through, bounding each rewrite to
+    recent partitions once the watermark passes.
+
+    SCOPE: correct when each micro-batch carries COMPLETE partitions
+    (single-batch bounded replay; one-day-per-batch drops). Under
+    finer-grained multi-batch arrival this overwrite drops a touched
+    date's unchanged windows — use `stream_to_upsert_store` there
+    (hazard pinned in tests/test_streaming_late.py).
+    """
+    src = stream_src if stream_src is not None else _events_stream(spark, sf_dir)
+    agg = _windowed_counts(src, window_len, watermark)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("window_date")
+            .parquet(out_dir)
+        )
+
+    _run_foreach_batch(spark, agg, write_batch)
 
 
 def stateful_user_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -270,6 +270,7 @@ def test_window_rotation_covers_never_checked():
         "bucketed_colocated_join",
         "salted_skew_join",
         "streaming_parquet_sink_roundtrip",
+        "streaming_upsert_sink_roundtrip",
     }
     missing = [q for q in missing if q not in post_rotation]
     assert not missing, f"never-checked queries left out of window: {missing}"

@@ -90,6 +90,73 @@ def test_watermark_drops_late_row(spark, tmp_path):
     assert dropped == 1, progress
 
 
+def test_multibatch_sink_upsert_safe_overwrite_lossy(spark, tmp_path):
+    """Under MULTI-batch arrival (4-file source, maxFilesPerTrigger=1) the
+    merge sink (`stream_to_upsert_store`) lands exactly the batch answer,
+    while the partition-overwrite sink silently LOSES windows: update mode
+    emits only the windows each batch changed, and overwriting a whole
+    date directory with just those rows drops that date's unchanged
+    windows. This pins both the fix and the hazard it exists for."""
+    from pyspark.sql import functions as F
+
+    from crz_scraper_spark.catalog import load_table
+    from crz_scraper_spark.streaming.windows import (
+        stream_to_partitioned_parquet,
+        stream_to_upsert_store,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    src_dir = str(tmp_path / "evsrc")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    events.repartition(4).write.parquet(src_dir)
+    assert len(list((tmp_path / "evsrc").glob("part-*.parquet"))) == 4
+
+    def make_stream():
+        schema = spark.read.parquet(src_dir).schema
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    want = sorted(
+        map(
+            tuple,
+            events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start"), "event_type", "n")
+            .collect(),
+        )
+    )
+
+    # The long watermark keeps state for every window: a 4-way random file
+    # split delivers timestamps out of order, and this test is about sink
+    # semantics, not late-data drops.
+    up = str(tmp_path / "upsert_store")
+    stream_to_upsert_store(
+        spark, sf_dir, up, watermark="100000 hours", stream_src=make_stream()
+    )
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(up)
+            .select("window_start", "event_type", "n_events")
+            .collect(),
+        )
+    )
+    assert got == want
+
+    ow = str(tmp_path / "overwrite_store")
+    stream_to_partitioned_parquet(
+        spark, sf_dir, ow, watermark="100000 hours", stream_src=make_stream()
+    )
+    lost = spark.read.parquet(ow).count()
+    assert lost < len(want)  # the documented multi-batch hazard, observed
+
+
 def test_stream_to_partitioned_parquet_idempotent(spark, tmp_path):
     """The foreachBatch dynamic-partition-overwrite sink produces exactly
     the batch aggregation, lands it date-partitioned, and re-running the
