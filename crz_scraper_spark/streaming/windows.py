@@ -72,11 +72,24 @@ def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = _events_schema(spark, sf_dir)
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # events.parquet is a single FILE in driver testdata but a DIRECTORY of
+    # part files when written by Spark (tools/make_sf1.py). pathGlobFilter
+    # matches leaf FILE names, so filtering for "events.parquet" under
+    # sf_dir silently matches NOTHING in the directory case — every
+    # streaming query then processes an empty stream (0 rows, bogus-fast;
+    # caught at sf1 when the foreachBatch sink's store never materialized).
+    # Read the directory directly when it is one.
+    import os as _os
+
+    path = f"{sf_dir}/events.parquet"
+    if _os.path.isdir(path):
+        src = spark.readStream.schema(schema).parquet(path)
+    else:
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     ts_type = dict((f.name, f.dataType.simpleString()) for f in schema.fields)
     if ts_type.get("ts") == "bigint":
         # nanos-as-long era: integer-DIV truncate to µs (exceeds double's

@@ -90,6 +90,28 @@ def test_watermark_drops_late_row(spark, tmp_path):
     assert dropped == 1, progress
 
 
+def test_events_stream_reads_directory_layout(spark, tmp_path):
+    """events.parquet written by Spark is a DIRECTORY of part files, not a
+    single file; the stream source must read it (pathGlobFilter matches
+    leaf file names, so filtering for 'events.parquet' under the parent
+    matched NOTHING in the directory case — every streaming query then
+    processed an empty stream, 0 rows and bogus-fast, which the sf1 bench
+    masked until the foreachBatch sink failed to materialize its store)."""
+    from crz_scraper_spark.catalog import load_table
+    from crz_scraper_spark.streaming.windows import streaming_tumbling_agg
+
+    sf_dir = "/root/testdata/sf0.001"
+    alt = tmp_path / "sfdir"
+    alt.mkdir()
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(3).write.parquet(str(alt / "events.parquet"))
+    got = streaming_tumbling_agg(spark, str(alt), "1 hour", "2 hours")
+    assert got.count() > 0
+    # Same windows as streaming over the single-file layout.
+    ref = streaming_tumbling_agg(spark, sf_dir, "1 hour", "2 hours")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
 def test_multibatch_sink_upsert_safe_overwrite_lossy(spark, tmp_path):
     """Under MULTI-batch arrival (4-file source, maxFilesPerTrigger=1) the
     merge sink (`stream_to_upsert_store`) lands exactly the batch answer,
