@@ -64,6 +64,11 @@ def main() -> None:
         # 3-10x over their standalone cost (measured 3s -> 37s).
         df = None
         gc.collect()
+        # (A per-query JVM System.gc() was tried against the ±30% churn
+        # that read near_dup_clusters at 45 s in-bench vs 8.6 s warm
+        # standalone: it made the TOTAL 13% worse — the forced full GC's
+        # cost leaks into the next measured window. Not worth it; the
+        # churn is documented in PLANS.md instead.)
 
     total = round(sum(timings.values()), 3)
     full = {
