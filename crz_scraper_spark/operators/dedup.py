@@ -506,13 +506,16 @@ def minhash_banded_md5(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 5,
+    persist_sig: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """(signatures, band-keys) for the portable-md5 MinHash-LSH pipeline —
     the shared front half of `minhash_pairs_md5`, exposed so diagnostics
     (the band-occupancy report) ride the IDENTICAL construction the
     candidate join uses. Returns (sig, banded): `sig` holds num_hashes
-    flat columns h0..hN (persisted — it feeds both verify-join sides),
-    `banded` is (id, band, bh)."""
+    flat columns h0..hN (persisted by default — it feeds both verify-join
+    sides of the pairs query; pass persist_sig=False when only `banded`
+    is consumed, e.g. the occupancy report, so the full signature table
+    isn't cached for nothing), `banded` is (id, band, bh)."""
     rows = num_hashes // bands
     shingled = docs.select(
         F.col(id_col), char_shingles(text_col, shingle_n).alias("__shs")
@@ -551,7 +554,9 @@ def minhash_banded_md5(
             _seed_min(a, c).alias(f"h{i}")
             for i, (a, c) in enumerate(coeffs)
         ],
-    ).persist()
+    )
+    if persist_sig:
+        sig = sig.persist()
     banded = sig.select(
         F.col(id_col),
         F.explode(

@@ -524,7 +524,17 @@ def curation_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crz_scraper_spark.pipeline import curation_pipeline
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return curation_pipeline(docs)["audit"]
+    out = curation_pipeline(docs)
+    # The audit ledger is 5 rows — materialize it HERE so the persisted
+    # corpus intermediates (`exact`/`deduped`, MEMORY_AND_DISK) can be
+    # released before returning; a lazy return would leak two
+    # corpus-sized cached frames per invocation in any session that
+    # doesn't clearCache between queries (e.g. the driver gate).
+    audit_df = out["audit"]
+    rows = audit_df.collect()
+    for f in out["cached"]:
+        f.unpersist()
+    return spark.createDataFrame(rows, audit_df.schema)
 
 
 # ---------------------------------------------------------------------------

@@ -576,8 +576,12 @@ def lsh_band_occupancy_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crz_scraper_spark.operators.dedup import minhash_banded_md5
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # Only the band keys are consumed here — skip the signature persist
+    # the pairs query needs (it would cache the full h0..hN table for
+    # nothing and hold it until clearCache).
     _sig, banded = minhash_banded_md5(
-        docs, "doc_id", "text", _MH_HASHES, _MH_BANDS, _MH_SHINGLE
+        docs, "doc_id", "text", _MH_HASHES, _MH_BANDS, _MH_SHINGLE,
+        persist_sig=False,
     )
     per = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("c"))
     return per.groupBy("band").agg(
@@ -1140,7 +1144,16 @@ def _semdedup_invariant(result: DataFrame) -> DataFrame:
     every row (one per input vector)."""
     kept_ok = (F.col("kept") == 1) & (F.col("rep_id") == F.col("vec_id"))
     drop_ok = (F.col("kept") == 0) & (F.col("rep_id") < F.col("vec_id"))
-    return result.filter(kept_ok | drop_ok)
+    out = result.filter(kept_ok | drop_ok)
+    # Re-attach the persisted-base handle the filter would otherwise drop
+    # (any DataFrame transformation returns a fresh object) so registry
+    # consumers can still `out._crz_cached.unpersist()` after
+    # materializing — without it the MEMORY-persisted base frame leaks
+    # until clearCache in long-lived sessions.
+    cached = getattr(result, "_crz_cached", None)
+    if cached is not None:
+        out._crz_cached = cached
+    return out
 
 
 def _semantic_dedup_sql() -> str:

@@ -78,11 +78,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf_dir silently matches NOTHING in the directory case — every
     # streaming query then processes an empty stream (0 rows, bogus-fast;
     # caught at sf1 when the foreachBatch sink's store never materialized).
-    # Read the directory directly when it is one.
-    import os as _os
+    # Read the directory directly when it is one. Layout detection goes
+    # through the Hadoop FileSystem API (NOT driver-local os.path.isdir,
+    # which silently sees nothing on hdfs:///s3a:// sf_dirs and would
+    # reintroduce the empty-stream bug for remote storage).
+    from crz_scraper_spark.operators.upsert import _hadoop_fs
 
     path = f"{sf_dir}/events.parquet"
-    if _os.path.isdir(path):
+    fs, jvm = _hadoop_fs(spark, path)
+    if fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(path)).isDirectory():
         src = spark.readStream.schema(schema).parquet(path)
     else:
         src = (
