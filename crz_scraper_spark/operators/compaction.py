@@ -1,0 +1,177 @@
+"""Small-file compaction — the table-maintenance pass a 100 TB parquet
+store must run continuously: streaming sinks, incremental upserts and
+per-batch appends (this repo's own `streaming_parquet_sink_roundtrip`,
+`upsert_by_key`, `append_signatures`) all fragment tables into files far
+below the scan-efficient size, and every downstream query then pays
+per-file open/footer/seek costs and schedules thousands of tiny tasks.
+The reference's per-day output tree (one CSV per scraped day,
+`01_parse_xml.py:208`) has the same shape at its scale.
+
+Design for Spark's execution model:
+- File inventory goes through the Hadoop FileSystem API (works on
+  file://, hdfs://, s3a:// — driver-local os/glob sees nothing remote);
+  it is metadata-scale work (names + sizes, no data).
+- The rewrite is ONE distributed job. The default is `coalesce(n)` —
+  a shuffle-FREE narrow repack (each output task concatenates whole
+  input splits); `shuffle=True` switches to `repartition(n)` for when
+  input files are size-skewed and balanced outputs matter more than
+  avoiding one shuffle of the compacted slice.
+- Partitioned tables compact WITHIN each partition directory in the
+  same single job: each row is salted with
+  `pmod(xxhash64(partition), files_for_that_partition)` from a
+  per-partition file-count map (metadata-derived, broadcast as a map
+  literal), then hash-repartitioned on (partition, salt) so one task
+  owns one output file of one partition dir. To compact only the
+  fragmented partitions of a wider table, point src_dir at those
+  partition directories — the planner's `skip` already rules out
+  healthy ones.
+- Two-phase safety: output lands in a staging directory first and is
+  atomically renamed over the target only after the job succeeds —
+  a failed compaction leaves the original files untouched.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crz_scraper_spark.operators.upsert import _hadoop_fs
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def _list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every data file under `path`, recursively,
+    skipping metadata (_SUCCESS, manifests, hidden files) — remote-safe."""
+    fs, jvm = _hadoop_fs(spark, path)
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(path), True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        out.append((st.getPath().toString(), st.getLen()))
+    return out
+
+
+def plan_compaction(
+    spark: SparkSession,
+    src_dir: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Inventory + decision: how many output files the rewrite should
+    produce. Returns {files, bytes, n_out, skip}; `skip` is True when the
+    directory is already at-or-below the target layout (compacting a
+    healthy table is pure write amplification)."""
+    files = _list_data_files(spark, src_dir)
+    total = sum(b for _, b in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    skip = len(files) < min_files_to_compact or len(files) <= n_out
+    return {
+        "files": len(files),
+        "bytes": total,
+        "n_out": n_out,
+        "skip": skip,
+    }
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    partition_col: str | None = None,
+    shuffle: bool = False,
+) -> dict:
+    """Rewrite the parquet directory `src_dir` into `dst_dir` with
+    size-targeted files; returns an audit dict
+    {files_before, bytes_before, files_after, bytes_after, n_rows}.
+
+    Unpartitioned: one coalesce/repartition to ceil(bytes/target) files.
+    Partitioned (`partition_col`): per-partition-directory byte totals
+    decide per-partition output file counts; one distributed job salts and
+    hash-repartitions rows so each task writes one file of one partition
+    directory (no driver loop — 100k partitions cost 100k FS stats, not
+    100k Spark jobs).
+    """
+    fs, jvm = _hadoop_fs(spark, dst_dir)
+    jpath = jvm.org.apache.hadoop.fs.Path
+
+    before = _list_data_files(spark, src_dir)
+    bytes_before = sum(b for _, b in before)
+    df = spark.read.parquet(src_dir)
+
+    staging = dst_dir.rstrip("/") + "._compact_tmp"
+    fs.delete(jpath(staging), True)
+
+    if partition_col is None:
+        n_out = max(1, math.ceil(bytes_before / target_file_bytes))
+        repacked = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+        repacked.write.mode("overwrite").parquet(staging)
+    else:
+        # Per-partition-dir byte totals from the file inventory (the dir
+        # name carries `col=value`); metadata-scale, stays on the driver.
+        part_bytes: dict[str, int] = {}
+        prefix = f"{partition_col}="
+        for p, b in before:
+            seg = next(
+                (s for s in p.split("/") if s.startswith(prefix)), None
+            )
+            if seg is None:
+                raise ValueError(
+                    f"compact_small_files: {p} has no {prefix}* directory "
+                    f"segment; is the table really partitioned by "
+                    f"{partition_col!r}?"
+                )
+            key = seg[len(prefix):]
+            part_bytes[key] = part_bytes.get(key, 0) + b
+        n_files = {
+            k: max(1, math.ceil(b / target_file_bytes))
+            for k, b in part_bytes.items()
+        }
+        # salt = pmod(xxhash64(whole row), files_for_partition): spreads a
+        # partition's rows over exactly its target file count. The map
+        # literal is #partitions entries — metadata-sized, broadcast free.
+        nmap = F.create_map(
+            *[
+                x
+                for k, n in sorted(n_files.items())
+                for x in (F.lit(k), F.lit(n))
+            ]
+        )
+        salted = df.withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.element_at(nmap, F.col(partition_col).cast("string")),
+            ),
+        )
+        total_out = sum(n_files.values())
+        (
+            salted.repartition(total_out, F.col(partition_col), F.col("__salt"))
+            .drop("__salt")
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(staging)
+        )
+
+    # Commit: staged output atomically replaces the destination only
+    # after the job succeeded; a mid-job failure leaves dst untouched.
+    fs.delete(jpath(dst_dir), True)
+    if not fs.rename(jpath(staging), jpath(dst_dir)):
+        raise IOError(
+            f"compact_small_files: rename {staging} -> {dst_dir} failed"
+        )
+
+    after = _list_data_files(spark, dst_dir)
+    return {
+        "files_before": len(before),
+        "bytes_before": bytes_before,
+        "files_after": len(after),
+        "bytes_after": sum(b for _, b in after),
+        "n_rows": spark.read.parquet(dst_dir).count(),
+    }

@@ -1,0 +1,104 @@
+"""Exact heavy hitters with bounded shuffle — two-pass Misra–Gries.
+
+The frequent-token / frequent-value question ("which tokens exceed 1% of
+a 100 TB corpus?") hits Spark's one weak spot when asked naively: a plain
+`groupBy(token).count()` shuffles every distinct (token, partition)
+partial — for web-scale token vocabularies that is the dominant cost, and
+99.99% of the shuffled keys are then discarded by the HAVING threshold.
+
+Misra–Gries (1982) bounds the candidate set instead:
+
+- Pass 1 (shuffle-FREE, `mapInPandas`): every partition keeps at most
+  `m` counters with the classic decrement rule, vectorized — per Arrow
+  batch a C-speed `value_counts`, merged into the counter dict; when the
+  dict exceeds `m`, subtract the (m+1)-th largest count from all and drop
+  the non-positive (the batch form of the one-at-a-time decrement; total
+  decrement mass per partition ≤ N_p/(m+1), the textbook bound). Any item
+  with global frequency > N/(m+1) must exceed the local bound on at least
+  one partition (pigeonhole over Σ N_p), so the UNION of per-partition
+  survivor sets is a guaranteed superset of the true heavy hitters —
+  at most m × n_partitions candidates leave the executors.
+- Pass 2 (bounded shuffle): an exact recount restricted to the candidate
+  set — broadcast hash semi-join (candidates are KBs), map-side partial
+  aggregation, and a shuffle whose key space is the candidate set, not
+  the vocabulary. The final `count*denominator > N` filter is integer
+  arithmetic, so the result is EXACTLY the items with freq > N·phi —
+  the approximation lives only in pass 1's pruning, which by the bound
+  above never prunes a true heavy hitter.
+
+Pass 1 pays one Arrow transfer of the column to Python (map-only, memory
+O(m) per task) — the deliberate trade: at scale, shuffle volume is the
+scarce resource, not executor CPU.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mg_candidates(df: DataFrame, col: str, m: int) -> DataFrame:
+    """Per-partition Misra–Gries survivor items (≤ m per partition) as a
+    one-column DataFrame; superset of every item with global frequency
+    > N/(m+1)."""
+    if m < 1:
+        raise ValueError(f"mg_candidates: m must be >= 1, got {m}")
+    dtype = df.schema[col].dataType.simpleString()
+
+    def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for item, c in pdf[col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > m:
+                # Batch decrement: one subtraction round with the
+                # (m+1)-th largest count; every removed unit of count is
+                # matched across ≥ m+1 items, preserving the MG bound.
+                cut = sorted(counters.values(), reverse=True)[m]
+                counters = {
+                    k: v - cut for k, v in counters.items() if v > cut
+                }
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return df.select(col).mapInPandas(_mg, f"{col} {dtype}")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    freq_num: int = 1,
+    freq_den: int = 100,
+    m: int | None = None,
+) -> DataFrame:
+    """EXACT set of values whose count exceeds N·freq_num/freq_den,
+    computed with candidate pruning so the aggregation shuffle carries at
+    most m·n_partitions keys. Returns (col, cnt, freq_ppm) ordered by
+    cnt desc, col asc. The threshold compare is integer cross-multiplied
+    (`cnt·freq_den > N·freq_num`) — no float boundary ambiguity.
+
+    `m` defaults to freq_den/freq_num (the smallest counter budget whose
+    MG undercount bound N/(m+1) < N·freq_num/freq_den still guarantees
+    no true heavy hitter is pruned). NULLs are excluded: they are neither
+    counted in N nor eligible as hitters (value_counts drops them in
+    pass 1 and a null key never matches the semi-join in pass 2)."""
+    if m is None:
+        m = freq_den // freq_num
+    vals = df.filter(F.col(col).isNotNull())
+    cand = mg_candidates(vals, col, m).distinct()
+    n_total = vals.count()
+    recount = (
+        vals.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * freq_den > F.lit(n_total) * freq_num)
+    )
+    # freq_ppm via integer DIV on both engines (float division + bigint
+    # cast TRUNCATES in Spark but ROUNDS in DuckDB — boundary hazard).
+    return recount.select(
+        col,
+        "cnt",
+        F.expr(f"(cnt * 1000000) DIV {n_total}").alias("freq_ppm"),
+    ).orderBy(F.desc("cnt"), F.asc(col))

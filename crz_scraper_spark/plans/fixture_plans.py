@@ -608,8 +608,84 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# compaction_roundtrip — operators/compaction.py end to end: the documents
+# table is deliberately fragmented (48-way repartition × partitionBy(lang)
+# ⇒ up to 48 tiny files per lang directory), then compacted back to one
+# size-targeted file per partition dir in ONE salted repartition job. The
+# result is a content rollup (count / char sum / xor checksum per lang)
+# read from the COMPACTED files, guarded by layout assertions — rows
+# survive only if files_after == n_langs and files_after < files_before,
+# so a compaction that loses rows, mangles values, OR fails to actually
+# compact hash-mismatches the driver's documents-table oracle.
+# ---------------------------------------------------------------------------
+
+
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.operators.compaction import compact_small_files
+
+    frag = _fixture_dir("compact_src", sf_dir)
+    dst = _fixture_dir("compact_dst", sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    if dst not in _BUILT:
+        _sh.rmtree(frag, ignore_errors=True)
+        _sh.rmtree(dst, ignore_errors=True)
+        docs.repartition(48).write.partitionBy("lang").parquet(frag)
+        audit = compact_small_files(
+            spark, frag, dst, target_file_bytes=1 << 28, partition_col="lang"
+        )
+        _BUILT.add(dst)
+        _AUDITS[dst] = audit
+    audit = _AUDITS[dst]
+    n_langs = docs.select("lang").distinct().count()
+    ok = (
+        audit["files_after"] == n_langs
+        and audit["files_after"] < audit["files_before"]
+        and audit["bytes_after"] > 0
+    )
+    back = spark.read.parquet(dst)
+    rh = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("doc_id").cast("string"), F.col("source")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        back.withColumn("__rh", rh)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.bit_xor(F.col("__rh")).alias("checksum"),
+        )
+        .filter(F.lit(ok))
+    )
+
+
+_AUDITS: dict = {}
+
+COMPACTION_ROUNDTRIP_SQL = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(bit_xor(('0x' || substr(md5(concat_ws('|',
+            doc_id::VARCHAR, source)), 1, 15))::BIGINT) AS BIGINT)
+         AS checksum
+FROM documents
+GROUP BY lang
+"""
+
+
 QUERIES: dict = {
     "pipe_csv_roundtrip": (pipe_csv_roundtrip, PIPE_CSV_ROUNDTRIP_SQL),
+    "compaction_roundtrip": (compaction_roundtrip, COMPACTION_ROUNDTRIP_SQL),
     "bucketed_colocated_join": (
         bucketed_colocated_join,
         BUCKETED_COLOCATED_JOIN_SQL,

@@ -32,11 +32,15 @@ from crz_scraper_spark.plans import (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's correctness gate checks exactly the FIRST 50 registry
-# entries. Rounds 1-3 proved 109 distinct queries green (CORRECTNESS_r01-
-# r03, on record). This round completes the rotation (VERDICT r3 item 2):
-# 5 pinned flagships keep the headline paths continuously verified; the
-# other 45 slots are EVERY remaining registry query the driver has never
-# checked (32 oracled + 13 rows-only), closing the 154/154 record.
+# entries. Rounds 1-4 proved every pre-r4 registry query green (the
+# closing rotation — CORRECTNESS_r01-r04 on record, 160/160 cumulative).
+# Round-5 policy now that the record is complete: 5 pinned flagships +
+# every query REGISTERED since the last rotation (8: the round-4 late
+# additions and the round-5 compaction/heavy-hitter ops) + 37 regression
+# re-checks targeting the code paths rounds 4-5 actually changed
+# (de-hinted TPC-H plans, the streaming source layout probe, the
+# LSH/banded persist surface, the SemDeDup invariant/cache plumbing, the
+# curation pipeline, the percentile approx paths).
 _FIRST_WINDOW = [
     # -- pinned flagships (continuously driver-verified) ------------------
     "pricing_summary",          # flagship: decimal aggs, O1 multi-key sort
@@ -44,58 +48,58 @@ _FIRST_WINDOW = [
     "xml_ingest_flatten",       # S1/S2 XML dump scan + corrupt routing
     "minhash_near_dup_md5",     # dedup: MinHash-LSH (portable hash)
     "streaming_interval_join",  # §2.8 stream-stream interval join
-    # -- never-checked: TPC-H variety (incl. all r4 de-hinted plans) ------
+    # -- first driver check: registered after the r4 rotation -------------
+    "lsh_band_occupancy_md5",
+    "minhash_near_dup_capped",
+    "bucketed_colocated_join",
+    "salted_skew_join",
+    "streaming_parquet_sink_roundtrip",
+    "streaming_upsert_sink_roundtrip",
+    "token_heavy_hitters",
+    "compaction_roundtrip",
+    # -- re-check: r5 touched the curation/SemDeDup cache plumbing --------
+    "curation_pipeline_audit",
+    "semantic_dedup",
+    "semantic_dedup_scaled",
+    "semantic_dedup_trained",
+    # -- re-check: r4 global-top-K and percentile approx rewrites ---------
+    "weighted_sample",
+    "part_affinity",
+    "quality_band_filter",
+    "range_split_points",
+    # -- re-check: r4 de-hinted TPC-H plans (AQE-decided joins) -----------
     "min_cost_supplier",
+    "nation_market_share",
+    "product_profit",
     "important_part_value",
     "part_supplier_variety",
     "excess_quantity_suppliers",
-    "part_affinity",
-    "monthly_revenue_growth",
-    "brand_part_rollup",
-    # -- never-checked: semi-structured / UDTF ----------------------------
-    "props_json_rollup",
-    "props_variant_rollup",
-    "udtf_widen_roundtrip",
-    "pdf_table_detect_udtf",
-    # -- never-checked: grouping/profile/value suites ---------------------
-    "status_priority_grouping_sets",
-    "cube_status_priority",
-    "dictionary_oov",
-    "table_profile",
-    "value_stats",
-    "value_outliers",
-    "value_histogram",
-    "value_percentiles",
-    "value_time_regression",
-    "mixture_weights",
-    # -- never-checked: event/window/streaming ----------------------------
-    "session_window_agg",
-    "trailing_hour_stats",
-    "sliding_window_counts",
-    "events_dedup_first",
+    # -- re-check: r5 changed the streaming source layout probe -----------
+    "streaming_tumbling_hourly",
     "streaming_dedup_events",
     "streaming_stateful_counts",
-    # -- never-checked: dedup/similarity tail -----------------------------
+    "streaming_enriched_segments",
+    "sessionization",
+    "session_window_agg",
+    # -- re-check: r5 touched the banded-LSH construction surface ---------
+    "near_dup_clusters",
+    "simhash_near_dup_md5",
+    "minhash_incremental_md5",
     "simhash_incremental_md5",
-    "fuzzy_name_pairs_refined",
-    "ngram_jaccard_consecutive",
+    "bm25_search",
+    "ann_lsh_topk",
     "ann_lsh_recall",
-    "cosine_topk_bruteforce",
-    # -- never-checked: rows-only (weaker driver check; each carries its
-    #    own pytest invariants + where possible an in-query invariant) ----
-    "bpe_token_stats",
-    "bpe_corpus_token_stats",
-    "semantic_dedup_scaled",
-    "semantic_dedup_trained",
-    "embedding_kmeans_clusters",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "minhash_near_dup",
-    "simhash_near_dup",
-    "multimodal_frame_features",
-    "approx_distinct_profile",
-    "approx_percentile_profile",
-    "curation_pipeline_audit",
+    # -- re-check: flagship spread across the remaining families ----------
+    "bloom_decontaminate",
+    "epoch_shuffle",
+    "gopher_rules_filter",
+    "delete_by_key_audit",
+    "asof_last_purchase",
+    "range_click_purchase",
+    "pdf_text_extract",
+    "dictionary_oov_morph",
+    "word_frequency",
+    "table_checksum",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}

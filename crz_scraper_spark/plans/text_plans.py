@@ -692,7 +692,41 @@ def bpe_corpus_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_invariant(bpe_corpus_token_stats(docs, spark))
 
 
+# ---------------------------------------------------------------------------
+# token_heavy_hitters — exact heavy hitters over the corpus token stream via
+# two-pass Misra–Gries (operators/heavyhitters.py): shuffle-free per-
+# partition candidate pruning (≤ m counters each), then an exact recount of
+# the bounded candidate set. The driver's oracle is the plain GROUP BY /
+# HAVING — pass 1's pruning provably never drops a true >1% hitter, so the
+# hash must match EXACTLY, making the MG bound itself driver-verified.
+# ---------------------------------------------------------------------------
+
+
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.operators.heavyhitters import heavy_hitters
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(tokens_nonempty("text")).alias("word"))
+    return heavy_hitters(toks, "word", freq_num=1, freq_den=100)
+
+
+TOKEN_HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS_SQL}) AS word FROM documents
+),
+n AS (SELECT count(*) AS n_total FROM toks)
+SELECT word,
+       count(*) AS cnt,
+       (count(*) * 1000000) // (SELECT n_total FROM n) AS freq_ppm
+FROM toks
+GROUP BY word
+HAVING count(*) * 100 > (SELECT n_total FROM n)
+ORDER BY cnt DESC, word ASC
+"""
+
+
 QUERIES: dict = {
+    "token_heavy_hitters": (token_heavy_hitters, TOKEN_HEAVY_HITTERS_SQL),
     "bpe_token_stats": (bpe_token_stats_q, None),
     "bpe_corpus_token_stats": (bpe_corpus_token_stats_q, None),
     "word_frequency": (word_frequency, WORD_FREQUENCY_SQL),

@@ -1,0 +1,195 @@
+"""Tests for operators/compaction.py and operators/heavyhitters.py."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crz_scraper_spark.operators.compaction import (
+    compact_small_files,
+    plan_compaction,
+)
+from crz_scraper_spark.operators.heavyhitters import (
+    heavy_hitters,
+    mg_candidates,
+)
+
+
+def _data_files(root: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if not (f.startswith("_") or f.startswith(".")):
+                out.append(os.path.join(dirpath, f))
+    return out
+
+
+@pytest.fixture()
+def fragmented(spark, tmp_path):
+    src = str(tmp_path / "frag")
+    df = spark.range(0, 5000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    df.repartition(24).write.parquet(src)
+    return src, df
+
+
+def test_compact_unpartitioned_preserves_content(spark, fragmented, tmp_path):
+    src, df = fragmented
+    dst = str(tmp_path / "out")
+    audit = compact_small_files(spark, src, dst, target_file_bytes=1 << 28)
+    assert audit["files_before"] == 24
+    assert audit["files_after"] == 1
+    assert audit["n_rows"] == 5000
+    back = spark.read.parquet(dst)
+    assert back.exceptAll(df).count() == 0
+    assert df.exceptAll(back).count() == 0
+
+
+def test_compact_partitioned_one_file_per_dir(spark, tmp_path):
+    src, dst = str(tmp_path / "psrc"), str(tmp_path / "pdst")
+    df = spark.range(0, 3000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+    )
+    df.repartition(16).write.partitionBy("grp").parquet(src)
+    assert len(_data_files(src)) > 4
+    audit = compact_small_files(
+        spark, src, dst, target_file_bytes=1 << 28, partition_col="grp"
+    )
+    assert audit["files_after"] == 4
+    assert audit["n_rows"] == 3000
+    # one file inside each grp=value directory; layout preserved
+    for v in range(4):
+        pdir = os.path.join(dst, f"grp={v}")
+        assert len(_data_files(pdir)) == 1
+    back = spark.read.parquet(dst).select("id", F.col("grp").cast("string"))
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+
+def test_compact_partitioned_splits_large_partitions(spark, tmp_path):
+    # A partition whose bytes exceed the target must be split over SEVERAL
+    # output files, not concatenated into one oversized file.
+    src, dst = str(tmp_path / "bsrc"), str(tmp_path / "bdst")
+    df = spark.range(0, 20000).select(
+        F.col("id"),
+        F.lit("hot").alias("grp"),
+        F.md5(F.col("id").cast("string")).alias("p1"),
+        F.sha2(F.col("id").cast("string"), 256).alias("p2"),
+    )
+    df.repartition(16).write.partitionBy("grp").parquet(src)
+    total = sum(os.path.getsize(p) for p in _data_files(src))
+    target = max(1, total // 4)
+    audit = compact_small_files(
+        spark, src, dst, target_file_bytes=target, partition_col="grp"
+    )
+    assert audit["files_after"] >= 2
+    assert audit["n_rows"] == 20000
+
+
+def test_plan_compaction_skips_healthy_layout(spark, tmp_path):
+    src = str(tmp_path / "healthy")
+    spark.range(0, 100).coalesce(1).write.parquet(src)
+    plan = plan_compaction(spark, src, target_file_bytes=1 << 28)
+    assert plan["files"] == 1 and plan["skip"] is True
+    frag = str(tmp_path / "ill")
+    spark.range(0, 100).repartition(8).write.parquet(frag)
+    plan = plan_compaction(spark, frag, target_file_bytes=1 << 28)
+    assert plan["files"] == 8 and plan["skip"] is False
+
+
+def test_compact_shuffle_mode_balances(spark, fragmented, tmp_path):
+    src, _df = fragmented
+    dst = str(tmp_path / "out_sh")
+    audit = compact_small_files(
+        spark, src, dst, target_file_bytes=1 << 28, shuffle=True
+    )
+    assert audit["files_after"] == 1 and audit["n_rows"] == 5000
+
+
+def test_compact_rejects_unpartitioned_dir_with_partition_col(
+    spark, fragmented, tmp_path
+):
+    src, _df = fragmented
+    with pytest.raises(ValueError, match="has no grp="):
+        compact_small_files(
+            spark,
+            src,
+            str(tmp_path / "never"),
+            partition_col="grp",
+        )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _skewed(spark, n_hot=4000, n_tail=6000):
+    hot = spark.range(0, n_hot).select(
+        F.concat(F.lit("hot"), (F.col("id") % 2).cast("string")).alias("v")
+    )
+    tail = spark.range(0, n_tail).select(
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("v")
+    )
+    # interleave across partitions so no partition is hot-only
+    return hot.unionAll(tail).repartition(16)
+
+
+def test_heavy_hitters_matches_exact_groupby(spark):
+    df = _skewed(spark)
+    got = heavy_hitters(df, "v", freq_num=1, freq_den=100).collect()
+    n = df.count()
+    exact = {
+        r["v"]: r["cnt"]
+        for r in df.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * 100 > n)
+        .collect()
+    }
+    assert {r["v"]: r["cnt"] for r in got} == exact
+    assert exact  # the fixture really has hitters
+    for r in got:
+        assert r["freq_ppm"] == r["cnt"] * 1_000_000 // n
+
+
+def test_mg_candidates_bounded_and_superset(spark):
+    df = _skewed(spark)
+    cand = mg_candidates(df, "v", m=100)
+    per_part = (
+        cand.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert per_part <= 100
+    names = {r["v"] for r in cand.distinct().collect()}
+    assert {"hot0", "hot1"} <= names
+
+
+def test_heavy_hitters_tight_counter_budget(spark):
+    # m left at its default freq_den/freq_num — the smallest budget the
+    # MG bound needs; the guarantee (not luck) must carry the result.
+    df = _skewed(spark, n_hot=2000, n_tail=8000)
+    got = {r["v"] for r in heavy_hitters(df, "v", 1, 100).collect()}
+    assert got == {"hot0", "hot1"}
+
+
+def test_heavy_hitters_excludes_nulls(spark):
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("a")).alias("v")
+    )
+    got = heavy_hitters(df, "v", 1, 100).collect()
+    assert [r["v"] for r in got] == ["a"]
+    # N excludes nulls: 500 'a' of 500 non-null values = 1e6 ppm
+    assert got[0]["freq_ppm"] == 1_000_000
+
+
+def test_heavy_hitters_no_hitters(spark):
+    df = spark.range(0, 1000).select(F.col("id").cast("string").alias("v"))
+    assert heavy_hitters(df, "v", 1, 100).count() == 0

@@ -245,9 +245,10 @@ def test_quality_band_filter_approx_mode(spark, sf_dir):
 
 def test_window_rotation_covers_never_checked():
     """The 50-query driver window must keep its rotation contract: exactly
-    50 entries, first in registry order, and (round 4, the closing
-    rotation) EVERY registry query the r1-r3 CORRECTNESS records never
-    checked — after this window the driver record covers all 154."""
+    50 entries, first in registry order, and EVERY registry query no
+    prior-round CORRECTNESS record has checked (rounds 1-4 closed the
+    rotation over the then-160-query registry; anything registered since
+    must take a slot in the CURRENT window, never queue silently)."""
     import json
     import os
 
@@ -256,39 +257,24 @@ def test_window_rotation_covers_never_checked():
     assert len(_FIRST_WINDOW) == 50
     assert list(REGISTRY)[:50] == _FIRST_WINDOW
     checked: set = set()
-    for n in (1, 2, 3):
+    for n in (1, 2, 3, 4):
         p = f"/root/repo/CORRECTNESS_r0{n}.json"
         if os.path.exists(p):
             checked |= set(json.load(open(p)))
     never = [q for q in REGISTRY if q not in checked]
     missing = [q for q in never if q not in _FIRST_WINDOW]
-    # Queries REGISTERED after the round-4 rotation was fixed can't occupy
-    # one of its 50 slots; they queue for the next rotation.
-    post_rotation = {
-        "lsh_band_occupancy_md5",
-        "minhash_near_dup_capped",
-        "bucketed_colocated_join",
-        "salted_skew_join",
-        "streaming_parquet_sink_roundtrip",
-        "streaming_upsert_sink_roundtrip",
-    }
-    missing = [q for q in missing if q not in post_rotation]
     assert not missing, f"never-checked queries left out of window: {missing}"
 
 
 def test_window_rows_only_entries_are_the_flagged_tail():
     """Window slots carry SQL oracles wherever SQL can express the op.
-    Round 4 deliberately rotates the 13 genuinely non-SQL-expressible
-    queries (LSH/IVF/PQ/k-means/streaming-state/pipeline audit) through
-    the driver's rows-only check to complete the 154/154 record — but no
-    NEW rows-only entry may ride along unflagged."""
+    The round-5 window re-checks 4 rows-only queries (the r4 late-added
+    mega-bucket cap + the r5-touched SemDeDup/pipeline cache paths) — but
+    no NEW rows-only entry may ride along unflagged."""
     from crz_scraper_spark.plans.registry import _FIRST_WINDOW, REGISTRY
 
     rows_only = {n for n in _FIRST_WINDOW if REGISTRY[n][1] is None}
     assert rows_only == {
-        "bpe_token_stats", "bpe_corpus_token_stats", "semantic_dedup_scaled",
-        "semantic_dedup_trained", "embedding_kmeans_clusters", "ann_ivf_topk",
-        "ann_pq_topk", "minhash_near_dup", "simhash_near_dup",
-        "multimodal_frame_features", "approx_distinct_profile",
-        "approx_percentile_profile", "curation_pipeline_audit",
+        "minhash_near_dup_capped", "curation_pipeline_audit",
+        "semantic_dedup_scaled", "semantic_dedup_trained",
     }, rows_only
