@@ -48,8 +48,23 @@ def main() -> None:
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     import gc
 
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the named queries —
+    # the standalone re-measure path for separating a query's inherent cost
+    # from in-bench session churn (GC/cache pressure accumulated by the
+    # preceding 150+ queries), without hand-writing a driver script.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    selected = (
+        {q.strip() for q in only.split(",") if q.strip()} if only else None
+    )
+    if selected:
+        unknown = selected - set(REGISTRY)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown: {sorted(unknown)}")
+
     timings: dict[str, float] = {}
     for name, (fn, _sql) in sorted(REGISTRY.items()):
+        if selected and name not in selected:
+            continue
         if warmup:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             spark.catalog.clearCache()

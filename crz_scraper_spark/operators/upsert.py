@@ -137,6 +137,14 @@ def compact_partitions(
     or below the target are still rewritten here — at production scale,
     list the partition sizes first and compact only the offenders (the
     same partition-pruned read upsert_by_key uses).
+
+    This is the simple fixed-files-per-partition, in-place variant (file
+    census is driver-local glob — file:// only). The size-TARGETED,
+    remote-safe (Hadoop FS), staging-then-atomic-rename generalization —
+    per-partition output counts derived from byte totals, plus the
+    `plan_compaction` skip-healthy inventory step — lives in
+    `operators/compaction.py::compact_small_files` and is the one the
+    oracled `compaction_roundtrip` query drives.
     """
     import glob as _glob
     import os as _os
