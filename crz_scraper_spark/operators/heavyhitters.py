@@ -40,6 +40,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _mg_fold(counters: dict, counts, m: int) -> dict:
+    """One Misra–Gries merge step: add a batch's (item -> count) partials,
+    then if over budget apply the batch decrement — subtract the (m+1)-th
+    largest count from all and drop the non-positive (every removed unit
+    of count is matched across ≥ m+1 items, preserving the MG bound)."""
+    for item, c in counts.items():
+        counters[item] = counters.get(item, 0) + int(c)
+    if len(counters) > m:
+        cut = sorted(counters.values(), reverse=True)[m]
+        counters = {k: v - cut for k, v in counters.items() if v > cut}
+    return counters
+
+
 def mg_candidates(df: DataFrame, col: str, m: int) -> DataFrame:
     """Per-partition Misra–Gries survivor items (≤ m per partition) as a
     one-column DataFrame; superset of every item with global frequency
@@ -51,19 +64,32 @@ def mg_candidates(df: DataFrame, col: str, m: int) -> DataFrame:
     def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         for pdf in batches:
-            for item, c in pdf[col].value_counts().items():
-                counters[item] = counters.get(item, 0) + int(c)
-            if len(counters) > m:
-                # Batch decrement: one subtraction round with the
-                # (m+1)-th largest count; every removed unit of count is
-                # matched across ≥ m+1 items, preserving the MG bound.
-                cut = sorted(counters.values(), reverse=True)[m]
-                counters = {
-                    k: v - cut for k, v in counters.items() if v > cut
-                }
+            counters = _mg_fold(counters, pdf[col].value_counts(), m)
         yield pd.DataFrame({col: list(counters.keys())})
 
     return df.select(col).mapInPandas(_mg, f"{col} {dtype}")
+
+
+def mg_candidates_arrays(
+    df: DataFrame, arr_col: str, out_col: str, m: int
+) -> DataFrame:
+    """`mg_candidates` over an ARRAY column — one Arrow row per document
+    instead of one per element, so pass 1 transfers a fraction of the row
+    overhead (measured ~2× end-to-end on the token stream at sf1). Array
+    elements must be non-null (a null never survives the recount join
+    anyway). Output column is `out_col` typed as the array element."""
+    if m < 1:
+        raise ValueError(f"mg_candidates_arrays: m must be >= 1, got {m}")
+    eltype = df.schema[arr_col].dataType.elementType.simpleString()
+
+    def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            flat = pdf[arr_col].explode().dropna()
+            counters = _mg_fold(counters, flat.value_counts(), m)
+        yield pd.DataFrame({out_col: list(counters.keys())})
+
+    return df.select(arr_col).mapInPandas(_mg, f"{out_col} {eltype}")
 
 
 def heavy_hitters(
@@ -95,6 +121,10 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") * freq_den > F.lit(n_total) * freq_num)
     )
+    return _hitter_report(recount, col, n_total)
+
+
+def _hitter_report(recount: DataFrame, col: str, n_total: int) -> DataFrame:
     # freq_ppm via integer DIV on both engines (float division + bigint
     # cast TRUNCATES in Spark but ROUNDS in DuckDB — boundary hazard).
     return recount.select(
@@ -102,3 +132,48 @@ def heavy_hitters(
         "cnt",
         F.expr(f"(cnt * 1000000) DIV {n_total}").alias("freq_ppm"),
     ).orderBy(F.desc("cnt"), F.asc(col))
+
+
+def heavy_hitters_arrays(
+    df: DataFrame,
+    arr_col: str,
+    out_col: str,
+    freq_num: int = 1,
+    freq_den: int = 100,
+    m: int | None = None,
+) -> DataFrame:
+    """`heavy_hitters` over the ELEMENTS of an array column (the token-
+    stream shape: one row per document, `arr_col` its token array) —
+    identical result set, cheaper physique: pass 1 ships arrays (one
+    Arrow row per document), N comes from `sum(size(arr))` (no explode
+    pass), and only the recount explodes — JVM-side, behind the
+    broadcast semi-join. The tokenizing projection feeds all three
+    consumers, so the frame is persisted for the query's duration; the
+    handle is exposed as `result._crz_cached` for long-lived sessions
+    (bench/driver sessions clear cache between queries). Array elements
+    must be non-null; null/empty arrays contribute nothing."""
+    if m is None:
+        m = freq_den // freq_num
+    arr = df.select(arr_col).persist()
+    cand = mg_candidates_arrays(arr, arr_col, out_col, m).distinct()
+    n_total = arr.select(
+        F.sum(F.size(F.col(arr_col))).alias("n")
+    ).collect()[0]["n"]
+    if not n_total:
+        arr.unpersist()
+        empty = df.sparkSession.createDataFrame(
+            [],
+            f"{out_col} {df.schema[arr_col].dataType.elementType.simpleString()}"
+            ", cnt bigint, freq_ppm bigint",
+        )
+        return empty
+    toks = arr.select(F.explode(F.col(arr_col)).alias(out_col))
+    recount = (
+        toks.join(F.broadcast(cand), out_col, "left_semi")
+        .groupBy(out_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * freq_den > F.lit(n_total) * freq_num)
+    )
+    result = _hitter_report(recount, out_col, n_total)
+    result._crz_cached = arr
+    return result

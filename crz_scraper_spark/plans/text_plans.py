@@ -703,11 +703,11 @@ def bpe_corpus_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crz_scraper_spark.operators.heavyhitters import heavy_hitters
+    from crz_scraper_spark.operators.heavyhitters import heavy_hitters_arrays
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(F.explode(tokens_nonempty("text")).alias("word"))
-    return heavy_hitters(toks, "word", freq_num=1, freq_den=100)
+    arrs = docs.select(tokens_nonempty("text").alias("toks"))
+    return heavy_hitters_arrays(arrs, "toks", "word", freq_num=1, freq_den=100)
 
 
 TOKEN_HEAVY_HITTERS_SQL = f"""

@@ -193,3 +193,32 @@ def test_heavy_hitters_excludes_nulls(spark):
 def test_heavy_hitters_no_hitters(spark):
     df = spark.range(0, 1000).select(F.col("id").cast("string").alias("v"))
     assert heavy_hitters(df, "v", 1, 100).count() == 0
+
+
+def test_heavy_hitters_arrays_matches_exploded(spark):
+    from crz_scraper_spark.operators.heavyhitters import heavy_hitters_arrays
+
+    docs = spark.range(0, 500).select(
+        F.array(
+            F.lit("common"),
+            F.concat(F.lit("rare"), F.col("id").cast("string")),
+            F.when(F.col("id") % 2 == 0, F.lit("half")).otherwise(
+                F.concat(F.lit("odd"), F.col("id").cast("string"))
+            ),
+        ).alias("toks")
+    ).repartition(8)
+    exploded = docs.select(F.explode("toks").alias("w"))
+    a = [tuple(r) for r in heavy_hitters(exploded, "w", 1, 100).collect()]
+    got = heavy_hitters_arrays(docs, "toks", "w", 1, 100)
+    b = [tuple(r) for r in got.collect()]
+    got._crz_cached.unpersist()
+    assert a == b and len(a) >= 2
+
+
+def test_heavy_hitters_arrays_empty_input(spark):
+    from crz_scraper_spark.operators.heavyhitters import heavy_hitters_arrays
+
+    docs = spark.createDataFrame([], "toks array<string>")
+    out = heavy_hitters_arrays(docs, "toks", "w", 1, 100)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["w", "cnt", "freq_ppm"]
