@@ -777,6 +777,7 @@ def semantic_dedup(
     threshold: float = 0.35,
     round_to: int = 4,
     pair_impl: str = "expr",
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
     embedding space, then drop any vector whose cosine similarity to a
@@ -882,13 +883,96 @@ def semantic_dedup(
             out = pd.DataFrame({"vec_id": ids[bi], "__rep": ids[ai]})
             return out.groupby("vec_id", as_index=False)["__rep"].min()
 
-        drops = (
-            base.select("vec_id", "cell", "__v", "__nrm")
-            .groupBy("cell")
-            .applyInPandas(lambda _key, pdf: _cell_drops(pdf), pair_schema)
-            .groupBy("vec_id")
-            .agg(F.min("__rep").alias("__rep"))
-        )
+        if max_cell_rows is None:
+            drops = (
+                base.select("vec_id", "cell", "__v", "__nrm")
+                .groupBy("cell")
+                .applyInPandas(lambda _key, pdf: _cell_drops(pdf), pair_schema)
+                .groupBy("vec_id")
+                .agg(F.min("__rep").alias("__rep"))
+            )
+        else:
+            # MEGA-CELL-SAFE pair phase. One-task-per-cell dies when a cell
+            # is oversized (a genuine dense direction in embedding space —
+            # boilerplate docs, or drifted replicas): a 50k-row cell means
+            # one task allocating a 20 GB gram matrix. Instead, rows of a
+            # cell with c > max_cell_rows are hashed into
+            # nb = ceil(c / max_cell_rows) blocks and every UNORDERED block
+            # pair (bi ≤ bj) becomes its own applyInPandas group: each row
+            # explodes over the nb partner blocks (group key
+            # (cell, min(blk, other), max(blk, other)), so a pair group
+            # receives each side's rows exactly once), the group computes
+            # the cross-block gram (bi < bj: only cross pairs count —
+            # within-block pairs belong to the (bi, bi) group), and memory
+            # is bounded at O(max_cell_rows²) regardless of cell size. The
+            # within-cell O(c²) similarity work is SemDeDup's semantics —
+            # this distributes it over nb·(nb+1)/2 bounded tasks instead of
+            # serializing it into one unbounded one. Healthy cells have
+            # nb = 1 and take the identical single-group path. Replication
+            # cost: each row is shipped nb times (c²/max_cell_rows rows per
+            # mega cell — a factor dim/max_cell_rows of the unavoidable
+            # flops, i.e. noise for max_cell_rows ≥ dim).
+            counts = base.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("__c")
+            )
+            nb_col = F.ceil(F.col("__c") / F.lit(max_cell_rows)).cast("int")
+            tagged = (
+                base.select("vec_id", "cell", "__v", "__nrm")
+                .join(F.broadcast(counts.select("cell", nb_col.alias("__nb"))),
+                      "cell")
+                .withColumn(
+                    "__blk",
+                    F.pmod(F.xxhash64(F.col("vec_id")), F.col("__nb")).cast(
+                        "int"
+                    ),
+                )
+            )
+            expanded = tagged.select(
+                "vec_id",
+                "cell",
+                "__v",
+                "__nrm",
+                "__blk",
+                F.explode(
+                    F.sequence(F.lit(0), F.col("__nb") - 1)
+                ).alias("__other"),
+            ).select(
+                "vec_id",
+                "cell",
+                "__v",
+                "__nrm",
+                "__blk",
+                F.least(F.col("__blk"), F.col("__other")).alias("__bi"),
+                F.greatest(F.col("__blk"), F.col("__other")).alias("__bj"),
+            )
+
+            def _block_drops(pdf: pd.DataFrame) -> pd.DataFrame:
+                import numpy as np
+
+                ids = pdf["vec_id"].to_numpy()
+                x = np.stack(pdf["__v"].to_numpy())
+                nrm = pdf["__nrm"].to_numpy()
+                blk = pdf["__blk"].to_numpy()
+                sims = np.round((x @ x.T) / np.outer(nrm, nrm), rt)
+                mask = ids[:, None] < ids[None, :]
+                if blk.min() != blk.max():
+                    # bi < bj group: within-block pairs are the
+                    # (bi, bi)/(bj, bj) groups' job — count cross only.
+                    mask &= blk[:, None] != blk[None, :]
+                ai, bi = np.nonzero((sims >= tau) & mask)
+                if len(bi) == 0:
+                    return pd.DataFrame({"vec_id": [], "__rep": []}).astype(
+                        {"vec_id": "int64", "__rep": "int64"}
+                    )
+                out = pd.DataFrame({"vec_id": ids[bi], "__rep": ids[ai]})
+                return out.groupby("vec_id", as_index=False)["__rep"].min()
+
+            drops = (
+                expanded.groupBy("cell", "__bi", "__bj")
+                .applyInPandas(lambda _key, pdf: _block_drops(pdf), pair_schema)
+                .groupBy("vec_id")
+                .agg(F.min("__rep").alias("__rep"))
+            )
     else:
         a, b = base.alias("a"), base.alias("b")
         pair_sim = F.round(

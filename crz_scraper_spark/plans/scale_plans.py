@@ -1085,13 +1085,22 @@ def semantic_dedup_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-random-centroid variants can leave cells empty. Rows-only (the
     trained centroids have no closed SQL form); determinism is inherited
     from the trainer's cross-layout bit-stability."""
+    from math import isqrt
+
     from crz_scraper_spark.operators.similarity import (
         kmeans_lloyd_distributed,
     )
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    # k ∝ √n is the IVF balance point: quantizer assignment costs O(n·k)
+    # and the within-cell pair phase O(n·(n/k)) — both n^1.5 at k = √n. A
+    # FIXED k (the pre-round-5 k=8) makes the pair phase quadratic the
+    # moment the corpus outgrows it (measured: 128 s at sf3 vs 16 s at
+    # sf1 for 3× data).
+    n = emb.count()
+    k = max(8, isqrt(n))
     _assigned, cents, _hist = kmeans_lloyd_distributed(
-        emb, "vec_id", "embedding", k=8, n_iter=3
+        emb, "vec_id", "embedding", k=k, n_iter=3
     )
     return _semdedup_invariant(
         semantic_dedup(
@@ -1102,6 +1111,10 @@ def semantic_dedup_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             threshold=_SEMDEDUP_TAU,
             round_to=4,
             pair_impl="gram",
+            # Trained centroids balance occupancy on healthy data, but a
+            # genuinely dense direction (boilerplate embeddings) can still
+            # produce a mega cell; bound per-task memory regardless.
+            max_cell_rows=1024,
         )
     )
 
@@ -1130,8 +1143,13 @@ def semantic_dedup_scaled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Per-cell BLAS gram matrix for the pair phase: within-cell
             # work is one vectorized (c × dim) @ (dim × c) per cell
             # instead of c²/2 interpreted 64-term dots (measured 29s ->
-            # see PLANS.md at sf1).
+            # see PLANS.md at sf1). max_cell_rows bounds per-task memory
+            # when fixed RANDOM centroids meet a drifted distribution and
+            # a mega cell forms (the sf3 datapoint measured 363 s with
+            # one 50k-row cell serialized into a single task; the blocked
+            # pair phase distributes it over bounded block-pair tasks).
             pair_impl="gram",
+            max_cell_rows=1024,
         )
     )
 

@@ -278,3 +278,26 @@ def test_window_rows_only_entries_are_the_flagged_tail():
         "minhash_near_dup_capped", "curation_pipeline_audit",
         "semantic_dedup_scaled", "semantic_dedup_trained",
     }, rows_only
+
+
+def test_readme_registry_counts_not_stale():
+    """README's driver-contract paragraph states the registry size, the
+    oracled count, and the rows-only count as literals; pin them to the
+    live registry so the doc can't drift again (ADVICE r4)."""
+    import re
+
+    from crz_scraper_spark.plans.registry import REGISTRY
+
+    text = open("/root/repo/README.md").read()
+    n = len(REGISTRY)
+    oracled = sum(1 for _f, s in REGISTRY.values() if s is not None)
+    assert f"maps {n} named operators" in text, (
+        f"README operator count stale (registry has {n})"
+    )
+    assert f"SQL for the {oracled} SQL-expressible ones" in text, (
+        f"README oracled count stale (registry has {oracled})"
+    )
+    m = re.search(r"the (\d+) rows-only entries", text)
+    assert m and int(m.group(1)) == n - oracled, (
+        f"README rows-only count stale (registry has {n - oracled})"
+    )

@@ -925,6 +925,36 @@ def test_semantic_dedup_gram_pair_path_matches_expr(spark, sf_dir):
     assert expr_out == gram_out
 
 
+def test_semantic_dedup_blocked_gram_matches_single_task(spark, sf_dir):
+    """The mega-cell-safe blocked pair phase (max_cell_rows) must produce
+    EXACTLY the single-task gram output — cross-block pairs counted once
+    via the (cell, bi, bj) group fan-out, within-block pairs only in the
+    diagonal groups, min-rep aggregation commutative across tasks. Tiny
+    max_cell_rows forces many blocks per cell, exercising the fan-out."""
+    from pyspark.sql import functions as F
+
+    from crz_scraper_spark.operators.dedup import (
+        fixed_centroids,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = fixed_centroids(64, 4, seed=99)  # few cells => big cells
+    kw = dict(threshold=0.35, round_to=4, pair_impl="gram")
+    single = sorted(
+        map(tuple, semantic_dedup(emb, cents, **kw).collect())
+    )
+    blocked = sorted(
+        map(
+            tuple,
+            semantic_dedup(emb, cents, max_cell_rows=7, **kw).collect(),
+        )
+    )
+    assert single == blocked and len(single) > 0
+
+
 def test_kmeans_distributed_converges_and_is_deterministic(spark, sf_dir):
     """Distributed Lloyd: inertia is monotone non-increasing across
     iterations (the Lloyd guarantee, preserved under decimal-exact

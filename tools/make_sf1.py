@@ -27,7 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from crz_scraper_spark.session import get_spark  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-REPLICAS = 10
+# SPARK_GRAFT_REPLICAS overrides the replication factor (e.g. 30 ⇒ an
+# sf3-scale dataset for a SECOND slope datapoint: a plan that is linear
+# must show ~3× sf1's time, a hidden quadratic shows ~9×).
+REPLICAS = int(os.environ.get("SPARK_GRAFT_REPLICAS", "10"))
 
 OFF = {
     "order": 10_000_000,
@@ -40,11 +43,18 @@ OFF = {
 }
 
 _BASE = "etaoin"
-# 10 distinct length-6 permutation targets for translate(): 6 rotations of
-# the base plus 4 rotations of its reversal.
-_PERMS = [_BASE[i:] + _BASE[:i] for i in range(6)] + [
-    _BASE[::-1][i:] + _BASE[::-1][:i] for i in range(4)
-]
+# REPLICAS distinct length-6 permutation targets for translate(), drawn
+# deterministically from the 720 permutations of the base (strided so
+# consecutive replicas differ in more than one position). Replica 0 keeps
+# the identity so the sf0.1 corpus is a literal subset.
+import itertools as _it
+
+_ALL_PERMS = ["".join(p) for p in _it.permutations(_BASE)]
+_PERMS = [_BASE] + [
+    p for p in _ALL_PERMS[:: max(1, len(_ALL_PERMS) // (REPLICAS * 3)) ]
+    if p != _BASE
+][: REPLICAS - 1]
+assert len(_PERMS) >= REPLICAS, (len(_PERMS), REPLICAS)
 
 
 def _shift(df, col: str, domain: str, i: int):
@@ -106,6 +116,14 @@ def main() -> None:
             "text", F.translate("text", _BASE, _PERMS[i])
         ),
     )
+    # Per-replica offset on a ROTATING dimension (i % dim), not a growing
+    # dim-0 shift: at high replica counts a monotone dim-0 drift makes the
+    # late replicas nearly parallel in cosine space — one giant artificial
+    # dense direction that swallows the whole corpus into a single
+    # quantizer cell (a data-generation pathology, not a real-corpus
+    # shape). Rotating the axis keeps every replica separated from every
+    # other (two ±3.0 coordinate differences) while replica 0 stays the
+    # literal sf0.1 subset.
     replicate(
         "embeddings",
         lambda d, i: _shift(d, "vec_id", "vec", i).withColumn(
@@ -113,7 +131,7 @@ def main() -> None:
             F.transform(
                 "embedding",
                 lambda x, idx: F.when(
-                    idx == 0, x + F.lit(float(i) * 0.37)
+                    F.lit(i > 0) & (idx == F.lit(i % 64)), x + F.lit(3.0)
                 ).otherwise(x).cast("float"),
             ),
         ),
