@@ -57,6 +57,7 @@ _FIRST_WINDOW = [
     "streaming_upsert_sink_roundtrip",
     "token_heavy_hitters",
     "compaction_roundtrip",
+    "fuzzy_name_pairs_banded",
     # -- re-check: r5 touched the curation/SemDeDup cache plumbing --------
     "curation_pipeline_audit",
     "semantic_dedup",
@@ -99,7 +100,6 @@ _FIRST_WINDOW = [
     "pdf_text_extract",
     "dictionary_oov_morph",
     "word_frequency",
-    "table_checksum",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}

@@ -979,6 +979,215 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# fuzzy_name_pairs_banded — the LSH tier of the fuzzy family, i.e. the form
+# that actually survives 100 TB: candidates come from a MinHash band-bucket
+# equi-join over character-3-gram shingles of the name (the IDENTICAL
+# portable-md5 construction minhash_near_dup_md5 uses, via
+# minhash_banded_md5), then the exact levenshtein(≤2) verify runs only on
+# bucket-collision pairs. Both hand-picked blocking keys above bound pair
+# work by a DATA property (brand / first-token frequency) that grows with
+# the corpus; the LSH bucket key is governed by signature diversity
+# instead. Recall tier: a true pair is found iff it agrees on ≥1 of 4
+# bands (names within edit distance 2 share almost all 3-grams, so
+# per-band agreement ≈ jaccard⁴ per 4-hash band — high recall on
+# lev ≤ 2 name pairs), and because every hash is md5-derived the WHOLE
+# construction is reproducible in DuckDB: this recall tier is fully
+# ORACLED, not a rows-only claim. The bucket key is (brand, band, bh):
+# brand is required of every reported pair anyway, so folding it into
+# the key is semantically free selectivity — short names drawn from a
+# small vocabulary collide heavily on minhash values alone (first cut
+# used 2-row bands without brand; bucket occupancy made sf3 enumerate
+# orders of magnitude more candidates than true pairs).
+# ---------------------------------------------------------------------------
+
+_FNB_HASHES = 16
+_FNB_BANDS = 4
+_FNB_SHINGLE = 3
+
+
+def fuzzy_name_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.operators.dedup import minhash_banded_md5
+
+    p = fan_out(load_table(spark, sf_dir, "part")).select(
+        "p_partkey", "p_name", "p_brand"
+    )
+    # Collapse exact-duplicate names FIRST (the same stage ordering the
+    # curation pipeline uses: exact dedup before near-dup enumeration).
+    # Replicated corpora repeat names verbatim, so LSH buckets over raw
+    # rows fill with m copies of each name and the candidate join
+    # enumerates all m² collisions of pairs it will compute the SAME
+    # levenshtein for. Grouping to distinct (brand, name) with a
+    # multiplicity makes the LSH candidate volume scale with NAME
+    # DIVERSITY, not corpus size; exact pair counts are reconstructed
+    # arithmetically — within-group pairs are C(m,2) at distance 0,
+    # cross-group verified pairs weigh m_a·m_b.
+    g = (
+        p.groupBy("p_brand", "p_name")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.min("p_partkey").alias("gid"),
+        )
+        .persist()
+    )
+    names = g.select(
+        F.col("gid").alias("doc_id"), F.col("p_name").alias("text")
+    )
+    _sig, banded = minhash_banded_md5(
+        names,
+        "doc_id",
+        "text",
+        _FNB_HASHES,
+        _FNB_BANDS,
+        _FNB_SHINGLE,
+        persist_sig=False,
+    )
+    keyed = banded.join(
+        g.select(
+            F.col("gid").alias("doc_id"),
+            F.col("p_brand").alias("brand"),
+        ),
+        "doc_id",
+    )
+    cand = (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a.brand") == F.col("b.brand"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("ak"), F.col("b.doc_id").alias("bk")
+        )
+        .distinct()
+    )
+    ga = g.select(
+        F.col("gid").alias("ak"),
+        F.col("p_name").alias("an"),
+        F.col("p_brand").alias("brand"),
+        F.col("m").alias("ma"),
+    )
+    gb = g.select(
+        F.col("gid").alias("bk"),
+        F.col("p_name").alias("bn"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("m").alias("mb"),
+    )
+    cross = (
+        cand.join(ga, "ak")
+        .join(gb, "bk")
+        .filter(
+            (F.col("brand") == F.col("brand_b"))
+            & (F.abs(F.length("an") - F.length("bn")) <= 1)
+        )
+        .select(
+            "brand",
+            F.expr("levenshtein(an, bn, 2)").alias("d"),
+            (F.col("ma") * F.col("mb")).alias("w"),
+        )
+        .filter(F.col("d") >= 0)
+    )
+    within = g.filter(F.col("m") >= 2).select(
+        F.col("p_brand").alias("brand"),
+        F.lit(0).alias("d"),
+        F.expr("m * (m - 1) DIV 2").alias("w"),
+    )
+    return (
+        cross.unionByName(within)
+        .groupBy("brand")
+        .agg(
+            F.sum("w").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("d") * F.col("w")).cast("double")
+                / F.sum("w").cast("double"),
+                6,
+            ).alias("avg_dist"),
+        )
+    )
+
+
+def _fuzzy_name_pairs_banded_sql() -> str:
+    from crz_scraper_spark.operators.dedup import (
+        MINHASH_PRIME,
+        _minhash_coeffs,
+    )
+
+    n, nh, nb = _FNB_SHINGLE, _FNB_HASHES, _FNB_BANDS
+    rows = nh // nb
+    h64 = "('0x' || substr(md5({x}),1,15))::BIGINT"
+    mins = ",\n         ".join(
+        f"min(({a} * x + {c}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, c) in enumerate(_minhash_coeffs(nh))
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, "
+        + h64.format(
+            x=" || ',' || ".join(
+                f"h{b * rows + j}::VARCHAR" for j in range(rows)
+            )
+        )
+        + " AS bh FROM sig"
+        for b in range(nb)
+    )
+    return f"""
+WITH g AS (
+  SELECT p_brand, p_name, count(*) AS m, min(p_partkey) AS gid
+  FROM part GROUP BY 1, 2
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(length(t) - {n - 1}, 1) + 1),
+           i -> substr(t, i, {n})))) AS s
+  FROM (SELECT gid AS doc_id, lower(p_name) AS t FROM g)
+),
+based AS (
+  SELECT doc_id, ('0x' || substr(md5(s),1,8))::BIGINT AS x
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM based GROUP BY doc_id
+),
+banded AS (
+{band_rows}
+),
+keyed AS (
+  SELECT bd.doc_id, bd.band, bd.bh, g.p_brand AS brand
+  FROM banded bd JOIN g ON g.gid = bd.doc_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ak, b.doc_id AS bk
+  FROM keyed a JOIN keyed b
+    ON a.brand = b.brand AND a.band = b.band AND a.bh = b.bh
+   AND a.doc_id < b.doc_id
+),
+crossed AS (
+  SELECT ga.p_brand AS brand,
+         levenshtein(ga.p_name, gb.p_name) AS d,
+         ga.m * gb.m AS w
+  FROM cand c
+  JOIN g ga ON ga.gid = c.ak
+  JOIN g gb ON gb.gid = c.bk
+  WHERE ga.p_brand = gb.p_brand
+    AND abs(length(ga.p_name) - length(gb.p_name)) <= 1
+    AND levenshtein(ga.p_name, gb.p_name) <= 2
+),
+within AS (
+  SELECT p_brand AS brand, 0 AS d, m * (m - 1) // 2 AS w
+  FROM g WHERE m >= 2
+)
+SELECT brand,
+       CAST(sum(w) AS BIGINT) AS n_pairs,
+       round(CAST(sum(d * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6)
+         AS avg_dist
+FROM (SELECT * FROM crossed UNION ALL SELECT * FROM within)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # udtf_widen_roundtrip — the dynamic-schema UDTF (analyze() computes the
 # output schema from its argument at plan time; operators/extraction.py::
 # widen_cells) proven by a round trip: four part columns unpivoted to
@@ -1358,6 +1567,10 @@ QUERIES: dict = {
     "fuzzy_name_pairs_refined": (
         fuzzy_name_pairs_refined,
         FUZZY_NAME_PAIRS_REFINED_SQL,
+    ),
+    "fuzzy_name_pairs_banded": (
+        fuzzy_name_pairs_banded,
+        _fuzzy_name_pairs_banded_sql(),
     ),
     "cosine_topk_bruteforce": (cosine_topk_bruteforce, COSINE_TOPK_SQL),
     "pdf_text_extract": (pdf_text_extract, PDF_TEXT_EXTRACT_SQL),
