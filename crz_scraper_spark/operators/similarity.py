@@ -452,11 +452,24 @@ def kmeans_lloyd_distributed(
         F.col(vec_col).cast("array<double>").alias("__v"),
     ).persist()
     inertia_hist: list[float] = []
-    assigned = None
     try:
         for _ in range(n_iter):
-            assign_udf = _assign_l2_numpy_udf(cents)
-            assigned = base.withColumn("cell", assign_udf("__v"))
+            # ONE Arrow pass per iteration: the assign UDF returns BOTH
+            # the argmin cell and its (9-dp-rounded) squared distance, and
+            # the frame is persisted so the stats and inertia jobs share
+            # the single assignment instead of each recomputing it. (The
+            # previous shape ran assignment twice per iteration and
+            # computed inertia through an O(k)-term interpreted expression
+            # — the dominant cost once k scales as √n.)
+            assign_udf = _assign_l2_d2_numpy_udf(cents)
+            assigned = (
+                base.withColumn("__a", assign_udf("__v"))
+                .select(
+                    "__id", "__v", F.col("__a.cell").alias("cell"),
+                    F.col("__a.d2").alias("__d2"),
+                )
+                .persist()
+            )
             # Decimal-exact per-(cell, dim) means: explode dims, exact sum.
             stats = (
                 assigned.select(
@@ -479,20 +492,23 @@ def kmeans_lloyd_distributed(
             new_cents = [list(c) for c in cents]  # empty cells keep old
             for r in stats:
                 new_cents[r["cell"]][r["dim"]] = r["m"]
-            cents = new_cents
-            sq = _sq_dist_to_centroid_col(cents)
+            # Inertia of the CURRENT assignment vs the centroids it was
+            # made against (the Lloyd monotonicity witness), decimal-exact
+            # sum of the per-row rounded distances from the same pass.
             inertia = (
-                assigned.select(sq.alias("d2"))
-                .agg(
+                assigned.agg(
                     F.round(
-                        F.sum(F.col("d2").cast("decimal(28,9)")), 3
+                        F.sum(F.col("__d2").cast("decimal(28,9)")), 3
                     ).cast("double").alias("i")
                 )
                 .collect()[0]["i"]
             )
             inertia_hist.append(inertia)
-        final = assigned.select(
-            F.col("__id").alias(id_col), "cell"
+            assigned.unpersist()
+            cents = new_cents
+        final_udf = _assign_l2_d2_numpy_udf(cents)
+        final = base.withColumn("__a", final_udf("__v")).select(
+            F.col("__id").alias(id_col), F.col("__a.cell").alias("cell")
         )
         return final, cents, inertia_hist
     finally:
@@ -513,6 +529,38 @@ def _assign_l2_numpy_udf(centroids: list[list[float]]):
         mat = np.stack(vs.to_numpy())
         d2 = (mat * mat).sum(axis=1, keepdims=True) - 2.0 * (mat @ cm.T) + c_sq
         return pd.Series(np.argmin(np.round(d2, 9), axis=1).astype("int32"))
+
+    return assign
+
+
+def _assign_l2_d2_numpy_udf(centroids: list[list[float]]):
+    """As `_assign_l2_numpy_udf`, but also returns the winning (rounded)
+    squared distance so assignment and inertia come from ONE pass.
+    Per-row results depend only on that row ⇒ deterministic across
+    partitionings/batchings; the 9-dp round before argmin/min matches the
+    assignment convention."""
+    import numpy as np
+
+    cm = np.asarray(centroids, dtype=np.float64)
+    c_sq = (cm * cm).sum(axis=1)  # (k,)
+
+    @F.pandas_udf("cell int, d2 double")
+    def assign(vs):
+        import pandas as pd
+
+        mat = np.stack(vs.to_numpy())
+        d2 = np.round(
+            (mat * mat).sum(axis=1, keepdims=True)
+            - 2.0 * (mat @ cm.T)
+            + c_sq,
+            9,
+        )
+        return pd.DataFrame(
+            {
+                "cell": np.argmin(d2, axis=1).astype("int32"),
+                "d2": d2.min(axis=1),
+            }
+        )
 
     return assign
 
