@@ -77,19 +77,31 @@ def mg_candidates_arrays(
     instead of one per element, so pass 1 transfers a fraction of the row
     overhead (measured ~2× end-to-end on the token stream at sf1). Array
     elements must be non-null (a null never survives the recount join
-    anyway). Output column is `out_col` typed as the array element."""
+    anyway). Output: candidate rows (`out_col`, __pn NULL) plus ONE
+    sentinel row (NULL, n_elements) per partition — the same pass that
+    prunes candidates also measures N, so the caller needs no second
+    corpus scan (and no corpus-sized persist) to learn the total."""
     if m < 1:
         raise ValueError(f"mg_candidates_arrays: m must be >= 1, got {m}")
     eltype = df.schema[arr_col].dataType.elementType.simpleString()
 
     def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
+        n_part = 0
         for pdf in batches:
             flat = pdf[arr_col].explode().dropna()
+            n_part += int(len(flat))
             counters = _mg_fold(counters, flat.value_counts(), m)
-        yield pd.DataFrame({out_col: list(counters.keys())})
+        yield pd.DataFrame(
+            {
+                out_col: list(counters.keys()) + [None],
+                "__pn": [None] * len(counters) + [n_part],
+            }
+        )
 
-    return df.select(arr_col).mapInPandas(_mg, f"{out_col} {eltype}")
+    return df.select(arr_col).mapInPandas(
+        _mg, f"{out_col} {eltype}, __pn bigint"
+    )
 
 
 def heavy_hitters(
@@ -141,39 +153,54 @@ def heavy_hitters_arrays(
     freq_num: int = 1,
     freq_den: int = 100,
     m: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """`heavy_hitters` over the ELEMENTS of an array column (the token-
     stream shape: one row per document, `arr_col` its token array) —
-    identical result set, cheaper physique: pass 1 ships arrays (one
-    Arrow row per document), N comes from `sum(size(arr))` (no explode
-    pass), and only the recount explodes — JVM-side, behind the
-    broadcast semi-join. The tokenizing projection feeds all three
-    consumers, so the frame is persisted for the query's duration; the
-    handle is exposed as `result._crz_cached` for long-lived sessions
-    (bench/driver sessions clear cache between queries). Array elements
-    must be non-null; null/empty arrays contribute nothing."""
+    identical result set, cheaper physique, and NO lingering state:
+
+    - Pass 1 ships arrays (one Arrow row per document) through the MG
+      pruner, which emits candidates AND per-partition element counts, so
+      one bounded collect (≤ m+1 rows per partition) yields both the
+      candidate list and N — no separate count() scan.
+    - The element projection is persisted so the recount explode reads
+      the already-computed arrays instead of re-deriving them; because at
+      most freq_den/freq_num values can exceed frequency
+      freq_num/freq_den, the final report is PROVABLY bounded — it is
+      collected, the cache released, and a local DataFrame returned, so
+      no corpus-sized persist ever outlives the call (set persist=False
+      to trade a second derivation pass for zero caching, e.g. when the
+      projection is a cheap column reference).
+
+    Array elements must be non-null; null/empty arrays contribute
+    nothing."""
     if m is None:
         m = freq_den // freq_num
-    arr = df.select(arr_col).persist()
-    cand = mg_candidates_arrays(arr, arr_col, out_col, m).distinct()
-    n_total = arr.select(
-        F.sum(F.size(F.col(arr_col))).alias("n")
-    ).collect()[0]["n"]
-    if not n_total:
-        arr.unpersist()
-        empty = df.sparkSession.createDataFrame(
-            [],
-            f"{out_col} {df.schema[arr_col].dataType.elementType.simpleString()}"
-            ", cnt bigint, freq_ppm bigint",
+    eltype = df.schema[arr_col].dataType.elementType.simpleString()
+    spark = df.sparkSession
+    empty_schema = f"{out_col} {eltype}, cnt bigint, freq_ppm bigint"
+    arr = df.select(arr_col)
+    if persist:
+        arr = arr.persist()
+    try:
+        raw = mg_candidates_arrays(arr, arr_col, out_col, m).collect()
+        n_total = sum(r["__pn"] for r in raw if r["__pn"] is not None)
+        cands = sorted({r[out_col] for r in raw if r[out_col] is not None})
+        if not n_total or not cands:
+            return spark.createDataFrame([], empty_schema)
+        cand = spark.createDataFrame(
+            [(c,) for c in cands], f"{out_col} {eltype}"
         )
-        return empty
-    toks = arr.select(F.explode(F.col(arr_col)).alias(out_col))
-    recount = (
-        toks.join(F.broadcast(cand), out_col, "left_semi")
-        .groupBy(out_col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") * freq_den > F.lit(n_total) * freq_num)
-    )
-    result = _hitter_report(recount, out_col, n_total)
-    result._crz_cached = arr
-    return result
+        toks = arr.select(F.explode(F.col(arr_col)).alias(out_col))
+        recount = (
+            toks.join(F.broadcast(cand), out_col, "left_semi")
+            .groupBy(out_col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") * freq_den > F.lit(n_total) * freq_num)
+        )
+        report = _hitter_report(recount, out_col, n_total)
+        rows = report.collect()
+        return spark.createDataFrame(rows, report.schema)
+    finally:
+        if persist:
+            arr.unpersist()

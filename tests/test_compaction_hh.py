@@ -211,7 +211,6 @@ def test_heavy_hitters_arrays_matches_exploded(spark):
     a = [tuple(r) for r in heavy_hitters(exploded, "w", 1, 100).collect()]
     got = heavy_hitters_arrays(docs, "toks", "w", 1, 100)
     b = [tuple(r) for r in got.collect()]
-    got._crz_cached.unpersist()
     assert a == b and len(a) >= 2
 
 
