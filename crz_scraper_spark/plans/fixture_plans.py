@@ -671,6 +671,61 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AUDITS: dict = {}
 
+
+# ---------------------------------------------------------------------------
+# schema_evolution_roundtrip — reading a table whose files span SCHEMA ERAS,
+# the steady state of any long-lived 100 TB store (columns get added; old
+# files are never rewritten). Half the orders are written with the v1
+# schema, half with v2 (+ a `priority_tier` column); the read uses
+# parquet's mergeSchema so v1 rows surface the new column as NULL, and the
+# aggregate proves three things at once: no rows lost across eras, values
+# typed/intact (decimal sum), and the new column NULL-backfilled exactly
+# on the v1 half. Oracle reconstructs the era split arithmetically from
+# the orders view.
+# ---------------------------------------------------------------------------
+
+
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _fixture_dir("schevo", sf_dir)
+    if root not in _BUILT:
+        orders = load_table(spark, sf_dir, "orders")
+        _sh.rmtree(root, ignore_errors=True)
+        v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.substring("o_orderpriority", 1, 1).alias("priority_tier"),
+        )
+        v1.write.parquet(f"{root}/era=1")
+        v2.write.parquet(f"{root}/era=2")
+        _BUILT.add(root)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/era=1", f"{root}/era=2"
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+        F.count("priority_tier").alias("n_with_tier"),
+        F.max("priority_tier").alias("max_tier"),
+    )
+
+
+SCHEMA_EVOLUTION_SQL = f"""
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       {_DSUM_SQL.format(x="o_totalprice")} AS sum_price,
+       count(CASE WHEN o_orderkey % 2 = 1
+                  THEN substr(o_orderpriority, 1, 1) END) AS n_with_tier,
+       max(CASE WHEN o_orderkey % 2 = 1
+                THEN substr(o_orderpriority, 1, 1) END) AS max_tier
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 COMPACTION_ROUNDTRIP_SQL = """
 SELECT lang,
        count(*) AS n_docs,
@@ -686,6 +741,10 @@ GROUP BY lang
 QUERIES: dict = {
     "pipe_csv_roundtrip": (pipe_csv_roundtrip, PIPE_CSV_ROUNDTRIP_SQL),
     "compaction_roundtrip": (compaction_roundtrip, COMPACTION_ROUNDTRIP_SQL),
+    "schema_evolution_roundtrip": (
+        schema_evolution_roundtrip,
+        SCHEMA_EVOLUTION_SQL,
+    ),
     "bucketed_colocated_join": (
         bucketed_colocated_join,
         BUCKETED_COLOCATED_JOIN_SQL,

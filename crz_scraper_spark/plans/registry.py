@@ -35,9 +35,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # entries. Rounds 1-4 proved every pre-r4 registry query green (the
 # closing rotation — CORRECTNESS_r01-r04 on record, 160/160 cumulative).
 # Round-5 policy now that the record is complete: 5 pinned flagships +
-# every query REGISTERED since the last rotation (8: the round-4 late
-# additions and the round-5 compaction/heavy-hitter ops) + 37 regression
-# re-checks targeting the code paths rounds 4-5 actually changed
+# every query REGISTERED since the last rotation (10: the round-4 late
+# additions plus the round-5 compaction / heavy-hitter / banded-fuzzy /
+# schema-evolution ops) + 35 regression re-checks targeting the code
+# paths rounds 4-5 actually changed
 # (de-hinted TPC-H plans, the streaming source layout probe, the
 # LSH/banded persist surface, the SemDeDup invariant/cache plumbing, the
 # curation pipeline, the percentile approx paths).
@@ -58,6 +59,7 @@ _FIRST_WINDOW = [
     "token_heavy_hitters",
     "compaction_roundtrip",
     "fuzzy_name_pairs_banded",
+    "schema_evolution_roundtrip",
     # -- re-check: r5 touched the curation/SemDeDup cache plumbing --------
     "curation_pipeline_audit",
     "semantic_dedup",
@@ -99,7 +101,6 @@ _FIRST_WINDOW = [
     "range_click_purchase",
     "pdf_text_extract",
     "dictionary_oov_morph",
-    "word_frequency",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
