@@ -46,6 +46,18 @@ def get_spark(
         # which Spark's vectorized reader rejects; read as long nanos and
         # convert in catalog.load_table (DuckDB truncates the same way).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ContextCleaner's periodic JVM GC defaults to 30 MINUTES — in a
+        # 164-query session, JVM-side broadcast/shuffle/codegen state
+        # accumulates unreclaimed for the whole run (py4j gc.collect()
+        # frees Python refs, but the JVM only notices unreachability at a
+        # GC), and late-session memory pressure showed up as 10-12x
+        # timing draws on the persist-heavy md5-LSH family. A moderate
+        # interval amortizes the cleanup steadily; measured bracketing:
+        # 90s tamed the storms but taxed an sf0.1 run of sub-second
+        # queries +20% (pauses land inside measured windows), per-query
+        # forced System.gc() was 13% worse still, 300s keeps storms away
+        # without the short-query tax.
+        .config("spark.cleaner.periodicGC.interval", "300s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
