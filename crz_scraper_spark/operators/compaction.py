@@ -175,3 +175,102 @@ def compact_small_files(
         "bytes_after": sum(b for _, b in after),
         "n_rows": spark.read.parquet(dst_dir).count(),
     }
+
+
+def compact_offenders(
+    spark: SparkSession,
+    root: str,
+    partition_col: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    max_files_per_partition: int = 8,
+) -> dict:
+    """The nightly form of compaction for a LIVE partitioned table:
+    inventory every partition directory (metadata-only), pick ONLY the
+    offenders — partitions holding more files than both their byte-derived
+    target and `max_files_per_partition` — and rewrite just those, in
+    place, through dynamic partition overwrite. Healthy partitions are
+    never read, never shuffled, never rewritten (the `upsert_by_key` /
+    `delete_by_key` touched-partition discipline applied to maintenance):
+    a day-partitioned 100 TB store fragmented by yesterday's streaming
+    micro-batches compacts yesterday, not the archive.
+
+    One distributed job regardless of offender count: the offender
+    directories are read with `basePath=root` (so the partition column
+    survives), salted per-partition to their target file counts exactly
+    like `compact_small_files`, and written back partitionBy with
+    partitionOverwriteMode=dynamic — the committer stages output under
+    _temporary and swaps only the written partitions at commit, after the
+    source files have been read.
+
+    Returns {partitions_total, partitions_compacted, files_before,
+    files_after, n_rows} (file counts cover offender partitions only).
+    """
+    prefix = f"{partition_col}="
+    stats: dict[str, list[int]] = {}
+    for p, b in _list_data_files(spark, root):
+        seg = next((s for s in p.split("/") if s.startswith(prefix)), None)
+        if seg is None:
+            raise ValueError(
+                f"compact_offenders: {p} has no {prefix}* directory "
+                f"segment; is the table really partitioned by "
+                f"{partition_col!r}?"
+            )
+        key = seg[len(prefix):]
+        cur = stats.setdefault(key, [0, 0])
+        cur[0] += 1
+        cur[1] += b
+    offenders = {
+        k: max(1, math.ceil(b / target_file_bytes))
+        for k, (files, b) in stats.items()
+        if files > max(
+            max_files_per_partition, math.ceil(b / target_file_bytes)
+        )
+    }
+    if not offenders:
+        return {
+            "partitions_total": len(stats),
+            "partitions_compacted": 0,
+            "files_before": 0,
+            "files_after": 0,
+            "n_rows": 0,
+        }
+    files_before = sum(stats[k][0] for k in offenders)
+    dirs = [f"{root.rstrip('/')}/{prefix}{k}" for k in sorted(offenders)]
+    df = spark.read.option("basePath", root).parquet(*dirs)
+    nmap = F.create_map(
+        *[
+            x
+            for k, n in sorted(offenders.items())
+            for x in (F.lit(k), F.lit(n))
+        ]
+    )
+    data_cols = [c for c in df.columns if c != partition_col]
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in data_cols]),
+            F.element_at(nmap, F.col(partition_col).cast("string")),
+        ),
+    )
+    total_out = sum(offenders.values())
+    (
+        salted.repartition(total_out, F.col(partition_col), F.col("__salt"))
+        .drop("__salt")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(root)
+    )
+    after = 0
+    n_rows = 0
+    for k in offenders:
+        pdir = f"{root.rstrip('/')}/{prefix}{k}"
+        after += len(_list_data_files(spark, pdir))
+        n_rows += spark.read.parquet(pdir).count()
+    return {
+        "partitions_total": len(stats),
+        "partitions_compacted": len(offenders),
+        "files_before": files_before,
+        "files_after": after,
+        "n_rows": n_rows,
+    }

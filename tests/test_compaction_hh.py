@@ -221,3 +221,52 @@ def test_heavy_hitters_arrays_empty_input(spark):
     out = heavy_hitters_arrays(docs, "toks", "w", 1, 100)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["w", "cnt", "freq_ppm"]
+
+
+def test_compact_offenders_touches_only_fragmented_partitions(
+    spark, tmp_path
+):
+    from crz_scraper_spark.operators.compaction import compact_offenders
+
+    root = str(tmp_path / "live")
+    healthy = spark.range(0, 500).select(
+        F.col("id"), F.lit("old").alias("day")
+    )
+    healthy.coalesce(1).write.partitionBy("day").parquet(root)
+    fresh = spark.range(500, 2500).select(
+        F.col("id"), F.lit("new").alias("day")
+    )
+    fresh.repartition(20).write.mode("append").partitionBy("day").parquet(
+        root
+    )
+    old_files = sorted(_data_files(os.path.join(root, "day=old")))
+    assert len(old_files) == 1
+    old_mtimes = [os.path.getmtime(p) for p in old_files]
+
+    audit = compact_offenders(
+        spark, root, "day", target_file_bytes=1 << 28,
+        max_files_per_partition=4,
+    )
+    assert audit["partitions_total"] == 2
+    assert audit["partitions_compacted"] == 1
+    assert audit["files_before"] == 20 and audit["files_after"] == 1
+    assert audit["n_rows"] == 2000
+    # the healthy partition was not rewritten: same files, same mtimes
+    assert sorted(_data_files(os.path.join(root, "day=old"))) == old_files
+    assert [os.path.getmtime(p) for p in old_files] == old_mtimes
+    # full-table content intact
+    back = spark.read.parquet(root)
+    assert back.count() == 2500
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(2500))
+
+
+def test_compact_offenders_noop_on_healthy_table(spark, tmp_path):
+    from crz_scraper_spark.operators.compaction import compact_offenders
+
+    root = str(tmp_path / "healthy_live")
+    spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("day")
+    ).coalesce(1).write.partitionBy("day").parquet(root)
+    audit = compact_offenders(spark, root, "day", max_files_per_partition=4)
+    assert audit["partitions_compacted"] == 0
+    assert spark.read.parquet(root).count() == 100
