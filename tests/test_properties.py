@@ -368,3 +368,35 @@ def test_jsonl_roundtrip_arbitrary_content(spark, tmp_path_factory, texts):
     assert corrupt.count() == 0
     got = {r["doc_id"]: r["text"] for r in clean.collect()}
     assert got == dict(rows)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "ee", "f", "g", "hh"]),
+        min_size=1,
+        max_size=300,
+    ),
+    st.integers(min_value=2, max_value=10),
+)
+def test_heavy_hitters_equals_exact_on_random_multisets(spark, vals, den):
+    """Misra–Gries two-pass heavy hitters must equal the exact
+    GROUP BY/HAVING answer for ANY value distribution and threshold —
+    the N/(m+1) candidate bound is a theorem, not a tendency. Random
+    multisets + random thresholds probe boundary cases (counts exactly
+    at N/den, single-value inputs, all-distinct inputs) the fixed
+    fixtures don't."""
+    from crz_scraper_spark.operators.heavyhitters import heavy_hitters
+
+    df = spark.createDataFrame([(v,) for v in vals], "v string").repartition(4)
+    got = {
+        (r["v"], r["cnt"])
+        for r in heavy_hitters(df, "v", freq_num=1, freq_den=den).collect()
+    }
+    n = len(vals)
+    from collections import Counter
+
+    exact = {
+        (v, c) for v, c in Counter(vals).items() if c * den > n
+    }
+    assert got == exact
