@@ -261,12 +261,18 @@ def compact_offenders(
         .partitionBy(partition_col)
         .parquet(root)
     )
-    after = 0
-    n_rows = 0
-    for k in offenders:
-        pdir = f"{root.rstrip('/')}/{prefix}{k}"
-        after += len(_list_data_files(spark, pdir))
-        n_rows += spark.read.parquet(pdir).count()
+    # Post-audit: file census via FS listing (metadata-only) and ONE
+    # count job over the rewritten dirs — not a per-partition driver loop
+    # (1000 offenders must not mean 1000 Spark jobs).
+    after = sum(
+        len(_list_data_files(spark, f"{root.rstrip('/')}/{prefix}{k}"))
+        for k in offenders
+    )
+    n_rows = (
+        spark.read.option("basePath", root)
+        .parquet(*dirs)
+        .count()
+    )
     return {
         "partitions_total": len(stats),
         "partitions_compacted": len(offenders),
