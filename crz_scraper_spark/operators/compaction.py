@@ -42,6 +42,17 @@ from crz_scraper_spark.operators.upsert import _hadoop_fs
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 
+def _unescape_partition_value(spark: SparkSession, escaped: str) -> str:
+    """Partition DIRECTORY names carry Hive-escaped values (':' → '%3A');
+    the DataFrame column carries the real value. Mapping between them goes
+    through Catalyst's own codec (the delete_by_key convention) — a
+    hand-rolled replace would drift from Spark's escaping table."""
+    return (
+        spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(escaped)
+    )
+
+
 def _list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     """(path, bytes) for every data file under `path`, recursively,
     skipping metadata (_SUCCESS, manifests, hidden files) — remote-safe."""
@@ -127,7 +138,11 @@ def compact_small_files(
                     f"segment; is the table really partitioned by "
                     f"{partition_col!r}?"
                 )
-            key = seg[len(prefix):]
+            # Unescape the directory name so the salt map keys match the
+            # COLUMN values element_at probes with (an escaped key like
+            # 'a%3Ab' would never match the column's 'a:b', silently
+            # collapsing that partition's salt to null = one output file).
+            key = _unescape_partition_value(spark, seg[len(prefix):])
             part_bytes[key] = part_bytes.get(key, 0) + b
         n_files = {
             k: max(1, math.ceil(b / target_file_bytes))
@@ -215,6 +230,9 @@ def compact_offenders(
                 f"segment; is the table really partitioned by "
                 f"{partition_col!r}?"
             )
+        # stats are keyed by the ESCAPED directory name (it addresses the
+        # path); the salt map below is keyed by the UNESCAPED value (it
+        # matches the column).
         key = seg[len(prefix):]
         cur = stats.setdefault(key, [0, 0])
         cur[0] += 1
@@ -241,7 +259,10 @@ def compact_offenders(
         *[
             x
             for k, n in sorted(offenders.items())
-            for x in (F.lit(k), F.lit(n))
+            for x in (
+                F.lit(_unescape_partition_value(spark, k)),
+                F.lit(n),
+            )
         ]
     )
     data_cols = [c for c in df.columns if c != partition_col]

@@ -1093,7 +1093,7 @@ def fuzzy_name_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("d"),
         F.expr("m * (m - 1) DIV 2").alias("w"),
     )
-    return (
+    report = (
         cross.unionByName(within)
         .groupBy("brand")
         .agg(
@@ -1105,6 +1105,12 @@ def fuzzy_name_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_dist"),
         )
     )
+    # The per-brand rollup is bounded (one row per brand) — materialize it
+    # and release the persisted name-group frame before returning, so no
+    # cache outlives the call in driver-gate/bench sessions.
+    rows = report.collect()
+    g.unpersist()
+    return spark.createDataFrame(rows, report.schema)
 
 
 def _fuzzy_name_pairs_banded_sql() -> str:

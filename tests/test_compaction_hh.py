@@ -270,3 +270,40 @@ def test_compact_offenders_noop_on_healthy_table(spark, tmp_path):
     audit = compact_offenders(spark, root, "day", max_files_per_partition=4)
     assert audit["partitions_compacted"] == 0
     assert spark.read.parquet(root).count() == 100
+
+
+def test_compact_partitioned_escaped_values(spark, tmp_path):
+    """Partition values needing Hive path-escaping (':' -> '%3A') must
+    still map to their byte-derived file counts — the salt map is keyed
+    by the COLUMN value, the directories by the escaped name."""
+    src, dst = str(tmp_path / "esrc"), str(tmp_path / "edst")
+    df = spark.range(0, 2000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit("a:b")).otherwise(
+            F.lit("c d")
+        ).alias("grp"),
+    )
+    df.repartition(12).write.partitionBy("grp").parquet(src)
+    audit = compact_small_files(
+        spark, src, dst, target_file_bytes=1 << 28, partition_col="grp"
+    )
+    assert audit["files_after"] == 2 and audit["n_rows"] == 2000
+    assert os.path.isdir(os.path.join(dst, "grp=a%3Ab"))
+    back = spark.read.parquet(dst).select("id", F.col("grp").cast("string"))
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+
+def test_compact_offenders_escaped_values(spark, tmp_path):
+    from crz_scraper_spark.operators.compaction import compact_offenders
+
+    root = str(tmp_path / "elive")
+    spark.range(0, 1500).select(
+        F.col("id"), F.lit("x:y").alias("day")
+    ).repartition(10).write.partitionBy("day").parquet(root)
+    audit = compact_offenders(
+        spark, root, "day", target_file_bytes=1 << 28,
+        max_files_per_partition=4,
+    )
+    assert audit["partitions_compacted"] == 1
+    assert audit["files_after"] == 1 and audit["n_rows"] == 1500
+    assert spark.read.parquet(root).count() == 1500
