@@ -300,6 +300,11 @@ def minhash_dedup(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    # Expose the persisted signature table so callers that consume the
+    # pairs lazily (curation_pipeline's cached chain) can release it with
+    # their other intermediates — capture it BEFORE any further
+    # transformation (a .select returns a fresh object without the attr).
+    scored._crz_cached = sig
     return scored
 
 

@@ -243,9 +243,13 @@ def curation_pipeline(
     # Stage 2 — near-dup: LSH pairs -> connected components -> keep the
     # cluster representative (minimum reachable id). No broadcast hint:
     # non_reps scales with the corpus; AQE picks the join strategy.
-    pairs = minhash_dedup(
+    scored_pairs = minhash_dedup(
         exact, id_col, text_col, threshold=near_dup_threshold
-    ).select(F.col("id_a"), F.col("id_b"))
+    )
+    # The signature persist inside minhash_dedup must be releasable with
+    # the rest of the chain; capture its handle before the select drops it.
+    sig_cache = getattr(scored_pairs, "_crz_cached", None)
+    pairs = scored_pairs.select(F.col("id_a"), F.col("id_b"))
     clusters = connected_components(pairs)
     non_reps = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
@@ -310,7 +314,8 @@ def curation_pipeline(
         "dropped": dropped,
         "near_dup_clusters": clusters,
         "audit": audit,
-        "cached": [exact, deduped] if persist else [],
+        "cached": ([exact, deduped] if persist else [])
+        + ([sig_cache] if sig_cache is not None else []),
     }
 
 

@@ -304,9 +304,15 @@ def _with_recall_guard(
             ).alias("floor_ppm"),
         )
     )
-    return topk.join(F.broadcast(health)).filter(
+    guarded = topk.join(F.broadcast(health)).filter(
         F.col("corpus_recall_ppm") >= F.col("floor_ppm")
     )
+    # The guarded report is bounded (8 queries × k rows) — materialize it
+    # and release the persisted topk before returning, so the ANN
+    # pipeline's cache never outlives the call.
+    rows = guarded.collect()
+    topk.unpersist()
+    return topk.sparkSession.createDataFrame(rows, guarded.schema)
 
 
 def _exact_l2_topk(emb: DataFrame, k: int = 5) -> DataFrame:

@@ -611,11 +611,16 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("lrnk")
     )
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
+    result = (
         candidates.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 10)
         .select("doc_id", "score", "rnk")
     )
+    # Top-10 rows — materialize and release the persisted per_doc posting
+    # frame before returning (no cache outlives the call).
+    rows = result.collect()
+    per_doc.unpersist()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def _bm25_sql() -> str:
