@@ -1,0 +1,121 @@
+"""Iterative graph ranking (PageRank) as bounded-iteration DataFrame joins.
+
+The reference has no graph operator; this extends the engine the same way
+`operators/similarity.py::kmeans_fit` does for clustering — an iterative
+distributed algorithm expressed as a driver loop over declarative plans, so
+Catalyst/AQE handle the physical strategy at any scale. The per-iteration
+shape is the standard Pregel-style step: join ranks to the (persisted)
+out-degree-annotated edge list on ``src``, shuffle contributions by ``dst``,
+aggregate. Nothing node- or edge-proportional ever reaches the driver; the
+loop is a FIXED iteration count, so the whole computation is one plan chain.
+
+All arithmetic is integer fixed-point (parts-per-million ranks, integer DIV
+for both the out-degree split and the damping multiply) — deterministic and
+engine-portable, so a SQL oracle that unrolls the same ``iterations`` steps
+reproduces the ranks bit-for-bit. That is what makes an *iterative* operator
+hash-checkable against DuckDB at all: float PageRank would drift in the last
+ulp between engines.
+
+Fixed-point quantization note: a node's contribution ``rank DIV outdeg``
+floors to 0 once ``outdeg > rank`` (hub nodes with millions of neighbours at
+ppm scale). That loses mass monotonically — ranks are a deterministic lower
+bound of the real-valued iteration, which is the right failure mode for a
+"top influencers" ranking; raise ``scale`` if the graph's max degree
+approaches it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(node, rank) after ``iterations`` damped power steps, integer ppm.
+
+    ``edges`` is a directed edge list; nodes are the distinct sources (a
+    symmetric graph — the co-occurrence graphs this engine builds — makes
+    that the full node set). Sinks receive the teleport mass only
+    (coalesce 0), matching the unrolled SQL oracle exactly.
+    """
+    base = scale - scale * damping_num // damping_den
+    deg = edges.groupBy(src).agg(F.count("*").alias("outdeg"))
+    # Annotate edges with the source's out-degree ONCE and persist: every
+    # iteration re-reads this frame, and both the join and the per-iteration
+    # rank frame hash-partition on the source key, so the exchange is reused
+    # across iterations instead of reshuffling the (corpus-sized) edge list.
+    e = edges.join(deg, src).persist()
+    nodes = deg.select(F.col(src).alias("node"))
+    ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
+    try:
+        for _ in range(iterations):
+            incoming = (
+                e.join(ranks, e[src] == ranks["node"])
+                .select(
+                    F.col(dst).alias("node"),
+                    F.expr("rank DIV outdeg").alias("contrib"),
+                )
+                .groupBy("node")
+                .agg(F.sum("contrib").alias("tot"))
+            )
+            ranks = nodes.join(incoming, "node", "left").select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.coalesce(
+                        F.expr(f"({damping_num} * tot) DIV {damping_den}"),
+                        F.lit(0),
+                    )
+                )
+                .cast("bigint")
+                .alias("rank"),
+            )
+        # Materialize the bounded-depth chain while the edge persist is
+        # alive; the result is node-sized, not edge-sized, so localCheckpoint
+        # (executor-memory, no lineage) is the right cut point.
+        ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+    return ranks
+
+
+def copurchase_edges(
+    lineitem: DataFrame, max_basket: int = 50
+) -> DataFrame:
+    """Distinct symmetric (src, dst) part pairs co-occurring in an order.
+
+    The self-join on the order key is quadratic in basket size, so baskets
+    with more than ``max_basket`` distinct parts are dropped first — the
+    standard guard that keeps one mega-order (a crawler, a corporate bulk
+    buy) from emitting k^2 pairs in a single task. TPC-H baskets top out at
+    7 parts, so the cap is a no-op on testdata and purely a scale guard.
+    """
+    ok = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_partkey").alias("n_parts"))
+        .filter(F.col("n_parts") <= max_basket)
+        .select("l_orderkey")
+    )
+    li = lineitem.join(ok, "l_orderkey").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )

@@ -556,8 +556,110 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# token_budget_sample — fixed token budget per source: walk each source's
+# documents in a deterministic hash order and keep the prefix whose
+# cumulative token count fits the budget. This is how pretraining mixtures
+# cap over-represented sources (a fixed budget per domain regardless of how
+# much of it was crawled) — the output is budget-bounded however large the
+# corpus grows. The oracle is the plain per-source cumulative window; the
+# Spark plan computes the SAME cumulative sum with the two-phase prefix sum
+# (`sequence_packing`'s pattern): a per-source ordered window would funnel
+# each source's entire slice through ONE task (sources are few and huge at
+# 100 TB), so phase 1 runs hash-block-partitioned intra-block sums in
+# parallel and phase 2 offsets them with one tiny per-(source, block) frame.
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 800
+# 64 hash-ordered blocks: md5 prefix is 60 bits, so DIV 2^54 yields block
+# ids 0..63 that sort identically to the hash itself.
+_BUDGET_BLOCK_SPAN = 1 << 54
+
+
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h")
+    )
+    t = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.expr(_TOKS_SPARK)).cast("bigint").alias("n_tok"),
+        h,
+    ).withColumn("block", F.expr(f"h DIV {_BUDGET_BLOCK_SPAN}"))
+    intra_w = (
+        Window.partitionBy("source", "block")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = t.withColumn("intra", F.sum("n_tok").over(intra_w))
+    totals = t.groupBy("source", "block").agg(
+        F.sum("n_tok").alias("block_tot")
+    )
+    off_w = (
+        Window.partitionBy("source")
+        .orderBy("block")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "source",
+        "block",
+        F.coalesce(F.sum("block_tot").over(off_w), F.lit(0)).alias("offset"),
+    )
+    cum = t.join(F.broadcast(offsets), ["source", "block"]).select(
+        "source", "n_tok", (F.col("offset") + F.col("intra")).alias("cum")
+    )
+    return (
+        cum.filter(F.col("cum") <= _BUDGET_TOKENS)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tok").alias("tokens_kept"),
+            F.max("cum").alias("budget_used"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_BUDGET_SAMPLE_SQL = f"""
+WITH t AS (
+  SELECT source, doc_id,
+         len({_TOKS_SQL}) AS n_tok,
+         ('0x' || substr(md5('budget:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM documents
+),
+c AS (
+  SELECT source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT source,
+       count(*) AS n_docs_kept,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_kept,
+       CAST(max(cum) AS BIGINT) AS budget_used
+FROM c
+WHERE cum <= {_BUDGET_TOKENS}
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES: dict = {
     "weighted_sample": (weighted_sample, WEIGHTED_SAMPLE_SQL),
+    "token_budget_sample": (token_budget_sample, TOKEN_BUDGET_SAMPLE_SQL),
     "pii_redact": (pii_redact, PII_REDACT_SQL),
     "per_class_sample": (per_class_sample, PER_CLASS_SAMPLE_SQL),
     "repetition_stats": (repetition_stats, REPETITION_STATS_SQL),

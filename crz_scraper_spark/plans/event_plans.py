@@ -141,6 +141,49 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_interval_join(spark, sf_dir)
 
 
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (every click, null-padded when
+    no purchase follows within 30 min) — the outer twin of
+    `streaming_interval_join`. Null-padded rows only exist once the
+    watermark evicts the click's join state, so the query (and its oracle)
+    restrict to clicks at or below a deterministic eviction frontier
+    computed from the bounded input; see
+    streaming/windows.py::stream_stream_left_outer_join."""
+    from crz_scraper_spark.streaming.windows import (
+        stream_stream_left_outer_join,
+    )
+
+    out = stream_stream_left_outer_join(spark, sf_dir)
+    # NULL-padded ids surface as -1: a nullable BIGINT degrades to float64
+    # through the oracle's pandas path (oracle.py header), so a sentinel
+    # keeps the column integer-typed on both sides.
+    return out.select(
+        "click_id",
+        "user_id",
+        "click_ts",
+        F.coalesce(F.col("purchase_id"), F.lit(-1)).alias("purchase_id"),
+    )
+
+
+STREAMING_LEFT_OUTER_JOIN_SQL = """
+WITH cut AS (
+  SELECT least(
+           (SELECT max(ts) FROM events WHERE event_type = 'click'),
+           (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+         ) - INTERVAL 12600 SECOND AS cutoff
+)
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+       COALESCE(p.event_id, -1) AS purchase_id
+FROM events c
+LEFT JOIN events p
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1800 SECOND
+WHERE c.event_type = 'click'
+  AND c.ts <= (SELECT cutoff FROM cut)
+"""
+
+
 # ---------------------------------------------------------------------------
 # streaming_enriched_segments — stream-static join (event stream ⋈ static
 # customer dim, unhinted: AQE sizes the pruned dim per micro-batch) feeding
@@ -661,6 +704,10 @@ QUERIES: dict = {
     "streaming_interval_join": (
         streaming_interval_join,
         RANGE_CLICK_PURCHASE_SQL,
+    ),
+    "streaming_left_outer_join": (
+        streaming_left_outer_join,
+        STREAMING_LEFT_OUTER_JOIN_SQL,
     ),
     "tumbling_hourly": (tumbling_hourly, TUMBLING_HOURLY_SQL),
     "streaming_tumbling_hourly": (streaming_tumbling_hourly, TUMBLING_HOURLY_SQL),

@@ -20,6 +20,7 @@ from crz_scraper_spark.plans import (
     event_plans,
     extra_plans,
     fixture_plans,
+    graph_plans,
     integrity_plans,
     parity_plans,
     scale_plans,
@@ -60,6 +61,11 @@ _FIRST_WINDOW = [
     "compaction_roundtrip",
     "fuzzy_name_pairs_banded",
     "schema_evolution_roundtrip",
+    # -- first driver check: registered in round 5's continuation ----------
+    "cms_token_estimate",
+    "part_pagerank",
+    "streaming_left_outer_join",
+    "token_budget_sample",
     # -- re-check: r5 touched the curation/SemDeDup cache plumbing --------
     "curation_pipeline_audit",
     "semantic_dedup",
@@ -94,13 +100,9 @@ _FIRST_WINDOW = [
     "ann_lsh_recall",
     # -- re-check: flagship spread across the remaining families ----------
     "bloom_decontaminate",
-    "epoch_shuffle",
-    "gopher_rules_filter",
     "delete_by_key_audit",
     "asof_last_purchase",
     "range_click_purchase",
-    "pdf_text_extract",
-    "dictionary_oov_morph",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
@@ -113,6 +115,7 @@ for group in (
     scale_plans,
     extra_plans,
     fixture_plans,
+    graph_plans,
     integrity_plans,
     window_plans,
     parity_plans,

@@ -730,8 +730,82 @@ ORDER BY cnt DESC, word ASC
 """
 
 
+# ---------------------------------------------------------------------------
+# cms_token_estimate — Count-Min sketch frequency estimates vs exact counts
+# (operators/sketches.py). The sketch is depth*width counters whatever the
+# corpus size (mergeable sums — the 100 TB summary structure); the portable
+# md5 bucket hash lets the DuckDB oracle rebuild the identical sketch, so the
+# estimates hash-match exactly AND the emitted `overcount = est - cnt` column
+# makes the CMS never-undercount guarantee a driver-verified invariant.
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 512
+
+
+def cms_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.operators.sketches import cms_build, cms_estimate
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(tokens_nonempty("text")).alias("word")
+    ).persist()
+    try:
+        sketch = cms_build(toks, "word", _CMS_DEPTH, _CMS_WIDTH)
+        total = toks.count()
+        # Probe set = the exact >1% heavy hitters (bounded at <= 100 rows by
+        # construction), so the output carries both truths side by side.
+        probes = (
+            toks.groupBy("word")
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") * 100 > F.lit(total))
+        )
+        est = cms_estimate(sketch, probes, "word", _CMS_DEPTH, _CMS_WIDTH)
+        out = est.select(
+            "word",
+            "cnt",
+            "est",
+            (F.col("est") - F.col("cnt")).alias("overcount"),
+        ).orderBy(F.desc("cnt"), "word")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        toks.unpersist()
+    return out
+
+
+def _cms_sql() -> str:
+    js = ", ".join(str(j) for j in range(_CMS_DEPTH))
+    return f"""
+WITH toks AS (
+  SELECT unnest({_TOKS_SQL}) AS word FROM documents
+),
+n AS (SELECT count(*) AS n_total FROM toks),
+hashed AS (
+  SELECT j,
+         ('0x' || substr(md5(j::VARCHAR || ':' || word), 1, 15))::BIGINT
+           % {_CMS_WIDTH} AS bucket
+  FROM toks, (SELECT unnest([{js}]) AS j)
+),
+sketch AS (SELECT j, bucket, count(*) AS c FROM hashed GROUP BY j, bucket),
+probes AS (
+  SELECT word, count(*) AS cnt FROM toks GROUP BY word
+  HAVING count(*) * 100 > (SELECT n_total FROM n)
+),
+keyed AS (
+  SELECT p.word, p.cnt, j,
+         ('0x' || substr(md5(j::VARCHAR || ':' || p.word), 1, 15))::BIGINT
+           % {_CMS_WIDTH} AS bucket
+  FROM probes p, (SELECT unnest([{js}]) AS j)
+)
+SELECT k.word, k.cnt, min(s.c) AS est, min(s.c) - k.cnt AS overcount
+FROM keyed k JOIN sketch s USING (j, bucket)
+GROUP BY k.word, k.cnt
+ORDER BY k.cnt DESC, k.word
+"""
+
+
 QUERIES: dict = {
     "token_heavy_hitters": (token_heavy_hitters, TOKEN_HEAVY_HITTERS_SQL),
+    "cms_token_estimate": (cms_token_estimate, _cms_sql()),
     "bpe_token_stats": (bpe_token_stats_q, None),
     "bpe_corpus_token_stats": (bpe_corpus_token_stats_q, None),
     "word_frequency": (word_frequency, WORD_FREQUENCY_SQL),

@@ -442,3 +442,88 @@ def stream_stream_interval_join(
         "click_id", F.col("c_user_id").alias("user_id"), "purchase_id"
     )
     return _run_bounded(joined, "append", "stream_join")
+
+
+def stream_stream_left_outer_join(
+    spark: SparkSession,
+    sf_dir: str,
+    lower_s: int = 0,
+    upper_s: int = 1800,
+    watermark: str = "2 hours",
+    watermark_s: int = 7200,
+    safety_s: int = 3600,
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, null-padded when
+    no same-user purchase follows within (lower_s, upper_s] seconds.
+
+    Outer results differ from the inner join in WHEN rows can be emitted:
+    a match streams out immediately, but an unmatched click is only known
+    unmatched once the watermark passes ``click_ts + upper_s`` and its join
+    state evicts — Structured Streaming emits the null-padded row in the
+    eviction micro-batch (`processAllAvailable` runs that extra batch once
+    the final watermark advances). Clicks in the LAST
+    ``watermark + upper_s`` of the stream never evict on bounded input, so
+    a naive batch comparison would miss exactly that tail. The query
+    therefore pins a deterministic frontier from the BOUNDED input — the
+    final watermark ``min(max click_ts, max purchase_ts) - watermark``
+    minus ``upper_s`` and a safety margin — and filters BOTH the streaming
+    result and the batch oracle to clicks at or below it: inside the
+    frontier, streaming-with-eviction and the batch left join are provably
+    identical, which is what makes an *outer* streaming join
+    driver-oracle-checkable at all. The margin absorbs the engine's
+    batch-boundary watermark rounding; results never depend on where
+    micro-batch boundaries fell.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"c_user_id = p_user_id"
+            f" AND purchase_ts >= click_ts + interval {lower_s} seconds"
+            f" AND purchase_ts <= click_ts + interval {upper_s} seconds"
+        ),
+        "leftOuter",
+    ).select(
+        "click_id",
+        F.col("c_user_id").alias("user_id"),
+        "click_ts",
+        "purchase_id",
+    )
+    out = _run_bounded(joined, "append", "stream_lojoin")
+    # The frontier comes from one bounded batch aggregate over the same
+    # drop (2 values to the driver) — identical arithmetic to the oracle's
+    # `least(max click, max purchase) - (watermark + upper + safety)`.
+    import datetime as _dt
+
+    from crz_scraper_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "p"
+        ),
+    ).collect()[0]
+    cutoff = min(row["c"], row["p"]) - _dt.timedelta(
+        seconds=watermark_s + upper_s + safety_s
+    )
+    return out.filter(F.col("click_ts") <= F.lit(cutoff))

@@ -1,0 +1,184 @@
+"""Tests for the round-5 continuation operators: Count-Min sketch
+(operators/sketches.py), fixed-point PageRank (operators/graph.py), the
+token-budget sampler, and the streaming left-outer join's eviction frontier.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from crz_scraper_spark.operators.graph import (
+    copurchase_edges,
+    pagerank_fixed_point,
+)
+from crz_scraper_spark.operators.sketches import cms_build, cms_estimate
+
+
+def test_cms_never_undercounts_and_is_bounded(spark):
+    """est >= true count for EVERY key (the CMS guarantee), and the sketch
+    is exactly depth*width rows no matter the input volume."""
+    words = [f"w{i % 37}" for i in range(5000)] + ["hot"] * 500
+    toks = spark.createDataFrame([(w,) for w in words], ["word"])
+    sketch = cms_build(toks, "word", depth=4, width=64).persist()
+    try:
+        assert sketch.count() <= 4 * 64
+        # every counter row belongs to a valid (j, bucket) cell
+        bad = sketch.filter(
+            (F.col("j") < 0) | (F.col("j") >= 4)
+            | (F.col("bucket") < 0) | (F.col("bucket") >= 64)
+        ).count()
+        assert bad == 0
+        exact = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+        est = cms_estimate(sketch, exact, "word", depth=4, width=64)
+        under = est.filter(F.col("est") < F.col("cnt")).count()
+        assert under == 0
+        hot = est.filter(F.col("word") == "hot").collect()[0]
+        assert hot["est"] >= 500
+    finally:
+        sketch.unpersist()
+
+
+def test_cms_merges_by_addition(spark):
+    """The scale contract: sketch(A ∪ B) == sketch(A) + sketch(B)
+    element-wise — what makes per-executor / per-day partial sketches
+    composable without revisiting data."""
+    a = spark.createDataFrame([(f"a{i % 11}",) for i in range(300)], ["word"])
+    b = spark.createDataFrame([(f"a{i % 7}",) for i in range(200)], ["word"])
+    both = a.union(b)
+    merged = (
+        cms_build(a, "word", 2, 32)
+        .union(cms_build(b, "word", 2, 32))
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    direct = cms_build(both, "word", 2, 32)
+    diff = merged.alias("m").join(
+        direct.alias("d"), ["j", "bucket"], "full"
+    ).filter(
+        F.coalesce(F.col("m.c"), F.lit(0)) != F.coalesce(F.col("d.c"), F.lit(0))
+    )
+    assert diff.count() == 0
+
+
+def _py_pagerank(edges, iterations=5, scale=1_000_000):
+    """Driver-side integer reference: the exact arithmetic the distributed
+    loop and the unrolled SQL oracle must both reproduce."""
+    from collections import defaultdict
+
+    outdeg = defaultdict(int)
+    for s, _d in edges:
+        outdeg[s] += 1
+    nodes = sorted(outdeg)
+    base = scale - scale * 85 // 100
+    rank = {n: scale for n in nodes}
+    for _ in range(iterations):
+        tot = defaultdict(int)
+        for s, d in edges:
+            tot[d] += rank[s] // outdeg[s]
+        rank = {
+            n: base + (85 * tot[n]) // 100 if n in tot else base
+            for n in nodes
+        }
+    return rank
+
+
+def test_pagerank_matches_integer_reference_on_small_graph(spark):
+    """Bit-exact vs a pure-Python integer PageRank on a hand-made graph
+    with asymmetric degrees and a sink-ish node."""
+    edges = [
+        (1, 2), (1, 3), (1, 4),
+        (2, 1),
+        (3, 1), (3, 2),
+        (4, 1),
+        (5, 1),  # 5 has out-edges but no in-edges -> teleport mass only
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(df, iterations=5).collect()
+    }
+    assert got == _py_pagerank(edges)
+
+
+def test_pagerank_mass_is_bounded_and_deterministic(spark, sf_dir):
+    """Integer floor losses only ever shrink mass: base*n <= sum(rank) <=
+    scale*n. Two runs are bit-identical (no rand, no float)."""
+    from crz_scraper_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li)
+    r1 = pagerank_fixed_point(edges, iterations=3)
+    agg = r1.agg(
+        F.count("*").alias("n"), F.sum("rank").alias("mass")
+    ).collect()[0]
+    assert 150_000 * agg["n"] <= agg["mass"] <= 1_000_000 * agg["n"]
+    r2 = pagerank_fixed_point(edges, iterations=3)
+    sym = r1.alias("a").join(r2.alias("b"), "node").filter(
+        F.col("a.rank") != F.col("b.rank")
+    )
+    assert sym.count() == 0 and r1.count() == r2.count()
+
+
+def test_copurchase_basket_cap_drops_mega_orders(spark):
+    rows = [(1, p) for p in range(10)] + [(2, 100), (2, 101)]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    edges = copurchase_edges(li, max_basket=5)
+    # order 1 (10 parts) is dropped entirely; order 2 yields both directions
+    got = sorted((r["src"], r["dst"]) for r in edges.collect())
+    assert got == [(100, 101), (101, 100)]
+
+
+def test_token_budget_sample_respects_budget(spark, sf_dir):
+    from crz_scraper_spark.plans.curation_plans import (
+        _BUDGET_TOKENS,
+        token_budget_sample,
+    )
+
+    out = token_budget_sample(spark, sf_dir).collect()
+    assert out, "sampler kept nothing"
+    for r in out:
+        assert r["budget_used"] <= _BUDGET_TOKENS
+        assert r["tokens_kept"] == r["budget_used"]
+        assert r["n_docs_kept"] >= 1
+
+
+def test_streaming_left_outer_join_emits_unmatched(spark, sf_dir):
+    """The null-padded (sentinel -1) rows must actually appear — i.e. the
+    eviction flush ran — and matched rows must agree with the batch range
+    join on the same frontier."""
+    from crz_scraper_spark.plans.event_plans import streaming_left_outer_join
+
+    out = streaming_left_outer_join(spark, sf_dir).persist()
+    try:
+        n = out.count()
+        unmatched = out.filter(F.col("purchase_id") == -1).count()
+        assert n > 0
+        assert 0 < unmatched < n
+        # each (click, purchase) pair at most once
+        dup = (
+            out.groupBy("click_id", "purchase_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert dup == 0
+    finally:
+        out.unpersist()
+
+
+@pytest.mark.parametrize("width", [16, 1024])
+def test_cms_error_shrinks_with_width(spark, width):
+    """Wider sketches overcount less (on average) — the epsilon = e/width
+    knob actually connected."""
+    words = [f"w{i % 200}" for i in range(4000)]
+    toks = spark.createDataFrame([(w,) for w in words], ["word"])
+    exact = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    est = cms_estimate(
+        cms_build(toks, "word", 2, width), exact, "word", 2, width
+    )
+    over = est.agg(F.sum(F.col("est") - F.col("cnt"))).collect()[0][0]
+    if width == 16:
+        assert over > 0  # heavy collision regime must overcount
+    else:
+        assert over < 4000  # wide sketch: small aggregate error
