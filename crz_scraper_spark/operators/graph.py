@@ -119,3 +119,82 @@ def copurchase_edges(
         )
         .distinct()
     )
+
+
+def triangle_counts(edges: DataFrame, top_k: int | None = None) -> DataFrame:
+    """(node, n_tri): how many triangles each node participates in.
+
+    ``edges`` is a symmetric edge list (both directions present, as
+    `copurchase_edges` emits). The naive wedge enumeration explodes on hub
+    nodes (sum of deg^2); the standard fix — and the whole point of this
+    operator — is DEGREE-ORDERED ORIENTATION (Chiba-Nishizeki / the
+    "node-iterator++" scheme): orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one, which caps every node's
+    oriented out-degree at O(sqrt(m)) and the wedge count at O(m^1.5)
+    regardless of the degree distribution. The orientation is a total
+    order, so each triangle {a,b,c} is enumerated exactly once as the
+    wedge (a->b, a->c with b before c) closed by the oriented edge b->c.
+
+    Per-iteration shape: one self-join of the oriented edge list on the
+    wedge apex, one semi-ish join against the same list for closure, one
+    explode+group for per-node counts — all shuffle-partitioned on node
+    keys, nothing collected. The result is hash-checkable against a plain
+    a<b<c three-way self-join oracle: orientation changes the PLAN, not
+    the triangle set.
+    """
+    und = edges.filter(F.col("src") < F.col("dst"))
+    deg = (
+        und.select(F.col("src").alias("node"))
+        .union(und.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # Annotate both endpoints, then orient by (deg, node).
+    e = (
+        und.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("deg", "sdeg")
+        .join(
+            deg.withColumnRenamed("node", "dst").withColumnRenamed(
+                "deg", "ddeg"
+            ),
+            "dst",
+        )
+    )
+    fwd = (F.col("sdeg") < F.col("ddeg")) | (
+        (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = e.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("a"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("b"),
+        F.when(fwd, F.col("ddeg")).otherwise(F.col("sdeg")).alias("bdeg"),
+    ).persist()
+    try:
+        e1 = oriented.select(
+            F.col("a"), F.col("b"), F.col("bdeg").alias("b1deg")
+        )
+        e2 = oriented.select(
+            F.col("a"), F.col("b").alias("c"), F.col("bdeg").alias("b2deg")
+        )
+        wedges = e1.join(e2, "a").filter(
+            (F.col("b1deg") < F.col("b2deg"))
+            | ((F.col("b1deg") == F.col("b2deg")) & (F.col("b") < F.col("c")))
+        )
+        closing = oriented.select(
+            F.col("a").alias("b"), F.col("b").alias("c")
+        )
+        tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+        per_node = (
+            tri.select(
+                F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                    "node"
+                )
+            )
+            .groupBy("node")
+            .agg(F.count("*").alias("n_tri"))
+        )
+        if top_k is not None:
+            per_node = per_node.orderBy(F.desc("n_tri"), "node").limit(top_k)
+        per_node = per_node.localCheckpoint(eager=True)
+    finally:
+        oriented.unpersist()
+    return per_node

@@ -46,6 +46,64 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("rank_ppm"), "partkey").limit(_PR_TOP)
 
 
+_TRI_TOP = 20
+
+
+def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph (top 20).
+
+    The Spark plan uses degree-ordered orientation (operators/graph.py::
+    triangle_counts — O(m^1.5) wedges whatever the degree skew); the oracle
+    is the plain a<b<c three-way self-join, which enumerates the same
+    triangle set by commutativity. Same results, different physical
+    strategy — exactly the contract the correctness gate checks.
+    """
+    from crz_scraper_spark.operators.graph import (
+        copurchase_edges,
+        triangle_counts,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li, max_basket=_PR_MAX_BASKET)
+    out = triangle_counts(edges, top_k=_TRI_TOP)
+    return out.select(F.col("node").alias("partkey"), "n_tri").orderBy(
+        F.desc("n_tri"), "partkey"
+    )
+
+
+_GRAPH_PREFIX_SQL = f"""
+WITH ok_orders AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING count(DISTINCT l_partkey) <= {_PR_MAX_BASKET}
+),
+li AS (
+  SELECT l.l_orderkey, l.l_partkey
+  FROM lineitem l JOIN ok_orders USING (l_orderkey)
+),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+)"""
+
+
+def _triangles_sql() -> str:
+    return f"""{_GRAPH_PREFIX_SQL},
+und AS (SELECT src AS u, dst AS v FROM pairs WHERE src < dst),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node AS partkey, count(*) AS n_tri
+FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+GROUP BY node
+ORDER BY n_tri DESC, partkey
+LIMIT {_TRI_TOP}
+"""
+
+
 def _pagerank_sql() -> str:
     base = _PR_SCALE - _PR_SCALE * _PR_DAMP_NUM // _PR_DAMP_DEN
     steps = []
@@ -64,20 +122,7 @@ def _pagerank_sql() -> str:
 )"""
         )
     chain = ",\n".join(steps)
-    return f"""
-WITH ok_orders AS (
-  SELECT l_orderkey FROM lineitem
-  GROUP BY l_orderkey HAVING count(DISTINCT l_partkey) <= {_PR_MAX_BASKET}
-),
-li AS (
-  SELECT l.l_orderkey, l.l_partkey
-  FROM lineitem l JOIN ok_orders USING (l_orderkey)
-),
-pairs AS (
-  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-  FROM li a JOIN li b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-),
+    return f"""{_GRAPH_PREFIX_SQL},
 deg AS (SELECT src, count(*) AS outdeg FROM pairs GROUP BY src),
 e AS (SELECT p.src, p.dst, d.outdeg FROM pairs p JOIN deg d USING (src)),
 r0 AS (SELECT src AS node, CAST({_PR_SCALE} AS BIGINT) AS rank FROM deg),
@@ -91,4 +136,5 @@ LIMIT {_PR_TOP}
 
 QUERIES: dict = {
     "part_pagerank": (part_pagerank, _pagerank_sql()),
+    "part_triangles": (part_triangles, _triangles_sql()),
 }

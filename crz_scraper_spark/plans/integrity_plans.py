@@ -429,8 +429,62 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# referential_integrity_audit — the constraint checker a lakehouse runs
+# nightly: parquet enforces no foreign keys, so orphaned facts (deleted
+# dims, partial loads, replay gaps) accumulate silently until a join
+# silently drops them. One row per declared FK edge with the fact volume,
+# distinct key count, and orphan count — each computed as one left-anti
+# aggregate (shuffle on the key, dim side broadcast when small; never a
+# row-level materialization of violations). n_orphans == 0 everywhere is
+# the PASS state; the volumes make the audit a content check, not a
+# constant.
+# ---------------------------------------------------------------------------
+
+_FK_EDGES = [
+    # (check name, fact table, fact key, dim table, dim key)
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("events->customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for check, fact, fk, dim, dk in _FK_EDGES:
+        f = load_table(spark, sf_dir, fact).select(F.col(fk).alias("k"))
+        d = load_table(spark, sf_dir, dim).select(F.col(dk).alias("k"))
+        orphans = f.join(d, "k", "left_anti")
+        row = f.agg(
+            F.lit(check).alias("fk_check"),
+            F.count("*").alias("n_rows"),
+            F.count_distinct("k").alias("n_keys"),
+        ).crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+        out = row if out is None else out.union(row)
+    return out.orderBy("fk_check")
+
+
+def _ref_integrity_sql() -> str:
+    parts = []
+    for check, fact, fk, dim, dk in _FK_EDGES:
+        parts.append(
+            f"""SELECT '{check}' AS fk_check,
+       (SELECT count(*) FROM {fact}) AS n_rows,
+       (SELECT count(DISTINCT {fk}) FROM {fact}) AS n_keys,
+       (SELECT count(*) FROM {fact} f LEFT JOIN {dim} d
+          ON f.{fk} = d.{dk} WHERE d.{dk} IS NULL) AS n_orphans"""
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY fk_check"
+
+
 QUERIES: dict = {
     "table_checksum": (table_checksum, TABLE_CHECKSUM_SQL),
+    "referential_integrity_audit": (
+        referential_integrity_audit,
+        _ref_integrity_sql(),
+    ),
     "value_time_regression": (value_time_regression, VALUE_TIME_REGRESSION_SQL),
     "range_split_points": (range_split_points, _range_split_points_sql()),
     "mixture_weights": (mixture_weights, MIXTURE_WEIGHTS_SQL),

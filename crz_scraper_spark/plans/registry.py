@@ -64,8 +64,10 @@ _FIRST_WINDOW = [
     # -- first driver check: registered in round 5's continuation ----------
     "cms_token_estimate",
     "part_pagerank",
+    "part_triangles",
     "streaming_left_outer_join",
     "token_budget_sample",
+    "referential_integrity_audit",
     # -- re-check: r5 touched the curation/SemDeDup cache plumbing --------
     "curation_pipeline_audit",
     "semantic_dedup",
@@ -95,9 +97,7 @@ _FIRST_WINDOW = [
     "simhash_near_dup_md5",
     "minhash_incremental_md5",
     "simhash_incremental_md5",
-    "bm25_search",
     "ann_lsh_topk",
-    "ann_lsh_recall",
     # -- re-check: flagship spread across the remaining families ----------
     "bloom_decontaminate",
     "delete_by_key_audit",

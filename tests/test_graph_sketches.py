@@ -182,3 +182,39 @@ def test_cms_error_shrinks_with_width(spark, width):
         assert over > 0  # heavy collision regime must overcount
     else:
         assert over < 4000  # wide sketch: small aggregate error
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    """Orientation-based counts equal the brute-force enumeration on a
+    random-ish small graph with skewed degrees (node 0 is a hub)."""
+    import itertools
+
+    und = {(0, i) for i in range(1, 12)}  # hub star
+    und |= {(1, 2), (2, 3), (3, 4), (1, 3), (5, 6), (6, 7), (5, 7)}
+    adj = set(und) | {(b, a) for a, b in und}
+    nodes = sorted({n for e in und for n in e})
+    expect = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj:
+            expect[a] += 1
+            expect[b] += 1
+            expect[c] += 1
+    expect = {n: k for n, k in expect.items() if k}
+    from crz_scraper_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(sorted(adj), ["src", "dst"])
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
+    assert got == expect
+
+
+def test_referential_integrity_clean_on_testdata(spark, sf_dir):
+    from crz_scraper_spark.plans.integrity_plans import (
+        _FK_EDGES,
+        referential_integrity_audit,
+    )
+
+    rows = referential_integrity_audit(spark, sf_dir).collect()
+    assert len(rows) == len(_FK_EDGES)
+    for r in rows:
+        assert r["n_orphans"] == 0, r
+        assert r["n_rows"] >= r["n_keys"] >= 1
