@@ -798,9 +798,11 @@ def test_curation_pipeline_scale_plan(spark, sf_dir):
     try:
         for frame in (out["survivors"], out["audit"], out["dropped"]):
             assert not _forced_big_broadcasts(frame)
-        # (b) both intermediates persisted; audit's executed plan reads them
-        # from cache (InMemoryTableScan) rather than re-deriving the chain.
-        assert len(out["cached"]) == 2
+        # (b) dedup intermediates persisted AND every persist handle is
+        # surfaced for release: exact, deduped, plus the LSH signature
+        # cache captured from minhash_dedup (ADVICE r4 made that handle
+        # releasable; a leaked-but-unlisted persist would fail here).
+        assert len(out["cached"]) == 3
         for frame in out["cached"]:
             assert frame.storageLevel.useMemory or frame.storageLevel.useDisk
         out["audit"].collect()
