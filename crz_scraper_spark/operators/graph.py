@@ -92,31 +92,31 @@ def copurchase_edges(
 ) -> DataFrame:
     """Distinct symmetric (src, dst) part pairs co-occurring in an order.
 
-    The self-join on the order key is quadratic in basket size, so baskets
-    with more than ``max_basket`` distinct parts are dropped first — the
-    standard guard that keeps one mega-order (a crawler, a corporate bulk
-    buy) from emitting k^2 pairs in a single task. TPC-H baskets top out at
-    7 parts, so the cap is a no-op on testdata and purely a scale guard.
+    Pair generation is quadratic in basket size, so baskets with more than
+    ``max_basket`` distinct parts are dropped first — the standard guard
+    that keeps one mega-order (a crawler, a corporate bulk buy) from
+    emitting k^2 pairs in a single task. TPC-H baskets top out at 7 parts,
+    so the cap is a no-op on testdata and purely a scale guard.
+
+    Physical shape: NOT the naive self-join on the order key (two scans +
+    a join + the distinct = three corpus shuffles). One groupBy collapses
+    each order to its part set (a single shuffle, map-side combined), the
+    cap filters on ``size(set)``, and the k^2 expansion is two map-side
+    explodes; only the final distinct shuffles again — and on the pair
+    key, which is also the output partitioning downstream joins want.
     """
-    ok = (
+    baskets = (
         lineitem.groupBy("l_orderkey")
-        .agg(F.count_distinct("l_partkey").alias("n_parts"))
-        .filter(F.col("n_parts") <= max_basket)
-        .select("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .filter(
+            (F.size("parts") >= 2) & (F.size("parts") <= max_basket)
+        )
+        .select("parts")
     )
-    li = lineitem.join(ok, "l_orderkey").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
+        baskets.select(F.explode("parts").alias("src"), "parts")
+        .select("src", F.explode("parts").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
 
