@@ -165,6 +165,84 @@ GROUP BY n.n_name
 """
 
 # ---------------------------------------------------------------------------
+# ewma_nation_revenue — exponentially-weighted smoothing of each nation's
+# monthly revenue, computed as a SEQUENTIAL FOLD: ewma_t = (ewma_{t-1} +
+# x_t) DIV 2 in integer cents. Recurrences like EWMA don't decompose into
+# commutative partials, so the engine's shape is: distributed month-level
+# aggregation first (the corpus-sized work), then collect each group's
+# ORDERED month series into an array (bounded — months per nation, not
+# rows) and fold it with the higher-order `aggregate` expression, entirely
+# JVM-side codegen, no UDF. Integer halving keeps the fold engine-portable
+# (DuckDB `list_reduce` inits from the first element, matching
+# `aggregate(slice(xs,2,..), xs[1], ...)` exactly), so the whole recurrence
+# is hash-verified. floor() before the cents cast because Spark's
+# decimal→bigint cast truncates while DuckDB's rounds.
+# ---------------------------------------------------------------------------
+
+
+def ewma_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    monthly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.trunc("o_orderdate", "month").alias("month"))
+        .agg(
+            F.floor(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,6)")
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    arrs = monthly.groupBy("n_name").agg(
+        F.count("*").alias("n_months"),
+        F.expr(
+            "transform(sort_array(collect_list(struct(month, cents))),"
+            " s -> s.cents)"
+        ).alias("xs"),
+    )
+    return arrs.select(
+        "n_name",
+        "n_months",
+        F.expr(
+            "aggregate(slice(xs, 2, size(xs) - 1), xs[0],"
+            " (acc, x) -> (acc + x) DIV 2)"
+        ).alias("ewma_cents"),
+    ).orderBy("n_name")
+
+
+EWMA_NATION_REVENUE_SQL = """
+WITH monthly AS (
+  SELECT n.n_name,
+         date_trunc('month', o.o_orderdate) AS month,
+         CAST(floor(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6))) * 100) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name,
+       count(*) AS n_months,
+       list_reduce(list(cents ORDER BY month), (acc, x) -> (acc + x) // 2)
+         AS ewma_cents
+FROM monthly
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # top_orders_per_customer — per-group top-k window (O4: top-1-per-group at
 # `09_clean_tables.py:263-264,309`, generalized to k=3).
 # ---------------------------------------------------------------------------
@@ -506,6 +584,7 @@ QUERIES: dict = {
     "sql_shipping_priority": (sql_shipping_priority, SQL_SHIPPING_PRIORITY),
     "stage2_contract_filter": (stage2_contract_filter, STAGE2_CONTRACT_FILTER_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
+    "ewma_nation_revenue": (ewma_nation_revenue, EWMA_NATION_REVENUE_SQL),
     "top_orders_per_customer": (top_orders_per_customer, TOP_ORDERS_PER_CUSTOMER_SQL),
     "customers_without_orders": (
         customers_without_orders,

@@ -68,6 +68,7 @@ _FIRST_WINDOW = [
     "streaming_left_outer_join",
     "token_budget_sample",
     "referential_integrity_audit",
+    "ewma_nation_revenue",
     # -- re-check: r5 touched the curation/SemDeDup cache plumbing --------
     "curation_pipeline_audit",
     "semantic_dedup",
@@ -96,7 +97,6 @@ _FIRST_WINDOW = [
     "near_dup_clusters",
     "simhash_near_dup_md5",
     "minhash_incremental_md5",
-    "simhash_incremental_md5",
     "ann_lsh_topk",
     # -- re-check: flagship spread across the remaining families ----------
     "bloom_decontaminate",
