@@ -68,6 +68,13 @@ def main() -> None:
         if warmup:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             spark.catalog.clearCache()
+        # Timestamped stderr marker so engine WARNs in the captured log
+        # (single-partition windows, broadcast sizes, state-store notes)
+        # can be attributed to the query that emitted them.
+        sys.stderr.write(
+            f"[bench] {time.strftime('%H:%M:%S')} start {name}\n"
+        )
+        sys.stderr.flush()
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
