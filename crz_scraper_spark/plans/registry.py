@@ -69,6 +69,7 @@ _FIRST_WINDOW = [
     "token_budget_sample",
     "referential_integrity_audit",
     "ewma_nation_revenue",
+    "association_rules",
     # -- re-check: r5 touched the curation/SemDeDup cache plumbing --------
     "curation_pipeline_audit",
     "semantic_dedup",
@@ -92,7 +93,6 @@ _FIRST_WINDOW = [
     "streaming_stateful_counts",
     "streaming_enriched_segments",
     "sessionization",
-    "session_window_agg",
     # -- re-check: r5 touched the banded-LSH construction surface ---------
     "near_dup_clusters",
     "simhash_near_dup_md5",

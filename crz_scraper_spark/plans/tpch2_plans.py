@@ -475,6 +475,115 @@ def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# association_rules — market-basket rules on top of part_affinity's pair
+# counts: every co-occurrence pair yields two directed rules (a ⇒ b and
+# b ⇒ a) with support, confidence = n_ab/n_a, and lift = N·n_ab/(n_a·n_b),
+# all as integer ppm (numerator-first multiply then integer DIV — the only
+# division both engines floor identically). Item and pair counts come from
+# the same distinct basket projection; item counts join back part-sized
+# (AQE broadcasts them), and only the top-30-by-lift TakeOrderedAndProject
+# reaches the driver. Overflow headroom: n_ab·N·10^6 needs BIGINT only up
+# to ~10^12 baskets·pair-count product; beyond that (extreme 100 TB), lift
+# should accumulate in DECIMAL(38,0) — noted, not needed at any tested SF.
+# ---------------------------------------------------------------------------
+
+_RULE_MIN_SUPPORT = 3
+_RULE_TOP = 30
+
+
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    totals = op.agg(
+        F.count_distinct("l_orderkey").alias("n_baskets")
+    )
+    item = op.groupBy(F.col("l_partkey").alias("ante")).agg(
+        F.count("*").alias("n_ante")
+    )
+    a = op.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = op.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, (a.l_orderkey == b.__ok) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _RULE_MIN_SUPPORT)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("ante"), F.col("pb").alias("cons"), "n_ab"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("ante"), F.col("pa").alias("cons"), "n_ab"
+        )
+    )
+    joined = (
+        rules.join(item, "ante")
+        .join(
+            item.select(
+                F.col("ante").alias("cons"), F.col("n_ante").alias("n_cons")
+            ),
+            "cons",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    scored = joined.select(
+        "ante",
+        "cons",
+        "n_ab",
+        F.expr("(n_ab * 1000000) DIV n_ante").alias("conf_ppm"),
+        F.expr("(n_ab * n_baskets * 1000000) DIV (n_ante * n_cons)").alias(
+            "lift_ppm"
+        ),
+    )
+    w = Window.orderBy(
+        F.desc("lift_ppm"), F.desc("conf_ppm"), F.asc("ante"), F.asc("cons")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _RULE_TOP)
+        .select("ante", "cons", "n_ab", "conf_ppm", "lift_ppm", "rnk")
+    )
+
+
+ASSOCIATION_RULES_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM op),
+item AS (SELECT l_partkey AS ante, count(*) AS n_ante FROM op GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_RULE_MIN_SUPPORT}
+),
+rules AS (
+  SELECT pa AS ante, pb AS cons, n_ab FROM pairs
+  UNION ALL
+  SELECT pb AS ante, pa AS cons, n_ab FROM pairs
+),
+scored AS (
+  SELECT r.ante, r.cons, r.n_ab,
+         (r.n_ab * 1000000) // i1.n_ante AS conf_ppm,
+         (r.n_ab * (SELECT n_baskets FROM n) * 1000000)
+           // (i1.n_ante * i2.n_ante) AS lift_ppm
+  FROM rules r
+  JOIN item i1 ON r.ante = i1.ante
+  JOIN item i2 ON r.cons = i2.ante
+)
+SELECT ante, cons, n_ab, conf_ppm, lift_ppm, rnk
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY lift_ppm DESC, conf_ppm DESC, ante ASC, cons ASC) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_RULE_TOP}
+"""
+
+
 PART_AFFINITY_SQL = """
 WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pairs AS (
@@ -496,6 +605,7 @@ WHERE rnk <= 20
 QUERIES: dict = {
     "min_cost_supplier": (min_cost_supplier, MIN_COST_SUPPLIER_SQL),
     "part_affinity": (part_affinity, PART_AFFINITY_SQL),
+    "association_rules": (association_rules, ASSOCIATION_RULES_SQL),
     "nation_market_share": (nation_market_share, NATION_MARKET_SHARE_SQL),
     "product_profit": (product_profit, PRODUCT_PROFIT_SQL),
     "important_part_value": (important_part_value, IMPORTANT_PART_VALUE_SQL),

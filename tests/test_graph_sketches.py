@@ -218,3 +218,57 @@ def test_referential_integrity_clean_on_testdata(spark, sf_dir):
     for r in rows:
         assert r["n_orphans"] == 0, r
         assert r["n_rows"] >= r["n_keys"] >= 1
+
+
+def test_ewma_fold_matches_python_reference(spark, sf_dir):
+    """The distributed month-agg + array fold must equal a driver-side
+    integer EWMA over the same ordered series."""
+    from crz_scraper_spark.plans.core_plans import ewma_nation_revenue
+
+    got = {
+        r["n_name"]: (r["n_months"], r["ewma_cents"])
+        for r in ewma_nation_revenue(spark, sf_dir).collect()
+    }
+    assert got, "no nations"
+    # independent recompute through SQL-free pandas path
+    import pandas as pd
+
+    from crz_scraper_spark.catalog import load_tables
+
+    t = load_tables(spark, sf_dir)
+    df = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.trunc("o_orderdate", "month").alias("month"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).cast("decimal(18,6)").alias("v"),
+        )
+        .toPandas()
+    )
+    monthly = df.groupby(["n_name", "month"])["v"].sum().reset_index()
+    monthly["cents"] = (monthly["v"] * 100).apply(lambda d: int(d))
+    for name, g in monthly.groupby("n_name"):
+        xs = [int(c) for _, c in sorted(zip(g["month"], g["cents"]))]
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = (acc + x) // 2
+        assert got[name] == (len(xs), acc), name
+
+
+def test_association_rules_invariants(spark, sf_dir):
+    """conf_ppm <= 1e6; rules come in directional pairs sharing n_ab and
+    lift; lift ordering is the output ordering."""
+    from crz_scraper_spark.plans.tpch2_plans import association_rules
+
+    rows = association_rules(spark, sf_dir).collect()
+    assert rows
+    lifts = [r["lift_ppm"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert 0 < r["conf_ppm"] <= 1_000_000
+        assert r["n_ab"] >= 3
