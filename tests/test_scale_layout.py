@@ -707,13 +707,53 @@ def test_global_topk_plans_are_bounded(spark):
     from crz_scraper_spark.plans import curation_plans, tpch2_plans
 
     sf = "/root/testdata/sf0.001"
-    for fn in (curation_plans.weighted_sample, tpch2_plans.part_affinity):
+    for fn in (
+        curation_plans.weighted_sample,
+        tpch2_plans.part_affinity,
+        tpch2_plans.association_rules,
+    ):
         df = fn(spark, sf)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan, (
             f"{fn.__name__}: global top-K no longer compiles to "
             f"TakeOrderedAndProject — whole input would hit one partition"
         )
+
+
+def test_cms_probe_join_broadcasts_the_sketch(spark):
+    """The CMS probe join must broadcast the (fixed depth*width) sketch —
+    a shuffle join here would reshuffle the probe stream against a frame
+    that is 2,048 rows at ANY corpus size."""
+    import pyspark.sql.functions as F
+
+    from crz_scraper_spark.operators.sketches import cms_build, cms_estimate
+
+    toks = spark.createDataFrame([(f"w{i%9}",) for i in range(400)], ["word"])
+    probes = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    est = cms_estimate(cms_build(toks, "word"), probes, "word")
+    est.collect()
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_token_budget_windows_are_all_partitioned(spark, sf_dir):
+    """token_budget_sample's prefix sum must never route the corpus through
+    an unpartitioned window: every Window node in the optimized plan needs
+    a non-empty partition spec (the two-phase design's whole point)."""
+    import re
+
+    from crz_scraper_spark.plans.curation_plans import token_budget_sample
+
+    df = token_budget_sample(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        m = re.search(r"windowspecdefinition\(([^)]*)\)", line)
+        if m:
+            spec = m.group(1)
+            # spec args: partition cols..., order cols (asc/desc), frame.
+            # An unpartitioned window starts straight at an ordering arg.
+            first = spec.split(",")[0].strip()
+            assert " ASC" not in first and " DESC" not in first, line
 
 
 def test_bucketed_join_has_no_join_shuffle(spark, sf_dir):
