@@ -70,6 +70,7 @@ _FIRST_WINDOW = [
     "referential_integrity_audit",
     "ewma_nation_revenue",
     "association_rules",
+    "part_reach_3hops",
     # -- re-check: r5 touched the curation/SemDeDup cache plumbing --------
     "curation_pipeline_audit",
     "semantic_dedup",
@@ -95,7 +96,6 @@ _FIRST_WINDOW = [
     "sessionization",
     # -- re-check: r5 touched the banded-LSH construction surface ---------
     "near_dup_clusters",
-    "simhash_near_dup_md5",
     "minhash_incremental_md5",
     "ann_lsh_topk",
     # -- re-check: flagship spread across the remaining families ----------
