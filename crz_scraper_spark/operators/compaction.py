@@ -25,9 +25,15 @@ Design for Spark's execution model:
   fragmented partitions of a wider table, point src_dir at those
   partition directories — the planner's `skip` already rules out
   healthy ones.
-- Two-phase safety: output lands in a staging directory first and is
-  atomically renamed over the target only after the job succeeds —
-  a failed compaction leaves the original files untouched.
+- Two-phase safety: output lands in a staging directory first; only
+  after the job succeeds is the old destination renamed aside
+  (`dst._old_tmp`), staging renamed into place, and the aside copy
+  deleted LAST. A failed job leaves the destination untouched; a crash
+  mid-commit leaves either the old table or the new one addressable
+  (the data is never only-in-staging). The rename steps are atomic on
+  rename-atomic filesystems (HDFS, local POSIX); on object stores
+  where rename is copy+delete (s3a) the window is not atomic — commit
+  through a manifest/table format (Iceberg/Delta) there instead.
 """
 
 from __future__ import annotations
@@ -42,15 +48,44 @@ from crz_scraper_spark.operators.upsert import _hadoop_fs
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 
+def _unescape_path_name_local(escaped: str) -> str:
+    """Pure-Python mirror of Hive/Catalyst `unescapePathName`: decode
+    every `%XX` (two hex digits) back to its character; malformed `%`
+    sequences pass through verbatim, exactly as the JVM codec does."""
+    out: list[str] = []
+    i, n = 0, len(escaped)
+    while i < n:
+        if (
+            escaped[i] == "%"
+            and i + 3 <= n
+            and escaped[i + 1] in "0123456789abcdefABCDEF"
+            and escaped[i + 2] in "0123456789abcdefABCDEF"
+        ):
+            out.append(chr(int(escaped[i + 1:i + 3], 16)))
+            i += 3
+            continue
+        out.append(escaped[i])
+        i += 1
+    return "".join(out)
+
+
 def _unescape_partition_value(spark: SparkSession, escaped: str) -> str:
     """Partition DIRECTORY names carry Hive-escaped values (':' → '%3A');
-    the DataFrame column carries the real value. Mapping between them goes
-    through Catalyst's own codec (the delete_by_key convention) — a
-    hand-rolled replace would drift from Spark's escaping table."""
-    return (
-        spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(escaped)
-    )
+    the DataFrame column carries the real value. Prefer Catalyst's own
+    codec (the delete_by_key convention) when the private `_jvm` gateway
+    is reachable; under Spark Connect (no `_jvm`) fall back to the local
+    percent-decoder above, which implements the same table (Hive escapes
+    are exactly `%XX` of the reserved char)."""
+    jvm = getattr(spark, "_jvm", None)
+    if jvm is not None:
+        try:
+            return (
+                jvm.org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.unescapePathName(escaped)
+            )
+        except Exception:
+            pass  # private class moved/renamed — use the local mirror
+    return _unescape_path_name_local(escaped)
 
 
 def _list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
@@ -174,13 +209,31 @@ def compact_small_files(
             .parquet(staging)
         )
 
-    # Commit: staged output atomically replaces the destination only
-    # after the job succeeded; a mid-job failure leaves dst untouched.
-    fs.delete(jpath(dst_dir), True)
+    # Commit, ordered so the table is never only-in-staging: (1) rename
+    # the live destination ASIDE (not delete — a crash after a delete
+    # would strand the data in ._compact_tmp), (2) rename staging into
+    # place, (3) delete the aside copy LAST. A crash between 1 and 2
+    # leaves the old table recoverable at ._old_tmp; between 2 and 3
+    # leaves the new table live plus a stale aside dir to GC. Each
+    # rename is atomic on HDFS/local; on s3a-style stores rename is a
+    # copy and this path is NOT atomic — use a manifest committer there
+    # (see module docstring).
+    aside = dst_dir.rstrip("/") + "._old_tmp"
+    fs.delete(jpath(aside), True)  # clear any stale aside from a crash
+    had_old = fs.exists(jpath(dst_dir))
+    if had_old and not fs.rename(jpath(dst_dir), jpath(aside)):
+        raise IOError(
+            f"compact_small_files: rename {dst_dir} -> {aside} failed"
+        )
     if not fs.rename(jpath(staging), jpath(dst_dir)):
+        # Roll the old table back into place before failing.
+        if had_old:
+            fs.rename(jpath(aside), jpath(dst_dir))
         raise IOError(
             f"compact_small_files: rename {staging} -> {dst_dir} failed"
         )
+    if had_old:
+        fs.delete(jpath(aside), True)
 
     after = _list_data_files(spark, dst_dir)
     return {

@@ -53,21 +53,41 @@ def _mg_fold(counters: dict, counts, m: int) -> dict:
     return counters
 
 
-def mg_candidates(df: DataFrame, col: str, m: int) -> DataFrame:
-    """Per-partition Misra–Gries survivor items (≤ m per partition) as a
-    one-column DataFrame; superset of every item with global frequency
-    > N/(m+1)."""
+def _mg_candidates_with_n(df: DataFrame, col: str, m: int) -> DataFrame:
+    """Pass 1 with the partition-size sentinel: candidate rows
+    (`col`, __pn NULL) plus ONE (NULL, n_values) row per partition — the
+    same scan that prunes candidates also measures N, so callers never
+    need a separate count() pass over the corpus."""
     if m < 1:
         raise ValueError(f"mg_candidates: m must be >= 1, got {m}")
     dtype = df.schema[col].dataType.simpleString()
 
     def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
+        n_part = 0
         for pdf in batches:
-            counters = _mg_fold(counters, pdf[col].value_counts(), m)
-        yield pd.DataFrame({col: list(counters.keys())})
+            vc = pdf[col].value_counts()
+            n_part += int(vc.sum())
+            counters = _mg_fold(counters, vc, m)
+        yield pd.DataFrame(
+            {
+                col: list(counters.keys()) + [None],
+                "__pn": [None] * len(counters) + [n_part],
+            }
+        )
 
-    return df.select(col).mapInPandas(_mg, f"{col} {dtype}")
+    return df.select(col).mapInPandas(_mg, f"{col} {dtype}, __pn bigint")
+
+
+def mg_candidates(df: DataFrame, col: str, m: int) -> DataFrame:
+    """Per-partition Misra–Gries survivor items (≤ m per partition) as a
+    one-column DataFrame; superset of every item with global frequency
+    > N/(m+1)."""
+    return (
+        _mg_candidates_with_n(df, col, m)
+        .filter(F.col(col).isNotNull())
+        .select(col)
+    )
 
 
 def mg_candidates_arrays(
@@ -124,9 +144,20 @@ def heavy_hitters(
     pass 1 and a null key never matches the semi-join in pass 2)."""
     if m is None:
         m = freq_den // freq_num
+    spark = df.sparkSession
     vals = df.filter(F.col(col).isNotNull())
-    cand = mg_candidates(vals, col, m).distinct()
-    n_total = vals.count()
+    # ONE pass yields candidates AND N (bounded collect: ≤ m+1 rows per
+    # partition) — the arrays-variant discipline, so the source is
+    # scanned exactly twice total: this pass plus the lazy recount.
+    raw = _mg_candidates_with_n(vals, col, m).collect()
+    n_total = sum(r["__pn"] for r in raw if r["__pn"] is not None)
+    cands = sorted({r[col] for r in raw if r[col] is not None})
+    dtype = df.schema[col].dataType.simpleString()
+    if not n_total or not cands:
+        return spark.createDataFrame(
+            [], f"{col} {dtype}, cnt bigint, freq_ppm bigint"
+        )
+    cand = spark.createDataFrame([(c,) for c in cands], f"{col} {dtype}")
     recount = (
         vals.join(F.broadcast(cand), col, "left_semi")
         .groupBy(col)

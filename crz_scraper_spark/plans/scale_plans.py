@@ -1249,7 +1249,9 @@ _SEMDEDUP_TAU = 0.35
 _SEMDEDUP_SEED = 99
 
 
-def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _semantic_dedup_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-materialized SemDeDup frame — plan-shape tests inspect THIS
+    (the released query below cuts lineage, hiding the join shape)."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     cents = fixed_centroids(_SEMDEDUP_DIM, _SEMDEDUP_CELLS, _SEMDEDUP_SEED)
     return semantic_dedup(
@@ -1259,11 +1261,16 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         threshold=_SEMDEDUP_TAU,
         round_to=4,
-        # BLAS gram pair phase — parity-tested identical to the expression
-        # self-join and hash-matching the DuckDB oracle unchanged (the 4-dp
-        # round absorbs summation-order ulp); 35.8s -> ~2s at sf1-scale.
+        # BLAS gram pair phase — parity-tested identical to the
+        # expression self-join and hash-matching the DuckDB oracle
+        # unchanged (the 4-dp round absorbs summation-order ulp);
+        # 35.8s -> ~2s at sf1-scale.
         pair_impl="gram",
     )
+
+
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _release_semdedup_cache(_semantic_dedup_lazy(spark, sf_dir))
 
 
 def embedding_kmeans_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1323,19 +1330,22 @@ def semantic_dedup_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     _assigned, cents, _hist = kmeans_lloyd_distributed(
         emb, "vec_id", "embedding", k=k, n_iter=3
     )
-    return _semdedup_invariant(
-        semantic_dedup(
-            emb,
-            cents,
-            "vec_id",
-            "embedding",
-            threshold=_SEMDEDUP_TAU,
-            round_to=4,
-            pair_impl="gram",
-            # Trained centroids balance occupancy on healthy data, but a
-            # genuinely dense direction (boilerplate embeddings) can still
-            # produce a mega cell; bound per-task memory regardless.
-            max_cell_rows=1024,
+    return _release_semdedup_cache(
+        _semdedup_invariant(
+            semantic_dedup(
+                emb,
+                cents,
+                "vec_id",
+                "embedding",
+                threshold=_SEMDEDUP_TAU,
+                round_to=4,
+                pair_impl="gram",
+                # Trained centroids balance occupancy on healthy data,
+                # but a genuinely dense direction (boilerplate
+                # embeddings) can still produce a mega cell; bound
+                # per-task memory regardless.
+                max_cell_rows=1024,
+            )
         )
     )
 
@@ -1353,26 +1363,49 @@ def semantic_dedup_scaled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()
     n_cells = max(8, n // 250)
     cents = fixed_centroids(_SEMDEDUP_DIM, n_cells, _SEMDEDUP_SEED)
-    return _semdedup_invariant(
-        semantic_dedup(
-            emb,
-            cents,
-            "vec_id",
-            "embedding",
-            threshold=_SEMDEDUP_TAU,
-            round_to=4,
-            # Per-cell BLAS gram matrix for the pair phase: within-cell
-            # work is one vectorized (c × dim) @ (dim × c) per cell
-            # instead of c²/2 interpreted 64-term dots (measured 29s ->
-            # see PLANS.md at sf1). max_cell_rows bounds per-task memory
-            # when fixed RANDOM centroids meet a drifted distribution and
-            # a mega cell forms (the sf3 datapoint measured 363 s with
-            # one 50k-row cell serialized into a single task; the blocked
-            # pair phase distributes it over bounded block-pair tasks).
-            pair_impl="gram",
-            max_cell_rows=1024,
+    return _release_semdedup_cache(
+        _semdedup_invariant(
+            semantic_dedup(
+                emb,
+                cents,
+                "vec_id",
+                "embedding",
+                threshold=_SEMDEDUP_TAU,
+                round_to=4,
+                # Per-cell BLAS gram matrix for the pair phase:
+                # within-cell work is one vectorized (c × dim) @
+                # (dim × c) per cell instead of c²/2 interpreted 64-term
+                # dots (measured 29s -> see PLANS.md at sf1).
+                # max_cell_rows bounds per-task memory when fixed RANDOM
+                # centroids meet a drifted distribution and a mega cell
+                # forms (the sf3 datapoint measured 363 s with one
+                # 50k-row cell serialized into a single task; the blocked
+                # pair phase distributes it over bounded block-pair
+                # tasks).
+                pair_impl="gram",
+                max_cell_rows=1024,
+            )
         )
     )
+
+
+def _release_semdedup_cache(result: DataFrame) -> DataFrame:
+    """Consume the `_crz_cached` handle `semantic_dedup` exposes: cut the
+    result's lineage with an EAGER localCheckpoint (the checkpoint holds
+    only the narrow per-vector verdict — vec_id/cell/kept/rep_id — on
+    executor block storage, freed by the ContextCleaner when the frame is
+    GC'd), then unpersist the wide MEMORY-persisted vector base
+    immediately. Without this the base frame leaks until clearCache in
+    long-lived driver-gate/bench sessions. NOT a driver collect: the
+    verdict table is corpus-sized (one row per vector), so it stays
+    distributed — the bounded-collect pattern fuzzy_name_pairs_banded
+    uses applies only to per-group rollups."""
+    cached = getattr(result, "_crz_cached", None)
+    if cached is None:
+        return result
+    out = result.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out
 
 
 def _semdedup_invariant(result: DataFrame) -> DataFrame:
@@ -1385,10 +1418,10 @@ def _semdedup_invariant(result: DataFrame) -> DataFrame:
     drop_ok = (F.col("kept") == 0) & (F.col("rep_id") < F.col("vec_id"))
     out = result.filter(kept_ok | drop_ok)
     # Re-attach the persisted-base handle the filter would otherwise drop
-    # (any DataFrame transformation returns a fresh object) so registry
-    # consumers can still `out._crz_cached.unpersist()` after
-    # materializing — without it the MEMORY-persisted base frame leaks
-    # until clearCache in long-lived sessions.
+    # (any DataFrame transformation returns a fresh object) so the
+    # _release_semdedup_cache wrapper every semantic_dedup* plan function
+    # applies can checkpoint the verdict and unpersist the base — the
+    # handle now has an actual consumer on every registry path.
     cached = getattr(result, "_crz_cached", None)
     if cached is not None:
         out._crz_cached = cached

@@ -482,8 +482,13 @@ def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # all as integer ppm (numerator-first multiply then integer DIV — the only
 # division both engines floor identically). Item and pair counts come from
 # the same distinct basket projection; item counts join back part-sized
-# (AQE broadcasts them), and only the top-30-by-lift TakeOrderedAndProject
-# reaches the driver. Overflow headroom: n_ab·N·10^6 needs BIGINT only up
+# (AQE broadcasts them). Top-30 physical shape: the rnk<=30 filter
+# triggers LimitPushDownThroughWindow, so the executed plan is
+# TakeOrderedAndProject(limit=30) — bounded per-partition heaps — BELOW a
+# residual single-partition rnk window whose input is the 30 surviving
+# rows, not the rule table (shape pinned by
+# tests/test_scale_layout.py::test_global_topk_plans_are_bounded, which
+# asserts on the EXECUTED plan). Overflow headroom: n_ab·N·10^6 needs BIGINT only up
 # to ~10^12 baskets·pair-count product; beyond that (extreme 100 TB), lift
 # should accumulate in DECIMAL(38,0) — noted, not needed at any tested SF.
 # ---------------------------------------------------------------------------

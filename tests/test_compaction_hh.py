@@ -124,6 +124,45 @@ def test_compact_rejects_unpartitioned_dir_with_partition_col(
         )
 
 
+def test_compact_overwrites_existing_dst_and_leaves_no_temp_dirs(
+    spark, fragmented, tmp_path
+):
+    """Re-compacting over a live destination must replace it through the
+    rename-aside sequence: new content live, no ._compact_tmp / ._old_tmp
+    residue after a successful commit."""
+    src, df = fragmented
+    dst = str(tmp_path / "out_live")
+    # seed dst with DIFFERENT content that must disappear
+    spark.range(0, 7).write.parquet(dst)
+    audit = compact_small_files(spark, src, dst, target_file_bytes=1 << 28)
+    assert audit["n_rows"] == 5000
+    back = spark.read.parquet(dst)
+    assert back.count() == 5000
+    assert back.exceptAll(df).count() == 0
+    assert not os.path.exists(dst + "._compact_tmp")
+    assert not os.path.exists(dst + "._old_tmp")
+
+
+def test_unescape_local_matches_jvm_codec(spark):
+    """The Spark-Connect fallback decoder must agree with Catalyst's
+    ExternalCatalogUtils.unescapePathName on escaped, partial, and
+    malformed inputs."""
+    from crz_scraper_spark.operators.compaction import (
+        _unescape_path_name_local,
+    )
+
+    jvm_codec = (
+        spark._jvm.org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.unescapePathName
+    )
+    cases = [
+        "plain", "a%3Ab", "c%20d", "%2Fslash", "trail%", "%3", "%zz",
+        "mix%3A%2F%25end", "%25", "2026-01-02 03%3A04%3A05", "",
+    ]
+    for s in cases:
+        assert _unescape_path_name_local(s) == jvm_codec(s), s
+
+
 # ---------------------------------------------------------------------------
 # heavy hitters
 # ---------------------------------------------------------------------------

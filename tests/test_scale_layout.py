@@ -464,11 +464,35 @@ def test_semantic_dedup_pair_join_is_equi_on_cell(spark):
     """SemDeDup's quadratic is bounded per cluster ONLY if the pair
     compare joins equi on the cell id (broadcast or shuffled hash) — a
     nested-loop cross join would be O(n^2) corpus-wide."""
-    from crz_scraper_spark.plans.scale_plans import semantic_dedup_q
+    from crz_scraper_spark.plans.scale_plans import _semantic_dedup_lazy
 
-    plan = _plan(semantic_dedup_q(spark, "/root/testdata/sf0.001"))
+    plan = _plan(_semantic_dedup_lazy(spark, "/root/testdata/sf0.001"))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    # the lazy frame still needs its persisted base released
+    lazy = _semantic_dedup_lazy(spark, "/root/testdata/sf0.001")
+    lazy._crz_cached.unpersist()
+
+
+def test_release_semdedup_cache_unpersists_base(spark):
+    """ADVICE r5: the `_crz_cached` handle must have a CONSUMER on the
+    registry paths — `_release_semdedup_cache` checkpoints the verdict and
+    unpersists the wide vector base, row-identically."""
+    from crz_scraper_spark.plans.scale_plans import (
+        _release_semdedup_cache,
+        _semantic_dedup_lazy,
+    )
+
+    res = _semantic_dedup_lazy(spark, "/root/testdata/sf0.001")
+    base = res._crz_cached
+    expect = sorted(tuple(r) for r in res.collect())
+    lvl = base.storageLevel
+    assert lvl.useMemory or lvl.useDisk  # persisted going in
+    out = _release_semdedup_cache(res)
+    lvl = base.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)  # base released
+    assert not hasattr(out, "_crz_cached")  # handle consumed, not passed on
+    assert sorted(tuple(r) for r in out.collect()) == expect
 
 
 def test_dup_span_detect_partial_distinct_before_exchange(spark):
