@@ -69,10 +69,18 @@ def _mg_candidates_with_n(df: DataFrame, col: str, m: int) -> DataFrame:
             vc = pdf[col].value_counts()
             n_part += int(vc.sum())
             counters = _mg_fold(counters, vc, m)
+        # object dtype: appending None to an int64 list would otherwise
+        # coerce the column to float64, corrupting keys above 2^53 (e.g.
+        # xxhash64-derived ids) before the Arrow cast back to bigint —
+        # object arrays of Python ints convert to Arrow int64 losslessly.
         yield pd.DataFrame(
             {
-                col: list(counters.keys()) + [None],
-                "__pn": [None] * len(counters) + [n_part],
+                col: pd.Series(
+                    list(counters.keys()) + [None], dtype=object
+                ),
+                "__pn": pd.Series(
+                    [None] * len(counters) + [n_part], dtype=object
+                ),
             }
         )
 
@@ -112,10 +120,16 @@ def mg_candidates_arrays(
             flat = pdf[arr_col].explode().dropna()
             n_part += int(len(flat))
             counters = _mg_fold(counters, flat.value_counts(), m)
+        # object dtype: see _mg_candidates_with_n — a None appended to
+        # int64 keys would coerce to float64 and corrupt values > 2^53.
         yield pd.DataFrame(
             {
-                out_col: list(counters.keys()) + [None],
-                "__pn": [None] * len(counters) + [n_part],
+                out_col: pd.Series(
+                    list(counters.keys()) + [None], dtype=object
+                ),
+                "__pn": pd.Series(
+                    [None] * len(counters) + [n_part], dtype=object
+                ),
             }
         )
 
@@ -139,19 +153,22 @@ def heavy_hitters(
 
     `m` defaults to freq_den/freq_num (the smallest counter budget whose
     MG undercount bound N/(m+1) < N·freq_num/freq_den still guarantees
-    no true heavy hitter is pruned). NULLs are excluded: they are neither
-    counted in N nor eligible as hitters (value_counts drops them in
-    pass 1 and a null key never matches the semi-join in pass 2)."""
+    no true heavy hitter is pruned). NULLs — and, for float/double
+    columns, NaNs — are excluded: neither is counted in N nor eligible
+    as a hitter (pandas value_counts drops NaN in pass 1, so NaN is
+    filtered out up front to keep N and the recount consistent)."""
     if m is None:
         m = freq_den // freq_num
     spark = df.sparkSession
     vals = df.filter(F.col(col).isNotNull())
+    if df.schema[col].dataType.typeName() in ("float", "double"):
+        vals = vals.filter(~F.isnan(F.col(col)))
     # ONE pass yields candidates AND N (bounded collect: ≤ m+1 rows per
     # partition) — the arrays-variant discipline, so the source is
     # scanned exactly twice total: this pass plus the lazy recount.
     raw = _mg_candidates_with_n(vals, col, m).collect()
     n_total = sum(r["__pn"] for r in raw if r["__pn"] is not None)
-    cands = sorted({r[col] for r in raw if r[col] is not None})
+    cands = _sorted_keys(r[col] for r in raw)
     dtype = df.schema[col].dataType.simpleString()
     if not n_total or not cands:
         return spark.createDataFrame(
@@ -165,6 +182,19 @@ def heavy_hitters(
         .filter(F.col("cnt") * freq_den > F.lit(n_total) * freq_num)
     )
     return _hitter_report(recount, col, n_total)
+
+
+def _sorted_keys(keys) -> list:
+    """Distinct non-null candidate keys, sorted. BinaryType columns
+    collect as (unhashable) bytearray — normalize to bytes so the set
+    works and createDataFrame round-trips losslessly."""
+    return sorted(
+        {
+            bytes(k) if isinstance(k, bytearray) else k
+            for k in keys
+            if k is not None
+        }
+    )
 
 
 def _hitter_report(recount: DataFrame, col: str, n_total: int) -> DataFrame:
@@ -216,7 +246,7 @@ def heavy_hitters_arrays(
     try:
         raw = mg_candidates_arrays(arr, arr_col, out_col, m).collect()
         n_total = sum(r["__pn"] for r in raw if r["__pn"] is not None)
-        cands = sorted({r[out_col] for r in raw if r[out_col] is not None})
+        cands = _sorted_keys(r[out_col] for r in raw)
         if not n_total or not cands:
             return spark.createDataFrame([], empty_schema)
         cand = spark.createDataFrame(

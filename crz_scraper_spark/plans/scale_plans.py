@@ -1399,11 +1399,25 @@ def _release_semdedup_cache(result: DataFrame) -> DataFrame:
     long-lived driver-gate/bench sessions. NOT a driver collect: the
     verdict table is corpus-sized (one row per vector), so it stays
     distributed — the bounded-collect pattern fuzzy_name_pairs_banded
-    uses applies only to per-group rollups."""
+    uses applies only to per-group rollups.
+
+    Trade-offs of the eager localCheckpoint (accepted deliberately):
+    the plan executes fully at construction time; the checkpoint blocks
+    live UNREPLICATED on executor storage (the frame is not recomputable
+    after executor loss — fine for these bounded read-compute-report
+    queries, wrong for a frame that must survive preemption); they are
+    released by GC/ContextCleaner, not spark.catalog.clearCache(); and
+    localCheckpoint is unavailable over Spark Connect before 4.0, so on
+    an old Connect gateway we fall back to persist-then-release-parent
+    (keeps the lineage but still frees the wide vector base)."""
     cached = getattr(result, "_crz_cached", None)
     if cached is None:
         return result
-    out = result.localCheckpoint(eager=True)
+    if hasattr(result, "localCheckpoint"):
+        out = result.localCheckpoint(eager=True)
+    else:  # pre-4.0 Spark Connect: no localCheckpoint on the proxy
+        out = result.persist()
+        out.count()
     cached.unpersist()
     return out
 

@@ -229,6 +229,59 @@ def test_heavy_hitters_excludes_nulls(spark):
     assert got[0]["freq_ppm"] == 1_000_000
 
 
+def test_heavy_hitters_bigint_above_2_53_exact(spark):
+    """ADVICE r6 (high): appending the None sentinel used to coerce the
+    int64 candidate column to float64 in pandas, corrupting keys above
+    2^53 before the Arrow cast back — the true hitter then failed the
+    recount semi-join and silently vanished. Hash-derived ids (xxhash64)
+    live exactly in this range."""
+    hot = 2**60 + 1  # NOT representable in float64 (rounds to 2**60)
+    rows = [(hot,)] * 500 + [(i,) for i in range(500)]
+    df = spark.createDataFrame(rows, "v bigint").repartition(8)
+    got = heavy_hitters(df, "v", 1, 100).collect()
+    assert [r["v"] for r in got] == [hot]
+    assert got[0]["cnt"] == 500
+    # same latent pattern in the arrays pass-1
+    from crz_scraper_spark.operators.heavyhitters import heavy_hitters_arrays
+
+    docs = spark.createDataFrame(
+        [([hot, i],) for i in range(500)], "toks array<bigint>"
+    ).repartition(8)
+    arr = heavy_hitters_arrays(docs, "toks", "v", 1, 100).collect()
+    assert [r["v"] for r in arr] == [hot]
+
+
+def test_heavy_hitters_binary_keys(spark):
+    """ADVICE r6 (low): BinaryType keys collect as unhashable bytearray —
+    the candidate set/sort must normalize to bytes and round-trip."""
+    rows = [(b"\x00\xffhot",)] * 300 + [
+        (bytes([i % 256, i // 256]),) for i in range(700)
+    ]
+    df = spark.createDataFrame(rows, "v binary").repartition(4)
+    got = heavy_hitters(df, "v", 1, 100).collect()
+    assert [bytes(r["v"]) for r in got] == [b"\x00\xffhot"]
+    assert got[0]["cnt"] == 300
+
+
+def test_heavy_hitters_float_nan_excluded_like_null(spark):
+    """ADVICE r6 (low): pandas value_counts drops NaN in pass 1; the
+    operator now filters NaN up front so N, the candidates, and the
+    recount all agree — NaN is excluded exactly like NULL."""
+    df = spark.createDataFrame(
+        [(1.0,)] * 500
+        + [(float("nan"),)] * 400
+        + [(float(i),) for i in range(10, 110)],
+        "v double",
+    ).repartition(4)
+    got = heavy_hitters(df, "v", 1, 100).collect()
+    hit = {r["v"]: r for r in got}
+    assert 1.0 in hit and hit[1.0]["cnt"] == 500
+    assert all(r["v"] == r["v"] for r in got)  # no NaN rows
+    # N = 600 non-NaN values: 500/600 ≈ 833333 ppm proves NaN left the
+    # denominator too
+    assert hit[1.0]["freq_ppm"] == 500 * 1_000_000 // 600
+
+
 def test_heavy_hitters_no_hitters(spark):
     df = spark.range(0, 1000).select(F.col("id").cast("string").alias("v"))
     assert heavy_hitters(df, "v", 1, 100).count() == 0

@@ -466,12 +466,16 @@ def test_semantic_dedup_pair_join_is_equi_on_cell(spark):
     nested-loop cross join would be O(n^2) corpus-wide."""
     from crz_scraper_spark.plans.scale_plans import _semantic_dedup_lazy
 
-    plan = _plan(_semantic_dedup_lazy(spark, "/root/testdata/sf0.001"))
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
-    # the lazy frame still needs its persisted base released
     lazy = _semantic_dedup_lazy(spark, "/root/testdata/sf0.001")
-    lazy._crz_cached.unpersist()
+    try:
+        plan = _plan(lazy)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        # release the SAME frame's persisted base (ADVICE r6: a second
+        # _semantic_dedup_lazy build would leave the inspected frame's
+        # cache registered — unpersist the one we actually built)
+        lazy._crz_cached.unpersist()
 
 
 def test_release_semdedup_cache_unpersists_base(spark):
