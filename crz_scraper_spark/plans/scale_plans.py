@@ -3,10 +3,12 @@ embeddings, near-duplicate detection (MinHash-LSH / SimHash / n-gram
 Jaccard), and multimodal binary-column decode plumbing.
 
 Oracle policy: exact/deterministic numeric ops get full DuckDB oracles
-(cosine top-k, n-gram Jaccard, multimodal metadata); the hash-bucketed
-approximate ops (MinHash-LSH, SimHash, random-projection ANN) depend on
-Spark-side hash functions (xxhash64) with no DuckDB equivalent → rows-only
-checks, flagged as such by omitting the oracle entry.
+(cosine top-k, n-gram Jaccard, multimodal metadata), and so does every
+approximate index whose constants can be fixed as deterministic literals
+shared with the SQL (LSH planes, IVF centroids, PQ codebooks, md5-tier
+MinHash/SimHash). Only ops depending on Spark-side hash functions
+(xxhash64) or data-dependent training with no SQL analog stay rows-only,
+flagged as such by omitting the oracle entry.
 """
 
 from __future__ import annotations
@@ -36,6 +38,8 @@ from crz_scraper_spark.operators.multimodal import (
 )
 from crz_scraper_spark.operators.similarity import (
     cosine_topk,
+    fixed_pq_codebooks,
+    fixed_unit_centroids,
     ivf_topk,
     lsh_ann_topk,
     pq_topk,
@@ -343,44 +347,234 @@ def _exact_l2_topk(emb: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+# Fixed-literal quantizer constants — shared verbatim by the Spark plans
+# and the generated DuckDB oracles below (the minhash_near_dup_md5 /
+# cms_token_estimate recipe applied to ANN): IVF centroids and PQ
+# codebooks are deterministic seeded literals, every distance that feeds
+# an argmin/ranking is rounded identically on both engines, so the full
+# index build + probe + score + recall guard is hash-checkable. The
+# sampled-kmeans trainers remain the production path for drifted corpora
+# and stay covered by tests/test_operators.py (nprobe=nlist ≡ exact;
+# recall bounds; determinism).
+_IVF_NLIST = 8
+_IVF_NPROBE = 2
+_IVF_SEED = 4242
+_PQ_M = 8
+_PQ_KSUB = 32
+_PQ_SEED = 777
+_ANN_DIM = 64
+
+
 def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization variant of the ANN scale path (8 one-byte codes
     per 64-dim vector = 32x compression; asymmetric-distance scoring —
-    operators/similarity.py::pq_topk). Rows-only check: the codebooks come
-    from sampled k-means with no SQL analog; tests/test_operators.py bounds
-    recall@10 against the exact L2 top-k and proves determinism. The query
-    itself carries a corpus_recall_ppm guard vs the exact L2 top-5: a
-    recall collapse empties the result, so the driver's row count catches
-    it."""
+    operators/similarity.py::pq_topk). FULLY oracled: the codebooks are
+    fixed-seed literals (`fixed_pq_codebooks`) embedded in both engines,
+    encode argmins round to 6 dp, ADC scores to 6 dp — DuckDB rebuilds the
+    identical code table and ranking. The sampled-kmeans trained build
+    stays covered by tests/test_operators.py (recall@10 bound +
+    determinism). The query also carries a corpus_recall_ppm guard vs the
+    exact L2 top-5 (mirrored in the oracle): a recall collapse empties the
+    result."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 8)
-    topk = pq_topk(emb, queries, "vec_id", "embedding", k=5)
+    topk = pq_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=5,
+        codebooks=fixed_pq_codebooks(_ANN_DIM, _PQ_M, _PQ_KSUB, _PQ_SEED),
+        encode_round_to=6,
+    )
     return _with_recall_guard(
         topk, _exact_l2_topk(emb), emb, _PQ_FLOOR_X_RANDOM
     )
 
 
 def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF variant of the ANN scale path (k-means cells + nprobe probing;
-    operators/similarity.py::ivf_topk). Rows-only check: the k-means
-    partition depends on MLlib's parallel init, which has no SQL analog;
-    tests/test_operators.py proves nprobe=nlist ≡ exact brute force. The
-    query carries a corpus_recall_ppm guard vs the exact cosine top-5
-    (cosine_topk_bruteforce): a recall collapse empties the result, so the
-    driver's row count catches it."""
+    """IVF variant of the ANN scale path (coarse-quantizer cells + nprobe
+    probing; operators/similarity.py::ivf_topk). FULLY oracled: the
+    centroids are fixed-seed unit-norm literals (`fixed_unit_centroids`)
+    embedded in both engines, cell assignment and probe ranking use
+    6-dp-rounded distances, scoring the established round-4 cosine —
+    DuckDB reproduces cells, probes, and the top-k bit-for-bit. The
+    sampled-kmeans trained build stays covered by tests/test_operators.py
+    (nprobe=nlist ≡ exact brute force). The query also carries a
+    corpus_recall_ppm guard vs the exact cosine top-5 (mirrored in the
+    oracle): a recall collapse empties the result."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 8)
     topk = ivf_topk(
-        emb, queries, "vec_id", "embedding", k=5, nlist=8, nprobe=2, round_to=4
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=5,
+        nlist=_IVF_NLIST,
+        nprobe=_IVF_NPROBE,
+        round_to=4,
+        centroids=fixed_unit_centroids(_ANN_DIM, _IVF_NLIST, _IVF_SEED),
+        assign_round_to=6,
     )
     exact = cosine_topk_bruteforce(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
     return _with_recall_guard(topk, exact, emb, _IVF_FLOOR_X_RANDOM)
+
+
+def _sq_dist_sql(a: str, b: str) -> str:
+    """||a−b||² for two DOUBLE[] expressions via the inner-product
+    expansion — always rounded by the caller before any argmin/ranking,
+    which absorbs the summation-order difference vs Spark's zip_with
+    fold."""
+    return (
+        f"(list_inner_product({a}, {a}) - 2*list_inner_product({a}, {b})"
+        f" + list_inner_product({b}, {b}))"
+    )
+
+
+def _ann_ivf_sql() -> str:
+    cents = fixed_unit_centroids(_ANN_DIM, _IVF_NLIST, _IVF_SEED)
+    cent_rows = ",\n    ".join(
+        f"({pid}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for pid, c in enumerate(cents)
+    )
+    d2 = _sq_dist_sql("e.v", "ct.c")
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents(pid, c) AS (
+  VALUES
+    {cent_rows}
+),
+assign AS (
+  SELECT vec_id, v, pid AS cell FROM (
+    SELECT e.vec_id, e.v, ct.pid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({d2}, 6) ASC, ct.pid) AS rn
+    FROM emb e CROSS JOIN cents ct)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, pid AS cell FROM (
+    SELECT e.vec_id, e.v, ct.pid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({d2}, 6) ASC, ct.pid) AS rn
+    FROM emb e CROSS JOIN cents ct
+    WHERE e.vec_id < 8)
+  WHERE rn <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.qv, a.v), 4) AS cos_sim
+  FROM probes p JOIN assign a ON p.cell = a.cell
+  WHERE a.vec_id <> p.query_id
+),
+topk AS (
+  SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored)
+  WHERE rank <= {_ANN_K}
+),
+exact AS ({COSINE_TOPK_SQL}),
+health AS (
+  SELECT CAST(count(t.neighbor_id) * 1000000 // count(*) AS BIGINT)
+             AS corpus_recall_ppm,
+         CAST({_IVF_FLOOR_X_RANDOM} * {_ANN_K} * 1000000
+              // ((SELECT count(*) FROM emb) - 1) AS BIGINT) AS floor_ppm
+  FROM exact e
+  LEFT JOIN topk t
+    ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+)
+SELECT t.query_id, t.neighbor_id, t.cos_sim, t.rank,
+       h.corpus_recall_ppm, h.floor_ppm
+FROM topk t CROSS JOIN health h
+WHERE h.corpus_recall_ppm >= h.floor_ppm
+"""
+
+
+def _ann_pq_sql() -> str:
+    cbs = fixed_pq_codebooks(_ANN_DIM, _PQ_M, _PQ_KSUB, _PQ_SEED)
+    dsub = _ANN_DIM // _PQ_M
+    cb_rows = ",\n    ".join(
+        f"({m}, {j}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for m, book in enumerate(cbs)
+        for j, c in enumerate(book)
+    )
+    sub = f"list_slice(e.v, cb.m*{dsub}+1, cb.m*{dsub}+{dsub})"
+    d2_sub = _sq_dist_sql(sub, "cb.c")
+    d2_full = _sq_dist_sql("q.v", "c.v")
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cbs(m, j, c) AS (
+  VALUES
+    {cb_rows}
+),
+codes AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT e.vec_id, cb.m, cb.j,
+           row_number() OVER (
+               PARTITION BY e.vec_id, cb.m
+               ORDER BY round({d2_sub}, 6) ASC, cb.j) AS rn
+    FROM emb e CROSS JOIN cbs cb)
+  WHERE rn = 1
+),
+qsub AS (
+  SELECT e.vec_id AS query_id, cb.m, cb.j, {d2_sub} AS d
+  FROM emb e CROSS JOIN cbs cb
+  WHERE e.vec_id < 8
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(sum(q.d), 6) AS approx_dist
+  FROM codes c JOIN qsub q ON q.m = c.m AND q.j = c.code
+  WHERE c.vec_id <> q.query_id
+  GROUP BY q.query_id, c.vec_id
+),
+topk AS (
+  SELECT query_id, neighbor_id, approx_dist, rank FROM (
+    SELECT query_id, neighbor_id, approx_dist,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_dist ASC, neighbor_id) AS rank
+    FROM scored)
+  WHERE rank <= {_ANN_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round({d2_full}, 6) ASC, c.vec_id) AS rank
+    FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 8)
+  WHERE rank <= {_ANN_K}
+),
+health AS (
+  SELECT CAST(count(t.neighbor_id) * 1000000 // count(*) AS BIGINT)
+             AS corpus_recall_ppm,
+         CAST({_PQ_FLOOR_X_RANDOM} * {_ANN_K} * 1000000
+              // ((SELECT count(*) FROM emb) - 1) AS BIGINT) AS floor_ppm
+  FROM exact e
+  LEFT JOIN topk t
+    ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+)
+SELECT t.query_id, t.neighbor_id, t.approx_dist, t.rank,
+       h.corpus_recall_ppm, h.floor_ppm
+FROM topk t CROSS JOIN health h
+WHERE h.corpus_recall_ppm >= h.floor_ppm
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1640,8 +1834,8 @@ QUERIES: dict = {
         embedding_quantization_recall,
         EMBEDDING_QUANTIZATION_RECALL_SQL,
     ),
-    "ann_ivf_topk": (ivf_ann_topk_q, None),
-    "ann_pq_topk": (pq_ann_topk_q, None),
+    "ann_ivf_topk": (ivf_ann_topk_q, _ann_ivf_sql()),
+    "ann_pq_topk": (pq_ann_topk_q, _ann_pq_sql()),
     "minhash_near_dup": (minhash_near_dup, None),
     "minhash_near_dup_capped": (minhash_near_dup_capped, None),
     "minhash_near_dup_md5": (minhash_near_dup_md5, _minhash_md5_sql()),

@@ -246,21 +246,19 @@ def test_quality_band_filter_approx_mode(spark, sf_dir):
 def test_window_rotation_covers_never_checked():
     """The 50-query driver window must keep its rotation contract: exactly
     50 entries, first in registry order, and EVERY registry query no
-    prior-round CORRECTNESS record has checked (rounds 1-4 closed the
-    rotation over the then-160-query registry; anything registered since
-    must take a slot in the CURRENT window, never queue silently)."""
+    prior-round CORRECTNESS record has checked must take a slot in the
+    CURRENT window, never queue silently. (All CORRECTNESS_r*.json on
+    disk count — r1-r6 closed the rotation over the full registry.)"""
+    import glob
     import json
-    import os
 
     from crz_scraper_spark.plans.registry import _FIRST_WINDOW, REGISTRY
 
     assert len(_FIRST_WINDOW) == 50
     assert list(REGISTRY)[:50] == _FIRST_WINDOW
     checked: set = set()
-    for n in (1, 2, 3, 4):
-        p = f"/root/repo/CORRECTNESS_r0{n}.json"
-        if os.path.exists(p):
-            checked |= set(json.load(open(p)))
+    for p in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        checked |= set(json.load(open(p)))
     never = [q for q in REGISTRY if q not in checked]
     missing = [q for q in never if q not in _FIRST_WINDOW]
     assert not missing, f"never-checked queries left out of window: {missing}"
@@ -268,16 +266,14 @@ def test_window_rotation_covers_never_checked():
 
 def test_window_rows_only_entries_are_the_flagged_tail():
     """Window slots carry SQL oracles wherever SQL can express the op.
-    The round-5 window re-checks 4 rows-only queries (the r4 late-added
-    mega-bucket cap + the r5-touched SemDeDup/pipeline cache paths) — but
-    no NEW rows-only entry may ride along unflagged."""
+    The round-7 window is all-oracled (the former rows-only re-checks
+    passed twice consecutively in r5/r6 and rotated out; ann_ivf_topk /
+    ann_pq_topk gained fixed-literal oracles this round) — no NEW
+    rows-only entry may ride along unflagged."""
     from crz_scraper_spark.plans.registry import _FIRST_WINDOW, REGISTRY
 
     rows_only = {n for n in _FIRST_WINDOW if REGISTRY[n][1] is None}
-    assert rows_only == {
-        "minhash_near_dup_capped", "curation_pipeline_audit",
-        "semantic_dedup_scaled", "semantic_dedup_trained",
-    }, rows_only
+    assert rows_only == set(), rows_only
 
 
 def test_readme_registry_counts_not_stale():
