@@ -102,8 +102,13 @@ def main() -> None:
     }
     # SPARK_GRAFT_BENCH_OUT redirects the full-results file (e.g. the sf1
     # slope run writes BENCH_RESULT_sf1.json instead of clobbering the
-    # committed sf0.1 result).
-    out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_RESULT.json")
+    # committed sf0.1 result). A BENCH_ONLY-restricted run defaults to
+    # BENCH_RESULT_partial.json for the same reason — a 3-query standalone
+    # re-measure must not overwrite the committed full-registry artifact.
+    default_out = (
+        "BENCH_RESULT_partial.json" if selected else "BENCH_RESULT.json"
+    )
+    out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", default_out)
     out_path = (
         out_name if os.path.isabs(out_name) else os.path.join(_HERE, out_name)
     )
@@ -122,7 +127,46 @@ def main() -> None:
         "n_queries_total": len(timings),
         "full_results_file": os.path.basename(out_path),
     }
+    # Cross-round comparability after a window rotation (VERDICT r6 item
+    # 4): subtotal THIS run's timings over the queries shared with the
+    # PREVIOUS round's recorded bench (highest-numbered BENCH_r*.json on
+    # disk), so round-over-round deltas compare identical work even when
+    # the headline window changes.
+    shared = _shared_with_prev(timings)
+    if shared is not None:
+        compact["shared_with_prev_window_seconds"] = shared["seconds"]
+        compact["shared_with_prev_window_n"] = shared["n"]
+        compact["prev_bench_file"] = shared["file"]
     print(json.dumps(compact, separators=(",", ":")))
+
+
+def _shared_with_prev(timings: dict[str, float]) -> dict | None:
+    """Subtotal of `timings` restricted to the query names present in the
+    most recent driver-recorded BENCH_r*.json (its full per-query map if
+    readable via its full_results_file, else its headline map). None when
+    no prior round artifact exists."""
+    import glob
+
+    prior = sorted(glob.glob(os.path.join(_HERE, "BENCH_r*.json")))
+    if not prior:
+        return None
+    path = prior[-1]
+    try:
+        prev = json.load(open(path))
+        # The driver wraps bench.py's stdout line under "parsed".
+        if "parsed" in prev and isinstance(prev["parsed"], dict):
+            prev = prev["parsed"]
+        prev_names = set(prev.get("queries") or {})
+    except (json.JSONDecodeError, OSError):
+        return None
+    if not prev_names:
+        return None
+    both = prev_names & set(timings)
+    return {
+        "seconds": round(sum(timings[n] for n in both), 3),
+        "n": len(both),
+        "file": os.path.basename(path),
+    }
 
 
 if __name__ == "__main__":
