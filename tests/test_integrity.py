@@ -276,6 +276,27 @@ def test_window_rows_only_entries_are_the_flagged_tail():
     assert rows_only == set(), rows_only
 
 
+def test_architecture_registry_map_not_stale():
+    """ARCHITECTURE.md's registry map must name EVERY registry query (the
+    one-hop navigation aid VERDICT r6 item 7 asked for) and carry the live
+    oracled/rows-only counts in its header line."""
+    from crz_scraper_spark.plans.registry import REGISTRY
+
+    text = open("/root/repo/ARCHITECTURE.md").read()
+    assert "## Registry map" in text
+    section = text.split("## Registry map", 1)[1]
+    missing = [q for q in REGISTRY if f"`{q}`" not in section]
+    assert not missing, f"registry map missing queries: {missing}"
+    n = len(REGISTRY)
+    oracled = sum(1 for _f, s in REGISTRY.values() if s is not None)
+    assert f"All {n} registry queries ({oracled} DuckDB-oracled" in section
+    assert f"{n - oracled} rows-only" in section
+    # rows-only entries must be starred, oracled ones must not be
+    for q, (_f, s) in REGISTRY.items():
+        starred = f"`{q}`\\*" in section
+        assert starred == (s is None), (q, starred)
+
+
 def test_readme_registry_counts_not_stale():
     """README's driver-contract paragraph states the registry size, the
     oracled count, and the rows-only count as literals; pin them to the
