@@ -1467,21 +1467,35 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _release_semdedup_cache(_semantic_dedup_lazy(spark, sf_dir))
 
 
+_KM_K = 8
+_KM_ITER = 4
+_KM_SEED = 99
+_KM_DIM = 64
+
+
 def embedding_kmeans_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the full embeddings table
     (operators/similarity.kmeans_lloyd_distributed): per-iteration
     assignment is a map-only BLAS pass, centroid updates are decimal-exact
     groupBy means (deterministic across partitionings), only the k×dim
-    matrix reaches the driver. Output: per-cluster size + final inertia
-    (scaled to ppm-integer for a stable rows-only check). The in-engine
-    trainer for IVF/PQ codebooks when a sample will not do."""
+    matrix reaches the driver. Output: per-cluster size + final inertia.
+
+    FULLY oracled — the part_pagerank recipe applied to ML training: the
+    trainer's determinism discipline (seeded-literal init, 9-dp-rounded
+    BLAS assignment with lowest-index ties, DECIMAL-exact centroid means
+    rounded to 9 dp, DECIMAL-exact inertia rounded to 3) makes every
+    Lloyd iteration engine-portable, so `_embedding_kmeans_sql` unrolls
+    the identical four iterations as chained CTEs from the same Python
+    constants and DuckDB hash-matches an ITERATIVE trainer end to end —
+    including the monotone-inertia invariant, mirrored in the HAVING."""
     from crz_scraper_spark.operators.similarity import (
         kmeans_lloyd_distributed,
     )
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     assigned, _cents, hist = kmeans_lloyd_distributed(
-        emb, "vec_id", "embedding", k=8, n_iter=4
+        emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER,
+        dim=_KM_DIM, seed=_KM_SEED,
     )
     # In-query invariant: Lloyd's inertia is provably non-increasing; a
     # trainer regression that breaks monotonicity (or empties a cell)
@@ -1496,6 +1510,86 @@ def embedding_kmeans_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.lit(monotone) & (F.col("n_vectors") > 0))
         .orderBy("cell")
     )
+
+
+def _embedding_kmeans_sql() -> str:
+    """Unrolled-CTE oracle for the distributed Lloyd trainer: iteration i
+    = (rounded-BLAS argmin assignment) → (decimal-exact per-(cell,dim)
+    mean, rounded 9 dp, empty cells keep the old centroid) → (decimal
+    inertia rounded to 3). Same constants as the Spark loop; the
+    monotone-inertia filter is mirrored in the HAVING."""
+    import numpy as np
+
+    cents0 = (
+        np.random.default_rng(_KM_SEED)
+        .standard_normal((_KM_K, _KM_DIM))
+        .tolist()
+    )
+    cent_rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents0)
+    )
+    d2 = _sq_dist_sql("e.v", "ct.c")
+    parts = [
+        f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents0(cell, c) AS (
+  VALUES
+    {cent_rows}
+)"""
+    ]
+    for i in range(_KM_ITER):
+        parts.append(f""",
+assign{i} AS (
+  SELECT vec_id, v, cell, d2 FROM (
+    SELECT e.vec_id, e.v, ct.cell, round({d2}, 9) AS d2,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round({d2}, 9) ASC, ct.cell) AS rn
+    FROM emb e CROSS JOIN cents{i} ct)
+  WHERE rn = 1
+),
+stats{i} AS (
+  SELECT cell, dim,
+         round(CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+               / count(*), 9) AS m
+  FROM (SELECT cell, unnest(v) AS val,
+               unnest(range(0, {_KM_DIM})) AS dim
+        FROM assign{i})
+  GROUP BY cell, dim
+),
+inertia{i} AS (
+  SELECT CAST(round(sum(CAST(d2 AS DECIMAL(28,9))), 3) AS DOUBLE) AS iv
+  FROM assign{i}
+),
+cents{i + 1}(cell, c) AS (
+  SELECT c0.cell, coalesce(s.newc, c0.c)
+  FROM cents{i} c0
+  LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS newc
+             FROM stats{i} GROUP BY cell) s
+    ON c0.cell = s.cell
+)""")
+    hist = ", ".join(f"(SELECT iv FROM inertia{i})" for i in range(_KM_ITER))
+    parts.append(f""",
+finala AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, ct.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round({d2}, 9) ASC, ct.cell) AS rn
+    FROM emb e CROSS JOIN cents{_KM_ITER} ct)
+  WHERE rn = 1
+),
+hist AS (SELECT [{hist}] AS h)
+SELECT CAST(cell AS INT) AS cell, count(*) AS n_vectors,
+       (SELECT h[{_KM_ITER}] FROM hist) AS final_inertia
+FROM finala
+GROUP BY cell
+HAVING count(*) > 0
+   AND (SELECT bool_and(h[i+1] <= h[i] + 1e-9)
+        FROM hist, range(1, {_KM_ITER}) t(i))
+""")
+    return "".join(parts)
 
 
 def semantic_dedup_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1813,7 +1907,10 @@ QUERIES: dict = {
     "semantic_dedup": (semantic_dedup_q, _semantic_dedup_sql()),
     "semantic_dedup_scaled": (semantic_dedup_scaled_q, None),
     "semantic_dedup_trained": (semantic_dedup_trained_q, None),
-    "embedding_kmeans_clusters": (embedding_kmeans_clusters_q, None),
+    "embedding_kmeans_clusters": (
+        embedding_kmeans_clusters_q,
+        _embedding_kmeans_sql(),
+    ),
     "ann_lsh_recall": (ann_lsh_recall, _ann_lsh_recall_sql()),
     "hard_negative_mining": (hard_negative_mining, HARD_NEGATIVE_MINING_SQL),
     "fuzzy_name_pairs": (fuzzy_name_pairs, FUZZY_NAME_PAIRS_SQL),
