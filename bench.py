@@ -104,10 +104,15 @@ def main() -> None:
     # slope run writes BENCH_RESULT_sf1.json instead of clobbering the
     # committed sf0.1 result). A BENCH_ONLY-restricted run defaults to
     # BENCH_RESULT_partial.json for the same reason — a 3-query standalone
-    # re-measure must not overwrite the committed full-registry artifact.
-    default_out = (
-        "BENCH_RESULT_partial.json" if selected else "BENCH_RESULT.json"
-    )
+    # re-measure must not overwrite the committed full-registry artifact —
+    # and a run at any SF other than the headline 0.1 defaults to an
+    # SF-suffixed file (a sf0.01 smoke run must not overwrite it either).
+    if selected:
+        default_out = "BENCH_RESULT_partial.json"
+    elif sf == 0.1:
+        default_out = "BENCH_RESULT.json"
+    else:
+        default_out = f"BENCH_RESULT_sf{sf:g}.json"
     out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", default_out)
     out_path = (
         out_name if os.path.isabs(out_name) else os.path.join(_HERE, out_name)

@@ -41,9 +41,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # queries whose last driver check is oldest, oldest-first (r6 re-ran
 # r5's window verbatim, so the r1/r2-checked families below are 4-5
 # rounds stale). Round 7: ann_ivf_topk/ann_pq_topk just gained
-# fixed-literal oracles and token_heavy_hitters' pass-1 dtype changed;
-# the 42 refresh slots take all 13 r1-checked queries plus the 29 oldest
-# r2-checked ones (the rest of r2 and r3 roll into round 8).
+# fixed-literal oracles, token_heavy_hitters' pass-1 dtype changed, and
+# semantic_dedup_trained_fixed is new (trained-quantizer SemDeDup, chained
+# Lloyd-CTE oracle); the 41 refresh slots take all 13 r1-checked queries
+# plus the 28 oldest r2-checked ones (the rest of r2 and r3 roll into
+# round 8).
 _FIRST_WINDOW = [
     # -- pinned flagships (continuously driver-verified) ------------------
     "pricing_summary",          # flagship: decimal aggs, O1 multi-key sort
@@ -55,6 +57,7 @@ _FIRST_WINDOW = [
     "ann_ivf_topk",             # newly oracled (fixed centroid literals)
     "ann_pq_topk",              # newly oracled (fixed codebook literals)
     "token_heavy_hitters",      # MG pass-1 object-dtype sentinel fix
+    "semantic_dedup_trained_fixed",  # NEW: trained-quantizer SemDeDup
     # -- staleness refresh: last checked r1 --------------------------------
     "sql_shipping_priority",
     "revenue_by_nation",
@@ -69,7 +72,7 @@ _FIRST_WINDOW = [
     "scd2_intervals",
     "funnel_conversion",
     "weekly_retention",
-    # -- staleness refresh: last checked r2 (oldest 29) ---------------------
+    # -- staleness refresh: last checked r2 (oldest 28) ---------------------
     "order_lineitem_rollup",
     "dedup_orders_first_wins",
     "nationkey_set_ops",
@@ -98,7 +101,6 @@ _FIRST_WINDOW = [
     "exact_dedup_groups",
     "pdf_text_extract",
     "pdf_table_detect",
-    "embedding_quantization_recall",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}

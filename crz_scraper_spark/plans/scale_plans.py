@@ -1512,12 +1512,14 @@ def embedding_kmeans_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _embedding_kmeans_sql() -> str:
-    """Unrolled-CTE oracle for the distributed Lloyd trainer: iteration i
-    = (rounded-BLAS argmin assignment) → (decimal-exact per-(cell,dim)
+def _kmeans_train_ctes() -> tuple[str, str]:
+    """The unrolled-Lloyd CTE chain shared by the trainer oracle and the
+    trained-SemDeDup oracle: `emb` + seeded-literal `cents0` + one
+    (rounded-BLAS argmin assignment) → (decimal-exact per-(cell,dim)
     mean, rounded 9 dp, empty cells keep the old centroid) → (decimal
-    inertia rounded to 3). Same constants as the Spark loop; the
-    monotone-inertia filter is mirrored in the HAVING."""
+    inertia rounded to 3) block per iteration, ending with the trained
+    `cents{N}` and a `hist` CTE of the inertia trajectory. Returns
+    (sql_prefix, trained_cents_cte_name)."""
     import numpy as np
 
     cents0 = (
@@ -1572,24 +1574,36 @@ cents{i + 1}(cell, c) AS (
 )""")
     hist = ", ".join(f"(SELECT iv FROM inertia{i})" for i in range(_KM_ITER))
     parts.append(f""",
+hist AS (SELECT [{hist}] AS h)""")
+    return "".join(parts), f"cents{_KM_ITER}"
+
+
+_KM_MONOTONE_SQL = f"""(SELECT bool_and(h[i+1] <= h[i] + 1e-9)
+        FROM hist, range(1, {_KM_ITER}) t(i))"""
+
+
+def _embedding_kmeans_sql() -> str:
+    """Unrolled-CTE oracle for the distributed Lloyd trainer (see
+    `_kmeans_train_ctes`); the monotone-inertia filter is mirrored in
+    the HAVING."""
+    prefix, cents_final = _kmeans_train_ctes()
+    d2 = _sq_dist_sql("e.v", "ct.c")
+    return f"""{prefix},
 finala AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, ct.cell,
            row_number() OVER (PARTITION BY e.vec_id
                ORDER BY round({d2}, 9) ASC, ct.cell) AS rn
-    FROM emb e CROSS JOIN cents{_KM_ITER} ct)
+    FROM emb e CROSS JOIN {cents_final} ct)
   WHERE rn = 1
-),
-hist AS (SELECT [{hist}] AS h)
+)
 SELECT CAST(cell AS INT) AS cell, count(*) AS n_vectors,
        (SELECT h[{_KM_ITER}] FROM hist) AS final_inertia
 FROM finala
 GROUP BY cell
 HAVING count(*) > 0
-   AND (SELECT bool_and(h[i+1] <= h[i] + 1e-9)
-        FROM hist, range(1, {_KM_ITER}) t(i))
-""")
-    return "".join(parts)
+   AND {_KM_MONOTONE_SQL}
+"""
 
 
 def semantic_dedup_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1598,9 +1612,12 @@ def semantic_dedup_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decimal-exact updates ⇒ deterministic), then the standard
     cluster-then-prune with the BLAS gram pair phase. Trained cells track
     the data distribution, so occupancy is balanced where the
-    fixed-random-centroid variants can leave cells empty. Rows-only (the
-    trained centroids have no closed SQL form); determinism is inherited
-    from the trainer's cross-layout bit-stability."""
+    fixed-random-centroid variants can leave cells empty. Rows-only
+    because k = isqrt(count(*)) is data-dependent, so the oracle SQL
+    cannot be a static string; the ALGORITHM (trained quantizer feeding
+    SemDeDup) is hash-verified by the fixed-k twin below
+    (`semantic_dedup_trained_fixed`), and determinism is inherited from
+    the trainer's cross-layout bit-stability."""
     from math import isqrt
 
     from crz_scraper_spark.operators.similarity import (
@@ -1636,6 +1653,84 @@ def semantic_dedup_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def semantic_dedup_trained_fixed_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The hash-verified twin of `semantic_dedup_trained`: the coarse
+    quantizer is TRAINED by the distributed Lloyd trainer (same k=8 /
+    4-iteration / seed-99 run `embedding_kmeans_clusters` oracles), then
+    the trained centroid matrix feeds the standard cluster-then-prune.
+    Because the trainer's determinism discipline makes every iteration
+    engine-portable, the oracle chains the SAME unrolled Lloyd CTEs into
+    the SemDeDup assignment/pair/verdict SQL — an end-to-end
+    train-quantizer→dedup pipeline DuckDB reproduces bit-for-bit. The
+    production posture (k ∝ √n) stays in `semantic_dedup_trained`; this
+    twin pins the algorithm's correctness with a static-k oracle, the
+    same twin discipline as minhash_near_dup_md5 / ann_ivf_topk."""
+    from crz_scraper_spark.operators.similarity import (
+        kmeans_lloyd_distributed,
+    )
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    _assigned, cents, hist = kmeans_lloyd_distributed(
+        emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER,
+        dim=_KM_DIM, seed=_KM_SEED,
+    )
+    monotone = all(
+        hist[i + 1] <= hist[i] + 1e-9 for i in range(len(hist) - 1)
+    )
+    sd = _semdedup_invariant(
+        semantic_dedup(
+            emb,
+            cents,
+            "vec_id",
+            "embedding",
+            threshold=_SEMDEDUP_TAU,
+            round_to=4,
+            pair_impl="gram",
+        )
+    )
+    # Mirror the trainer's monotone-inertia witness (the oracle gates on
+    # the same predicate): a trainer regression empties the result.
+    gated = sd.filter(F.lit(monotone))
+    cached = getattr(sd, "_crz_cached", None)
+    if cached is not None:
+        gated._crz_cached = cached
+    return _release_semdedup_cache(gated)
+
+
+def _semantic_dedup_trained_fixed_sql() -> str:
+    """Chained oracle: the unrolled Lloyd CTE chain produces the trained
+    centroids, which the SemDeDup assignment (6-dp-rounded cosine argmax,
+    ties to lowest cell) and keep-lowest-id prune consume — identical
+    constants to the Spark pipeline above."""
+    prefix, cents_final = _kmeans_train_ctes()
+    return f"""{prefix},
+sd_assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, ct.cell,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.v, ct.c), 6) DESC,
+                        ct.cell) AS rn
+    FROM emb e CROSS JOIN {cents_final} ct)
+  WHERE rn = 1
+),
+sd_drops AS (
+  SELECT b.vec_id, min(a.vec_id) AS rep
+  FROM sd_assign a JOIN sd_assign b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {_SEMDEDUP_TAU}
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, CAST(s.cell AS INT) AS cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept,
+       coalesce(d.rep, s.vec_id) AS rep_id
+FROM sd_assign s LEFT JOIN sd_drops d ON s.vec_id = d.vec_id
+WHERE {_KM_MONOTONE_SQL}
+"""
 
 
 def semantic_dedup_scaled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1907,6 +2002,10 @@ QUERIES: dict = {
     "semantic_dedup": (semantic_dedup_q, _semantic_dedup_sql()),
     "semantic_dedup_scaled": (semantic_dedup_scaled_q, None),
     "semantic_dedup_trained": (semantic_dedup_trained_q, None),
+    "semantic_dedup_trained_fixed": (
+        semantic_dedup_trained_fixed_q,
+        _semantic_dedup_trained_fixed_sql(),
+    ),
     "embedding_kmeans_clusters": (
         embedding_kmeans_clusters_q,
         _embedding_kmeans_sql(),
