@@ -623,7 +623,7 @@ def minhash_pairs_md5(
     agree = sum(
         (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_hashes)
     )
-    return (
+    out = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -633,6 +633,11 @@ def minhash_pairs_md5(
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
+    # Same contract as minhash_dedup: expose the persisted signature table
+    # so chained consumers (curation_pipeline's cached-frame ledger) can
+    # release it with their other intermediates.
+    out._crz_cached = sig
+    return out
 
 
 def _parse_byte_size(s: str, default_unit: int = 1) -> int:

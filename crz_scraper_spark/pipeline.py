@@ -188,6 +188,7 @@ def curation_pipeline(
     quality_min: float = 0.3,
     train_pct: int = 80,
     persist: bool = True,
+    hash_tier: str = "production",
 ) -> dict[str, DataFrame]:
     """The training-data curation chain, end-to-end as one composition —
     what a corpus owner actually runs nightly: exact dedup → MinHash-LSH
@@ -218,6 +219,14 @@ def curation_pipeline(
     - `near_dup_clusters` — (doc_id, cluster_id) over the LSH pair graph
     - `audit`      — (stage, n_rows) counts after each stage
     - `cached`     — the persisted intermediates (unpersist when done)
+
+    `hash_tier` selects the hash family for the two hash-dependent stages:
+    "production" (default) is xxhash64 end to end; "portable_md5" swaps in
+    the engine-portable md5 tier (md5 content digest for exact dedup, the
+    `minhash_pairs_md5` LSH pipeline for near-dup) so the WHOLE chain has
+    an ANSI-SQL analog — the tier the fully-oracled
+    `curation_pipeline_audit_md5` registry twin runs. Same structure,
+    same stage wiring; only the hash family changes.
     """
     from pyspark import StorageLevel
 
@@ -225,16 +234,21 @@ def curation_pipeline(
         connected_components,
         first_wins_dedup,
         minhash_dedup,
+        minhash_pairs_md5,
     )
     from crz_scraper_spark.operators.textquality import (
         lang_guess_expr,
         quality_score_expr,
     )
 
+    portable = hash_tier == "portable_md5"
     base = docs.select(id_col, text_col)
     # Stage 1 — exact dedup: group on the content digest, keep lowest id.
+    digest = (
+        F.md5(F.col(text_col)) if portable else F.xxhash64(F.col(text_col))
+    )
     exact = first_wins_dedup(
-        base.withColumn("__h", F.xxhash64(F.col(text_col))),
+        base.withColumn("__h", digest),
         keys=["__h"],
         order_by=[F.asc(id_col)],
     ).drop("__h")
@@ -243,10 +257,15 @@ def curation_pipeline(
     # Stage 2 — near-dup: LSH pairs -> connected components -> keep the
     # cluster representative (minimum reachable id). No broadcast hint:
     # non_reps scales with the corpus; AQE picks the join strategy.
-    scored_pairs = minhash_dedup(
-        exact, id_col, text_col, threshold=near_dup_threshold
-    )
-    # The signature persist inside minhash_dedup must be releasable with
+    if portable:
+        scored_pairs = minhash_pairs_md5(
+            exact, id_col, text_col, threshold=near_dup_threshold
+        )
+    else:
+        scored_pairs = minhash_dedup(
+            exact, id_col, text_col, threshold=near_dup_threshold
+        )
+    # The signature persist inside the pairs stage must be releasable with
     # the rest of the chain; capture its handle before the select drops it.
     sig_cache = getattr(scored_pairs, "_crz_cached", None)
     pairs = scored_pairs.select(F.col("id_a"), F.col("id_b"))

@@ -538,6 +538,124 @@ def curation_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# curation_pipeline_audit_md5 — the SAME end-to-end curation chain on the
+# engine-portable md5 tier (md5 content digest for exact dedup, the
+# minhash_pairs_md5 LSH family for near-dup), so the ENTIRE nightly chain —
+# exact dedup → LSH pairs → connected components → quality floor → split —
+# has one composed ANSI-SQL oracle: the md5-pairs CTEs chain into the
+# recursive-CTE closure and the doc_quality score formula, and the five-row
+# audit ledger hash-matches DuckDB end to end. The xxhash64 production twin
+# (`curation_pipeline_audit`) stays the perf posture; this is the
+# correctness witness for the COMPOSITION (stage wiring, anti-join
+# semantics, ledger arithmetic), the same twin discipline as
+# minhash_near_dup_md5.
+# ---------------------------------------------------------------------------
+
+
+def curation_pipeline_audit_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.pipeline import curation_pipeline
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    out = curation_pipeline(docs, hash_tier="portable_md5")
+    # Same collect-and-release discipline as the production twin: the
+    # ledger is 5 rows; the corpus-sized persisted intermediates must not
+    # outlive the query in a session that doesn't clearCache.
+    audit_df = out["audit"]
+    rows = audit_df.collect()
+    for f in out["cached"]:
+        f.unpersist()
+    return spark.createDataFrame(rows, audit_df.schema)
+
+
+def _curation_audit_md5_sql() -> str:
+    """Composed oracle: exact-dedup window → md5 MinHash-LSH pairs (the
+    `_minhash_md5_sql` CTEs re-headed over `exact`, threshold 0.8) →
+    recursive-CTE connected components → doc_quality score ≥ 0.3 →
+    five-row ledger. Every fragment is individually hash-proven
+    (exact_dedup_groups, minhash_near_dup_md5, near_dup_clusters,
+    doc_quality); this string wires them exactly as pipeline.py does."""
+    from crz_scraper_spark.operators.textquality import LANG_STOPWORDS
+    from crz_scraper_spark.plans.scale_plans import _minhash_md5_sql
+    from crz_scraper_spark.plans.text_plans import _TOKS_SQL
+
+    pairs_sql = _minhash_md5_sql(src="exact", threshold=0.8).strip()
+    body = pairs_sql[len("WITH ") :]
+    head, final_select = body.rsplit(")\nSELECT", 1)
+    final_select = "SELECT" + final_select
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    stoplist = "[" + ", ".join(f"'{w}'" for w in all_stop) + "]"
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text FROM documents
+),
+exact AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM base)
+  WHERE rn = 1
+),
+{head}),
+pairs AS (
+{final_select}
+),
+bi AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, dst FROM bi
+  UNION
+  SELECT rr.node, b.dst FROM reach rr JOIN bi b ON rr.r = b.src
+),
+clusters AS (
+  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+  FROM reach GROUP BY node
+),
+non_reps AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
+deduped AS (
+  SELECT e.doc_id, e.text FROM exact e
+  WHERE e.doc_id NOT IN (SELECT doc_id FROM non_reps)
+),
+q AS (
+  SELECT doc_id,
+         round(least(n_tokens / 100.0, 1.0) * 0.4
+               + least(stop_ratio * 5.0, 1.0) * 0.3
+               + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3, 6)
+           AS quality_score
+  FROM (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CASE WHEN length(text) > 0
+                THEN (length(text)
+                      - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                     / length(text)
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, w -> list_contains({stoplist}, w)))::DOUBLE
+                     / len(toks)
+                ELSE 0.0 END AS stop_ratio
+    FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM deduped)
+  )
+),
+counts AS (
+  SELECT (SELECT count(*) FROM base)  AS input_n,
+         (SELECT count(*) FROM exact) AS exact_n,
+         (SELECT count(*) FROM deduped) AS near_n,
+         (SELECT count(*) FROM q WHERE quality_score >= 0.3) AS qual_n
+)
+SELECT stage, n_rows FROM (
+  SELECT 'input' AS stage, input_n AS n_rows FROM counts
+  UNION ALL SELECT 'exact_dedup', exact_n FROM counts
+  UNION ALL SELECT 'near_dedup', near_n FROM counts
+  UNION ALL SELECT 'quality_floor', qual_n FROM counts
+  UNION ALL SELECT 'final', qual_n FROM counts
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # bucketed_colocated_join — bucketing as the 100 TB co-location strategy,
 # demonstrated end to end: orders and lineitem are written as bucketed
 # tables (same bucket count, same key), so the fact-fact equi-join reads
@@ -750,6 +868,10 @@ QUERIES: dict = {
         BUCKETED_COLOCATED_JOIN_SQL,
     ),
     "curation_pipeline_audit": (curation_pipeline_audit, None),
+    "curation_pipeline_audit_md5": (
+        curation_pipeline_audit_md5,
+        _curation_audit_md5_sql(),
+    ),
     "dir_tree_corpus_scan": (dir_tree_corpus_scan, DIR_TREE_CORPUS_SCAN_SQL),
     "wordlist_sink_roundtrip": (
         wordlist_sink_roundtrip,

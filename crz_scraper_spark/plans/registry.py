@@ -42,10 +42,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # r5's window verbatim, so the r1/r2-checked families below are 4-5
 # rounds stale). Round 7: ann_ivf_topk/ann_pq_topk just gained
 # fixed-literal oracles, token_heavy_hitters' pass-1 dtype changed, and
-# semantic_dedup_trained_fixed is new (trained-quantizer SemDeDup, chained
-# Lloyd-CTE oracle); the 41 refresh slots take all 13 r1-checked queries
-# plus the 28 oldest r2-checked ones (the rest of r2 and r3 roll into
-# round 8).
+# two queries are new (semantic_dedup_trained_fixed — trained-quantizer
+# SemDeDup with a chained Lloyd-CTE oracle; curation_pipeline_audit_md5 —
+# the portable-hash curation chain with a composed end-to-end oracle);
+# the 40 refresh slots take all 13 r1-checked queries plus the 27 oldest
+# r2-checked ones (the rest of r2 and r3 roll into round 8).
 _FIRST_WINDOW = [
     # -- pinned flagships (continuously driver-verified) ------------------
     "pricing_summary",          # flagship: decimal aggs, O1 multi-key sort
@@ -58,6 +59,7 @@ _FIRST_WINDOW = [
     "ann_pq_topk",              # newly oracled (fixed codebook literals)
     "token_heavy_hitters",      # MG pass-1 object-dtype sentinel fix
     "semantic_dedup_trained_fixed",  # NEW: trained-quantizer SemDeDup
+    "curation_pipeline_audit_md5",   # NEW: portable-tier curation chain
     # -- staleness refresh: last checked r1 --------------------------------
     "sql_shipping_priority",
     "revenue_by_nation",
@@ -100,7 +102,6 @@ _FIRST_WINDOW = [
     "lang_id",
     "exact_dedup_groups",
     "pdf_text_extract",
-    "pdf_table_detect",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}

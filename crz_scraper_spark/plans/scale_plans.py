@@ -709,7 +709,13 @@ def minhash_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_md5_sql() -> str:
+def _minhash_md5_sql(
+    src: str = "documents", threshold: float = _MH_THRESHOLD
+) -> str:
+    """DuckDB analog of `minhash_pairs_md5` over the table/CTE `src`.
+    Callers that re-head this string (`_lsh_band_occupancy_md5_sql`,
+    `_near_dup_clusters_sql`, the curation-audit oracle) split on the CTE
+    markers below — keep the layout stable."""
     from crz_scraper_spark.operators.dedup import MINHASH_PRIME, _minhash_coeffs
 
     n, nh, nb = _MH_SHINGLE, _MH_HASHES, _MH_BANDS
@@ -733,7 +739,7 @@ WITH sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
            range(1, greatest(length(t) - {n - 1}, 1) + 1),
            i -> substr(t, i, {n})))) AS s
-  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+  FROM (SELECT doc_id, lower(text) AS t FROM {src})
 ),
 based AS (
   SELECT doc_id, ('0x' || substr(md5(s),1,8))::BIGINT AS x
@@ -757,7 +763,7 @@ SELECT c.id_a, c.id_b,
 FROM cand c
 JOIN sig sa ON sa.doc_id = c.id_a
 JOIN sig sb ON sb.doc_id = c.id_b
-WHERE round(({agree}) / {nh}.0, 6) >= {_MH_THRESHOLD}
+WHERE round(({agree}) / {nh}.0, 6) >= {threshold}
 """
 
 
