@@ -42,10 +42,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # r5's window verbatim, so the r1/r2-checked families below are 4-5
 # rounds stale). Round 7: ann_ivf_topk/ann_pq_topk just gained
 # fixed-literal oracles, token_heavy_hitters' pass-1 dtype changed, and
-# two queries are new (semantic_dedup_trained_fixed — trained-quantizer
+# three queries are new (semantic_dedup_trained_fixed — trained-quantizer
 # SemDeDup with a chained Lloyd-CTE oracle; curation_pipeline_audit_md5 —
-# the portable-hash curation chain with a composed end-to-end oracle);
-# the 40 refresh slots take all 13 r1-checked queries plus the 27 oldest
+# the portable-hash curation chain with a composed end-to-end oracle;
+# multimodal_frame_index — the frame flat-map's byte-exact oracle twin);
+# the 39 refresh slots take all 13 r1-checked queries plus the 26 oldest
 # r2-checked ones (the rest of r2 and r3 roll into round 8).
 _FIRST_WINDOW = [
     # -- pinned flagships (continuously driver-verified) ------------------
@@ -60,6 +61,7 @@ _FIRST_WINDOW = [
     "token_heavy_hitters",      # MG pass-1 object-dtype sentinel fix
     "semantic_dedup_trained_fixed",  # NEW: trained-quantizer SemDeDup
     "curation_pipeline_audit_md5",   # NEW: portable-tier curation chain
+    "multimodal_frame_index",        # NEW: byte-exact frame flat-map twin
     # -- staleness refresh: last checked r1 --------------------------------
     "sql_shipping_priority",
     "revenue_by_nation",
@@ -101,7 +103,6 @@ _FIRST_WINDOW = [
     "doc_fingerprint",
     "lang_id",
     "exact_dedup_groups",
-    "pdf_text_extract",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}

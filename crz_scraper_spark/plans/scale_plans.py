@@ -994,6 +994,47 @@ def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-verified twin of the frame flat-map: same
+    `sample_frames` mapInPandas UDF (one binary payload → 0..n frame
+    rows), but the output is the frame BYTES themselves (hex-encoded)
+    plus the frame index/timestamp — all pure byte arithmetic, so DuckDB
+    reproduces the slice boundaries, frame counts, and timestamps
+    bit-for-bit. This pins the load-bearing part of the multimodal path
+    (Arrow flat-map cardinality + slice arithmetic) with a full value
+    oracle; `multimodal_frame_features` keeps the Gaussian stub
+    featurizer (seeded PCG64 — no SQL analog) as the rows-only tier."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    binary = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    frames = sample_frames(binary)
+    return frames.select(
+        "doc_id", "frame_no", "ts_ms", F.hex("frame").alias("frame_hex")
+    )
+
+
+# Mirrors sample_frames' slice arithmetic: n_frames = octet_length % 7,
+# start byte of frame i = (i * n) // n_frames, 16-byte slices truncated at
+# the payload end. Byte slicing rides hex() because this DuckDB build has
+# no BLOB substring — 1 byte = 2 hex chars throughout.
+MULTIMODAL_FRAME_INDEX_SQL = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS ph, octet_length(encode(text)) AS n
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         CAST(i AS INT) AS frame_no,
+         CAST(i * 10000 AS BIGINT) AS ts_ms,
+         substring(ph, CAST((i * n) // (n % 7) AS BIGINT) * 2 + 1, 32)
+           AS frame_hex
+  FROM (SELECT doc_id, ph, n, unnest(range(0, n % 7)) AS i FROM b)
+)
+SELECT doc_id, frame_no, ts_ms, frame_hex FROM f
+"""
+
+
 def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_text(_doc_binaries(spark, sf_dir), backend="stub")
 
@@ -2051,4 +2092,8 @@ QUERIES: dict = {
     "ngram_jaccard_consecutive": (ngram_jaccard_consecutive, NGRAM_JACCARD_SQL),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
     "multimodal_frame_features": (multimodal_frame_features, None),
+    "multimodal_frame_index": (
+        multimodal_frame_index,
+        MULTIMODAL_FRAME_INDEX_SQL,
+    ),
 }
