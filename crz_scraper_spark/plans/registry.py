@@ -42,12 +42,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # r5's window verbatim, so the r1/r2-checked families below are 4-5
 # rounds stale). Round 7: ann_ivf_topk/ann_pq_topk just gained
 # fixed-literal oracles, token_heavy_hitters' pass-1 dtype changed, and
-# three queries are new (semantic_dedup_trained_fixed — trained-quantizer
+# four queries are new (semantic_dedup_trained_fixed — trained-quantizer
 # SemDeDup with a chained Lloyd-CTE oracle; curation_pipeline_audit_md5 —
 # the portable-hash curation chain with a composed end-to-end oracle;
-# multimodal_frame_index — the frame flat-map's byte-exact oracle twin);
-# the 39 refresh slots take all 13 r1-checked queries plus the 26 oldest
-# r2-checked ones (the rest of r2 and r3 roll into round 8).
+# multimodal_frame_index — the frame flat-map's byte-exact oracle twin;
+# bpe_fixed_merges_stats — the BPE apply phase on pinned literal merges,
+# recursive-CTE oracle); the 38 refresh slots take all 13 r1-checked
+# queries plus the 25 oldest r2-checked ones (the rest of r2 and r3 roll
+# into round 8).
 _FIRST_WINDOW = [
     # -- pinned flagships (continuously driver-verified) ------------------
     "pricing_summary",          # flagship: decimal aggs, O1 multi-key sort
@@ -62,6 +64,7 @@ _FIRST_WINDOW = [
     "semantic_dedup_trained_fixed",  # NEW: trained-quantizer SemDeDup
     "curation_pipeline_audit_md5",   # NEW: portable-tier curation chain
     "multimodal_frame_index",        # NEW: byte-exact frame flat-map twin
+    "bpe_fixed_merges_stats",        # NEW: BPE apply on pinned merges
     # -- staleness refresh: last checked r1 --------------------------------
     "sql_shipping_priority",
     "revenue_by_nation",
@@ -102,7 +105,6 @@ _FIRST_WINDOW = [
     "token_count_stats",
     "doc_fingerprint",
     "lang_id",
-    "exact_dedup_groups",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}

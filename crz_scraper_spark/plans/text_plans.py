@@ -686,6 +686,103 @@ def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_invariant(bpe_token_stats(docs, spark))
 
 
+_BPE_FIXED_SAMPLE = (
+    "spark merge batch window filter stream vector customer column query "
+    "table order small value join data line part sort group hash scan key "
+    "row agg big slow fast dup the a spark merge batch window stream "
+    "filter vector customer column query table order small value join"
+)
+_BPE_FIXED_N_MERGES = 16
+
+
+def _bpe_fixed_merges() -> list[tuple[str, str]]:
+    """The pinned merge table for the oracled BPE twin: learned at import
+    from the embedded sample above (pure function of in-repo constants —
+    NOT of the input corpus), so both engines consume the identical
+    literal ranks."""
+    from crz_scraper_spark.operators.bpe import learn_bpe
+
+    return learn_bpe([_BPE_FIXED_SAMPLE], n_merges=_BPE_FIXED_N_MERGES)
+
+
+def bpe_fixed_merges_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-verified twin of the BPE APPLY phase: the merge table is a
+    pinned literal (learned from `_BPE_FIXED_SAMPLE`, not the corpus), so
+    the greedy rank-priority encode loop — the part `bpe_token_stats` and
+    `bpe_corpus_token_stats` run through the Arrow-batched UDF — has an
+    exact SQL analog: a recursive CTE over the DISTINCT-word table (the
+    memo, made declarative) that merges the best-ranked pair per step,
+    leftmost on ties, exactly `encode_word`'s (rank, index) argmin. The
+    LEARNING loops (sample-based and corpus-frequency-based) stay
+    rows-only — iterative pair-count argmax over mutating state has no
+    SQL analog — but their outputs are pinned by the hand-computed
+    reference in tests/test_operators.py, and the apply phase is now
+    driver-hash-verified end to end."""
+    from crz_scraper_spark.operators.bpe import _apply_bpe_stats
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return _bpe_invariant(
+        _apply_bpe_stats(docs, spark, _bpe_fixed_merges(), "doc_id", "text")
+    )
+
+
+def _bpe_fixed_sql() -> str:
+    """Recursive-CTE BPE apply from the same pinned merge literals:
+    rank(a,b) = 1-based list_position in the rank table; best pair per
+    step = min over rank*1e6+position (identical to encode_word's
+    0-based (rank, index) tuple argmin — the transformation is
+    monotone); per-word token count = terminal (shortest) state length;
+    per-doc stats re-aggregate over word OCCURRENCES."""
+    merges = _bpe_fixed_merges()
+    rlist = "[" + ", ".join(f"['{a}', '{b}']" for a, b in merges) + "]"
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+words AS (SELECT DISTINCT unnest(ws) AS w FROM base),
+enc(w, s) AS (
+  SELECT w, list_append(list_transform(range(1, length(w) + 1),
+                                       i -> substr(w, CAST(i AS INT), 1)),
+                        '</w>')
+  FROM words
+  UNION ALL
+  SELECT w,
+         list_concat(list_concat(
+           list_slice(s, 1, CAST(bk % 1000000 AS INT) - 1),
+           [s[CAST(bk % 1000000 AS INT)] || s[CAST(bk % 1000000 AS INT) + 1]]),
+           list_slice(s, CAST(bk % 1000000 AS INT) + 2, len(s)))
+  FROM (
+    SELECT w, s,
+           list_min(list_filter(
+             list_transform(range(1, len(s)),
+               i -> coalesce(list_position({rlist}, [s[i], s[i+1]]), 0)
+                    * 1000000 + i),
+             k -> k >= 1000000)) AS bk
+    FROM enc
+  )
+  WHERE bk IS NOT NULL
+),
+wtok AS (SELECT w, min(len(s)) AS n_tok FROM enc GROUP BY w),
+docwords AS (SELECT doc_id, unnest(ws) AS w FROM base),
+agg AS (
+  SELECT d.doc_id, count(*) AS n_words, sum(t.n_tok) AS n_bpe_tokens
+  FROM docwords d JOIN wtok t ON d.w = t.w
+  GROUP BY d.doc_id
+)
+SELECT b.doc_id,
+       CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+       CAST(b.n_chars * 1000000
+            // greatest(coalesce(a.n_bpe_tokens, 0), 1) AS BIGINT)
+         AS chars_per_token_ppm
+FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+WHERE coalesce(a.n_bpe_tokens, 0) >= coalesce(a.n_words, 0)
+"""
+
+
 def bpe_corpus_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact-corpus vocabulary: merges learned from the FULL corpus's word
     # frequencies via one distributed word-count agg (top-max_vocab rows
@@ -807,6 +904,7 @@ QUERIES: dict = {
     "token_heavy_hitters": (token_heavy_hitters, TOKEN_HEAVY_HITTERS_SQL),
     "cms_token_estimate": (cms_token_estimate, _cms_sql()),
     "bpe_token_stats": (bpe_token_stats_q, None),
+    "bpe_fixed_merges_stats": (bpe_fixed_merges_stats_q, _bpe_fixed_sql()),
     "bpe_corpus_token_stats": (bpe_corpus_token_stats_q, None),
     "word_frequency": (word_frequency, WORD_FREQUENCY_SQL),
     "bm25_search": (bm25_search, _bm25_sql()),
