@@ -1737,6 +1737,15 @@ def semantic_dedup_trained_fixed_q(
             threshold=_SEMDEDUP_TAU,
             round_to=4,
             pair_impl="gram",
+            # k is pinned at 8 for the oracle, so per-cell occupancy grows
+            # linearly with the corpus and the pair phase is quadratic per
+            # cell BY DESIGN (the k ∝ √n production posture lives in
+            # semantic_dedup_trained). Blocking the gram phase bounds
+            # per-task memory and spreads each cell's work over
+            # (c/1024)² block-pair tasks instead of one mega-task —
+            # measured 83.5 s → (see PLANS.md) at sf3 — and is
+            # parity-tested output-identical, so the oracle is unchanged.
+            max_cell_rows=1024,
         )
     )
     # Mirror the trainer's monotone-inertia witness (the oracle gates on
