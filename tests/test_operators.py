@@ -685,6 +685,65 @@ def test_bpe_learn_and_encode_reference():
     assert len(encode_word("zzz", {})) == 4
 
 
+def test_bpe_cte_encoder_matches_encode_word_on_adversarial_words():
+    """The recursive-CTE encoder inside `_bpe_fixed_sql` must reproduce
+    `encode_word` exactly on words chosen to stress the greedy loop:
+    cascading same-symbol merges, rank-priority inversions of positional
+    order, merge-then-remerge chains, and unknown alphabets. The oracle
+    parity test proves it on corpus words; this pins the tie/cascade
+    semantics on words the corpus doesn't contain."""
+    import duckdb
+
+    from crz_scraper_spark.operators.bpe import encode_word
+    from crz_scraper_spark.plans.text_plans import _bpe_fixed_merges
+
+    merges = _bpe_fixed_merges()
+    ranks = {p: i for i, p in enumerate(merges)}
+    words = [
+        "eeeee", "ererer", "stst", "lowlow", "aaaa", "windowwindow",
+        "tstreamer", "er", "e", "zzz", "owowow", "partpart", "yy",
+        "arthe", "inin", "hhh", "walhala", "a", "thethethe",
+    ]
+    rlist = "[" + ", ".join(f"['{a}', '{b}']" for a, b in merges) + "]"
+    vals = ", ".join(f"('{w}')" for w in words)
+    sql = f"""
+WITH RECURSIVE words(w) AS (VALUES {vals}),
+enc(w, s) AS (
+  SELECT w, list_append(list_transform(range(1, length(w) + 1),
+                                       i -> substr(w, CAST(i AS INT), 1)),
+                        '</w>')
+  FROM words
+  UNION ALL
+  SELECT w,
+         list_concat(list_concat(
+           list_slice(s, 1, CAST(bk % 1000000 AS INT) - 1),
+           [s[CAST(bk % 1000000 AS INT)] || s[CAST(bk % 1000000 AS INT) + 1]]),
+           list_slice(s, CAST(bk % 1000000 AS INT) + 2, len(s)))
+  FROM (
+    SELECT w, s,
+           list_min(list_filter(
+             list_transform(range(1, len(s)),
+               i -> coalesce(list_position({rlist}, [s[i], s[i+1]]), 0)
+                    * 1000000 + i),
+             k -> k >= 1000000)) AS bk
+    FROM enc
+  )
+  WHERE bk IS NOT NULL
+),
+term AS (
+  SELECT w, s FROM (
+    SELECT w, s, row_number() OVER (PARTITION BY w ORDER BY len(s)) AS rn
+    FROM enc) WHERE rn = 1
+)
+SELECT w, s FROM term
+"""
+    got = dict(duckdb.connect().execute(sql).fetchall())
+    for w in words:
+        assert got[w] == encode_word(w, ranks), (
+            w, got[w], encode_word(w, ranks)
+        )
+
+
 def test_bpe_token_stats_runs_and_is_consistent(spark, sf_dir):
     from crz_scraper_spark.plans.text_plans import bpe_token_stats_q
 
