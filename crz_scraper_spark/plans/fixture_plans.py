@@ -856,7 +856,88 @@ GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# ivf_incremental_assign — incremental ANN-index maintenance as a
+# driver-checked query (the minhash/simhash incremental-store discipline
+# applied to the IVF coarse quantizer): even-id vectors ingested as day 1
+# into a persisted (vec_id, cell) posting store (idempotent append, atomic
+# staged-rename commits), odd ids as day 2; the day-2 report is the k-row
+# per-cell occupancy + drift summary that decides when the quantizer
+# retrains. FULLY oracled: centroids are fixed literals and the assignment
+# is the 6-dp-rounded cosine argmax `semantic_dedup`'s oracle already
+# proves engine-portable, so DuckDB reproduces the store contents and the
+# drift arithmetic from the raw table. Repeat invocations re-run day 2
+# against the existing store — the no-op-append maintenance property is
+# what the driver's warm-then-measure double call exercises.
+# ---------------------------------------------------------------------------
+
+_IVF_INC_CELLS = 16
+_IVF_INC_DIM = 64
+_IVF_INC_SEED = 99
+
+
+def ivf_incremental_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.operators.dedup import fixed_centroids
+    from crz_scraper_spark.operators.similarity import ivf_incremental_assign
+
+    store = _fixture_dir("ivfinc", sf_dir)
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    cents = fixed_centroids(_IVF_INC_DIM, _IVF_INC_CELLS, _IVF_INC_SEED)
+    if store not in _BUILT:
+        _sh.rmtree(store, ignore_errors=True)
+        day1 = emb.filter(F.col("vec_id") % 2 == 0)
+        ivf_incremental_assign(
+            spark, day1, "vec_id", "embedding", cents, store
+        ).count()  # materialize the day-1 ingest (report discarded)
+        _BUILT.add(store)
+    day2 = emb.filter(F.col("vec_id") % 2 == 1)
+    return ivf_incremental_assign(
+        spark, day2, "vec_id", "embedding", cents, store
+    )
+
+
+def _ivf_incremental_sql() -> str:
+    from crz_scraper_spark.operators.dedup import fixed_centroids
+
+    cents = fixed_centroids(_IVF_INC_DIM, _IVF_INC_CELLS, _IVF_INC_SEED)
+    cent_rows = ",\n    ".join(
+        f"({pid}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for pid, c in enumerate(cents)
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents(pid, c) AS (
+  VALUES
+    {cent_rows}
+),
+assign AS (
+  SELECT vec_id, pid AS cell FROM (
+    SELECT e.vec_id, ct.pid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.v, ct.c), 6) DESC,
+                        ct.pid) AS rn
+    FROM emb e CROSS JOIN cents ct)
+  WHERE rn = 1
+)
+SELECT CAST(cell AS INT) AS cell,
+       CAST(count(*) FILTER (vec_id % 2 = 0) AS BIGINT) AS n_prior,
+       CAST(count(*) FILTER (vec_id % 2 = 1) AS BIGINT) AS n_new,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (vec_id % 2 = 1) * 1000000 // count(*)
+            AS BIGINT) AS new_share_ppm
+FROM assign
+GROUP BY cell
+"""
+
+
 QUERIES: dict = {
+    "ivf_incremental_assign": (
+        ivf_incremental_assign_q,
+        _ivf_incremental_sql(),
+    ),
     "pipe_csv_roundtrip": (pipe_csv_roundtrip, PIPE_CSV_ROUNDTRIP_SQL),
     "compaction_roundtrip": (compaction_roundtrip, COMPACTION_ROUNDTRIP_SQL),
     "schema_evolution_roundtrip": (

@@ -42,14 +42,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # r5's window verbatim, so the r1/r2-checked families below are 4-5
 # rounds stale). Round 7: ann_ivf_topk/ann_pq_topk just gained
 # fixed-literal oracles, token_heavy_hitters' pass-1 dtype changed, and
-# four queries are new (semantic_dedup_trained_fixed — trained-quantizer
+# five queries are new (semantic_dedup_trained_fixed — trained-quantizer
 # SemDeDup with a chained Lloyd-CTE oracle; curation_pipeline_audit_md5 —
 # the portable-hash curation chain with a composed end-to-end oracle;
 # multimodal_frame_index — the frame flat-map's byte-exact oracle twin;
 # bpe_fixed_merges_stats — the BPE apply phase on pinned literal merges,
-# recursive-CTE oracle); the 38 refresh slots take all 13 r1-checked
-# queries plus the 25 oldest r2-checked ones (the rest of r2 and r3 roll
-# into round 8).
+# recursive-CTE oracle; ivf_incremental_assign — incremental ANN-index
+# maintenance with a fixed-centroid oracle); the 37 refresh slots take
+# all 13 r1-checked queries plus the 24 oldest r2-checked ones (the rest
+# of r2 and r3 roll into round 8).
 _FIRST_WINDOW = [
     # -- pinned flagships (continuously driver-verified) ------------------
     "pricing_summary",          # flagship: decimal aggs, O1 multi-key sort
@@ -65,6 +66,7 @@ _FIRST_WINDOW = [
     "curation_pipeline_audit_md5",   # NEW: portable-tier curation chain
     "multimodal_frame_index",        # NEW: byte-exact frame flat-map twin
     "bpe_fixed_merges_stats",        # NEW: BPE apply on pinned merges
+    "ivf_incremental_assign",        # NEW: incremental ANN-index store
     # -- staleness refresh: last checked r1 --------------------------------
     "sql_shipping_priority",
     "revenue_by_nation",
@@ -104,7 +106,6 @@ _FIRST_WINDOW = [
     "doc_quality",
     "token_count_stats",
     "doc_fingerprint",
-    "lang_id",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}

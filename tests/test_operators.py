@@ -788,6 +788,54 @@ def test_minhash_incremental_daily_batches(spark, tmp_path):
     assert p3.filter("id_new = id_other").count() == 0
 
 
+def test_ivf_incremental_idempotent_store_and_report(spark, tmp_path):
+    """Re-ingesting the same batch must be a no-op on the posting store
+    (no new store rows) and return the identical drift report — the
+    maintenance property the driver's warm-then-measure double call
+    exercises. Also checks the report arithmetic directly."""
+    from crz_scraper_spark.operators.dedup import fixed_centroids
+    from crz_scraper_spark.operators.similarity import ivf_incremental_assign
+
+    store = str(tmp_path / "ivf_store")
+    cents = fixed_centroids(4, 2, seed=7)
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(4)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    day1 = emb.filter("vec_id % 2 = 0")
+    day2 = emb.filter("vec_id % 2 = 1")
+    ivf_incremental_assign(spark, day1, "vec_id", "embedding", cents, store).count()
+    r1 = sorted(
+        map(
+            tuple,
+            ivf_incremental_assign(
+                spark, day2, "vec_id", "embedding", cents, store
+            ).collect(),
+        )
+    )
+    stored = spark.read.option("recursiveFileLookup", "true").parquet(store)
+    n_after_first = stored.count()
+    assert n_after_first == 20  # both batches committed exactly once
+    # Re-run: store row count unchanged, report identical.
+    r2 = sorted(
+        map(
+            tuple,
+            ivf_incremental_assign(
+                spark, day2, "vec_id", "embedding", cents, store
+            ).collect(),
+        )
+    )
+    assert r2 == r1
+    stored2 = spark.read.option("recursiveFileLookup", "true").parquet(store)
+    assert stored2.count() == n_after_first
+    # Report arithmetic: totals partition the corpus, ppm is floor-div.
+    assert sum(r[3] for r in r1) == 20
+    for _cell, n_prior, n_new, n_total, ppm in r1:
+        assert n_prior + n_new == n_total
+        assert ppm == n_new * 1_000_000 // n_total
+
+
 def test_lsh_bucket_occupancy_and_mega_bucket_cap(spark):
     """The occupancy audit reports exact per-band bucket stats (implied
     pairs = sum c(c-1)/2 — the quantity behind the banded join's cost
