@@ -730,7 +730,96 @@ FROM ppm
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_drift_topk — distribution-shift monitor between two ingest batches
+# (even ids = the reference corpus, odd ids = the incoming batch): per-word
+# frequency shares in ppm and their absolute difference, top-20 drifting
+# words. This is the nightly check a training-data pipeline runs before
+# mixing a new crawl into the pool — a sudden top-drift word flags a
+# boilerplate flood, a language shift, or a scraper regression. All
+# arithmetic is int64-exact (share_ppm = cnt*1e6 div total, drift =
+# |share_a − share_b|): no doubles, so the oracle matches bit-for-bit and
+# the metric is stable under any partitioning. Scale posture: one
+# word-count aggregate (partial+final hash agg), a broadcast 1-row totals
+# frame, and a TakeOrderedAndProject top-20 — no corpus-sized shuffle
+# beyond the count itself; at 100 TB the vocabulary-sized intermediate is
+# the same one word_frequency/bpe_corpus learning already rely on.
+# ---------------------------------------------------------------------------
+
+_DRIFT_TOPK = 20
+
+
+def corpus_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("b"),
+        F.explode(F.expr(_TOKS_SPARK)).alias("word"),
+    )
+    # Persisted: `counts` feeds BOTH the totals aggregate and the scored
+    # join — without the persist the corpus tokenize+count pass runs
+    # twice (one extra full scan at 100 TB for a vocabulary-sized
+    # intermediate). The cache is vocab-sized, the same budget the BPE
+    # corpus learner and word_frequency already spend; bench/driver
+    # sessions clear it between queries, and the handle is exposed below
+    # for library callers.
+    counts = toks.groupBy("word").agg(
+        F.sum(F.when(F.col("b") == 0, 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(F.col("b") == 1, 1).otherwise(0)).alias("cnt_b"),
+    ).persist()
+    totals = counts.agg(
+        F.greatest(F.sum("cnt_a"), F.lit(1)).alias("ta"),
+        F.greatest(F.sum("cnt_b"), F.lit(1)).alias("tb"),
+    )
+    scored = counts.join(F.broadcast(totals)).select(
+        "word",
+        "cnt_a",
+        "cnt_b",
+        F.expr("cnt_a * 1000000 div ta").alias("share_a_ppm"),
+        F.expr("cnt_b * 1000000 div tb").alias("share_b_ppm"),
+    )
+    out = (
+        scored.withColumn(
+            "drift_ppm",
+            F.abs(F.col("share_a_ppm") - F.col("share_b_ppm")),
+        )
+        .orderBy(F.desc("drift_ppm"), F.asc("word"))
+        .limit(_DRIFT_TOPK)
+    )
+    out._crz_cached = counts
+    return out
+
+
+CORPUS_DRIFT_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id % 2 AS b, unnest({_TOKS_SQL}) AS word FROM documents
+),
+counts AS (
+  SELECT word,
+         count(*) FILTER (b = 0) AS cnt_a,
+         count(*) FILTER (b = 1) AS cnt_b
+  FROM toks GROUP BY word
+),
+tot AS (
+  SELECT greatest(sum(cnt_a), 1) AS ta, greatest(sum(cnt_b), 1) AS tb
+  FROM counts
+),
+scored AS (
+  SELECT word, cnt_a, cnt_b,
+         CAST(cnt_a * 1000000 // ta AS BIGINT) AS share_a_ppm,
+         CAST(cnt_b * 1000000 // tb AS BIGINT) AS share_b_ppm,
+         CAST(abs(cnt_a * 1000000 // ta - cnt_b * 1000000 // tb) AS BIGINT)
+           AS drift_ppm
+  FROM counts, tot
+)
+SELECT word, cnt_a, cnt_b, share_a_ppm, share_b_ppm, drift_ppm
+FROM scored
+ORDER BY drift_ppm DESC, word ASC
+LIMIT {_DRIFT_TOPK}
+"""
+
+
 QUERIES: dict = {
+    "corpus_drift_topk": (corpus_drift_topk, CORPUS_DRIFT_TOPK_SQL),
     "perplexity_filter": (perplexity_filter, PERPLEXITY_FILTER_SQL),
     "doc_chunking": (doc_chunking, DOC_CHUNKING_SQL),
     "boilerplate_ngram_filter": (
