@@ -684,10 +684,21 @@ def ivf_incremental_assign(
         _store_list,
     )
 
+    # The family string must pin the centroid VALUES, not just the shape:
+    # the minhash/simhash guards this imitates derive their hash functions
+    # deterministically from the recorded params, but centroids are caller
+    # data — after a quantizer retrain (same k, same dim, new matrix) a
+    # shape-only guard would silently mix assignments from two different
+    # quantizers in one store. Digest over the repr of the full matrix.
+    import hashlib as _hashlib
+
+    cent_digest = _hashlib.md5(
+        repr([[float(x) for x in c] for c in centroids]).encode()
+    ).hexdigest()[:16]
     _store_family_check(
         spark,
         store_path,
-        f"ivf_cos6:k{len(centroids)}:d{len(centroids[0])}",
+        f"ivf_cos6:k{len(centroids)}:d{len(centroids[0])}:c{cent_digest}",
     )
     assign = _assign_cells_numpy_udf(centroids)
     new_assigned = new_vecs.select(

@@ -785,8 +785,14 @@ def corpus_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("drift_ppm"), F.asc("word"))
         .limit(_DRIFT_TOPK)
     )
-    out._crz_cached = counts
-    return out
+    # The report is top-K rows — materialize HERE (TakeOrderedAndProject
+    # executes now) and release the vocab-sized counts cache, so no
+    # registry-path invocation leaves a persisted frame behind in a
+    # session that doesn't clearCache (the curation_pipeline_audit
+    # collect-and-release discipline).
+    rows = out.collect()
+    counts.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 CORPUS_DRIFT_TOPK_SQL = f"""

@@ -574,16 +574,13 @@ def _curation_audit_md5_sql() -> str:
     five-row ledger. Every fragment is individually hash-proven
     (exact_dedup_groups, minhash_near_dup_md5, near_dup_clusters,
     doc_quality); this string wires them exactly as pipeline.py does."""
-    from crz_scraper_spark.operators.textquality import LANG_STOPWORDS
     from crz_scraper_spark.plans.scale_plans import _minhash_md5_sql
-    from crz_scraper_spark.plans.text_plans import _TOKS_SQL
+    from crz_scraper_spark.plans.text_plans import quality_score_sql
 
     pairs_sql = _minhash_md5_sql(src="exact", threshold=0.8).strip()
     body = pairs_sql[len("WITH ") :]
     head, final_select = body.rsplit(")\nSELECT", 1)
     final_select = "SELECT" + final_select
-    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
-    stoplist = "[" + ", ".join(f"'{w}'" for w in all_stop) + "]"
     return f"""
 WITH RECURSIVE base AS (
   SELECT doc_id, text FROM documents
@@ -619,25 +616,7 @@ deduped AS (
   WHERE e.doc_id NOT IN (SELECT doc_id FROM non_reps)
 ),
 q AS (
-  SELECT doc_id,
-         round(least(n_tokens / 100.0, 1.0) * 0.4
-               + least(stop_ratio * 5.0, 1.0) * 0.3
-               + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3, 6)
-           AS quality_score
-  FROM (
-    SELECT doc_id,
-           len(toks) AS n_tokens,
-           CASE WHEN length(text) > 0
-                THEN (length(text)
-                      - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
-                     / length(text)
-                ELSE 0.0 END AS punct_ratio,
-           CASE WHEN len(toks) > 0
-                THEN len(list_filter(toks, w -> list_contains({stoplist}, w)))::DOUBLE
-                     / len(toks)
-                ELSE 0.0 END AS stop_ratio
-    FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM deduped)
-  )
+  {quality_score_sql("deduped")}
 ),
 counts AS (
   SELECT (SELECT count(*) FROM base)  AS input_n,

@@ -83,7 +83,7 @@ _FIRST_WINDOW = [
     "scd2_intervals",
     "funnel_conversion",
     "weekly_retention",
-    # -- staleness refresh: last checked r2 (oldest 28) ---------------------
+    # -- staleness refresh: last checked r2 (oldest 23) ---------------------
     "order_lineitem_rollup",
     "dedup_orders_first_wins",
     "nationkey_set_ops",

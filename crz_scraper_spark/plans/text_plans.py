@@ -204,9 +204,47 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(fan_out(load_table(spark, sf_dir, "documents")))
 
 
-def _doc_quality_sql() -> str:
+# Shared fragments of the doc_quality formula (mirrors
+# textquality.quality_score_expr): composed by BOTH the doc_quality
+# oracle below and the curation-chain oracle
+# (fixture_plans._curation_audit_md5_sql), so a weight or ratio change
+# can never update one oracle and silently leave the other asserting the
+# stale formula.
+
+_PUNCT_RATIO_SQL = """CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                   / length(text)
+              ELSE 0.0 END"""
+
+QUALITY_SCORE_EXPR_SQL = """round(least(n_tokens / 100.0, 1.0) * 0.4
+             + least(stop_ratio * 5.0, 1.0) * 0.3
+             + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3, 6)"""
+
+
+def _stop_ratio_sql() -> str:
     all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
     stoplist = "[" + ", ".join(f"'{w}'" for w in all_stop) + "]"
+    return f"""CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, w -> list_contains({stoplist}, w)))::DOUBLE
+                   / len(toks)
+              ELSE 0.0 END"""
+
+
+def quality_score_sql(src: str) -> str:
+    """The doc_quality score formula as a (doc_id, quality_score) SELECT
+    over `src` (any table/CTE with doc_id + text) — the reusable form
+    composed oracles re-head instead of copying the formula."""
+    return f"""SELECT doc_id, {QUALITY_SCORE_EXPR_SQL} AS quality_score
+  FROM (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           {_PUNCT_RATIO_SQL} AS punct_ratio,
+           {_stop_ratio_sql()} AS stop_ratio
+    FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM {src})
+  )"""
+
+
+def _doc_quality_sql() -> str:
     return f"""
 SELECT doc_id,
        n_chars_calc,
@@ -215,9 +253,7 @@ SELECT doc_id,
        round(punct_ratio, 6)  AS punct_ratio,
        round(stop_ratio, 6)   AS stop_ratio,
        round(upper_ratio, 6)  AS upper_ratio,
-       round(least(n_tokens / 100.0, 1.0) * 0.4
-             + least(stop_ratio * 5.0, 1.0) * 0.3
-             + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3, 6) AS quality_score
+       {QUALITY_SCORE_EXPR_SQL} AS quality_score
 FROM (
   SELECT doc_id,
          length(text) AS n_chars_calc,
@@ -225,14 +261,8 @@ FROM (
          CASE WHEN len(toks) > 0
               THEN list_sum(list_transform(toks, w -> length(w)))::DOUBLE / len(toks)
               ELSE 0.0 END AS mean_tok_len,
-         CASE WHEN length(text) > 0
-              THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
-                   / length(text)
-              ELSE 0.0 END AS punct_ratio,
-         CASE WHEN len(toks) > 0
-              THEN len(list_filter(toks, w -> list_contains({stoplist}, w)))::DOUBLE
-                   / len(toks)
-              ELSE 0.0 END AS stop_ratio,
+         {_PUNCT_RATIO_SQL} AS punct_ratio,
+         {_stop_ratio_sql()} AS stop_ratio,
          CASE WHEN length(text) > 0
               THEN (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE
                    / length(text)
