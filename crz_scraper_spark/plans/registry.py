@@ -42,16 +42,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # r5's window verbatim, so the r1/r2-checked families below are 4-5
 # rounds stale). Round 7: ann_ivf_topk/ann_pq_topk just gained
 # fixed-literal oracles, token_heavy_hitters' pass-1 dtype changed, and
-# six queries are new (semantic_dedup_trained_fixed — trained-quantizer
+# seven queries are new (semantic_dedup_trained_fixed — trained-quantizer
 # SemDeDup with a chained Lloyd-CTE oracle; curation_pipeline_audit_md5 —
 # the portable-hash curation chain with a composed end-to-end oracle;
 # multimodal_frame_index — the frame flat-map's byte-exact oracle twin;
 # bpe_fixed_merges_stats — the BPE apply phase on pinned literal merges,
 # recursive-CTE oracle; ivf_incremental_assign — incremental ANN-index
 # maintenance with a fixed-centroid oracle; corpus_drift_topk — the
-# integer-exact batch distribution-shift monitor); the 36 refresh slots
-# take all 13 r1-checked queries plus the 23 oldest r2-checked ones (the
-# rest of r2 and r3 roll into round 8).
+# integer-exact batch distribution-shift monitor;
+# multimodal_resize_audit — the byte-exact resize twin); the 35 refresh
+# slots take all 13 r1-checked queries plus the 22 oldest r2-checked
+# ones (the rest of r2 and r3 roll into round 8).
 _FIRST_WINDOW = [
     # -- pinned flagships (continuously driver-verified) ------------------
     "pricing_summary",          # flagship: decimal aggs, O1 multi-key sort
@@ -69,6 +70,7 @@ _FIRST_WINDOW = [
     "bpe_fixed_merges_stats",        # NEW: BPE apply on pinned merges
     "ivf_incremental_assign",        # NEW: incremental ANN-index store
     "corpus_drift_topk",             # NEW: batch distribution-shift monitor
+    "multimodal_resize_audit",       # NEW: byte-exact resize twin
     # -- staleness refresh: last checked r1 --------------------------------
     "sql_shipping_priority",
     "revenue_by_nation",
@@ -106,7 +108,6 @@ _FIRST_WINDOW = [
     "subject_extract_600",
     "contains_theta_join",
     "doc_quality",
-    "token_count_stats",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}

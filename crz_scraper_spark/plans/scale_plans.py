@@ -34,6 +34,7 @@ from crz_scraper_spark.operators.extraction import (
 from crz_scraper_spark.operators.multimodal import (
     decode_documents,
     extract_features,
+    resize_images,
     sample_frames,
 )
 from crz_scraper_spark.operators.similarity import (
@@ -1032,6 +1033,58 @@ f AS (
   FROM (SELECT doc_id, ph, n, unnest(range(0, n % 7)) AS i FROM b)
 )
 SELECT doc_id, frame_no, ts_ms, frame_hex FROM f
+"""
+
+
+_RESIZE_W = 64
+_RESIZE_H = 64
+_RESIZE_TARGET = max(_RESIZE_W * _RESIZE_H // 8, 1)
+
+
+def multimodal_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last multimodal verb made driver-visible: `resize_images`' 1:1
+    binary→binary mapInPandas (payload → fixed-size thumbnail; the stub
+    cycles/truncates the bytes to width*height//8 — a real PIL resize
+    keeps the same contract: binary in, bounded binary out, no shuffle).
+    The thumbnail is pure byte arithmetic, so the hex-encoded bytes are
+    FULLY oracled: DuckDB repeats and truncates the same hex string. With
+    decode (1:1 metadata), frame sampling (flat-map), features
+    (rows-only Gaussian stub), and resize, every multimodal operator now
+    has a registry entry."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    binary = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    resized = resize_images(binary, _RESIZE_W, _RESIZE_H)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.length("thumb").alias("thumb_bytes"),
+        F.hex("thumb").alias("thumb_hex"),
+    )
+
+
+# Mirrors the stub's cycle/truncate arithmetic in hex space (2 hex chars =
+# 1 byte): empty payloads become the single NUL byte first, then the
+# payload repeats ceil(target/len) times and truncates to target bytes.
+MULTIMODAL_RESIZE_AUDIT_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) = 0 THEN '00'
+              ELSE hex(encode(text)) END AS ph
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         substring(repeat(ph, CAST(({_RESIZE_TARGET} * 2 + length(ph) - 1)
+                               // length(ph) AS INT)),
+                   1, {_RESIZE_TARGET} * 2) AS thumb_hex
+  FROM b
+)
+SELECT doc_id, {_RESIZE_W} AS width, {_RESIZE_H} AS height,
+       CAST(length(thumb_hex) // 2 AS INT) AS thumb_bytes, thumb_hex
+FROM t
 """
 
 
@@ -2104,5 +2157,9 @@ QUERIES: dict = {
     "multimodal_frame_index": (
         multimodal_frame_index,
         MULTIMODAL_FRAME_INDEX_SQL,
+    ),
+    "multimodal_resize_audit": (
+        multimodal_resize_audit,
+        MULTIMODAL_RESIZE_AUDIT_SQL,
     ),
 }
