@@ -154,24 +154,35 @@ FEATURES_SCHEMA = "doc_id bigint, frame_no int, feature array<float>"
 def extract_features(frames: DataFrame, dim: int = 16) -> DataFrame:
     """Per-frame embedding: binary → array<float>[dim], numpy-vectorized.
 
-    STUB featurizer: bytes are hashed into a deterministic float vector (a
-    stand-in for a vision encoder). Output feeds the similarity-search
-    operators (operators/similarity.py) unchanged — binary column in,
-    embedding column out is the whole multimodal→ANN bridge.
+    STUB featurizer (a stand-in for a vision encoder), but a DETERMINISTIC
+    INTEGER one: feature[j] is the strided byte-window sum — the sum of
+    byte values at positions j, j+dim, j+2*dim, ... of the frame (zero
+    padded). Integer-valued float32 (frames are bounded, so sums stay far
+    below 2^24) ⇒ every downstream aggregate is exact and the whole chain
+    is byte-arithmetic oracleable in ANSI SQL — unlike the earlier
+    hash-seeded Gaussian stub, which had no SQL analog and forced the
+    registry query onto the weaker rows-only check. Output still feeds the
+    similarity-search operators (operators/similarity.py) unchanged —
+    binary column in, embedding column out is the whole multimodal→ANN
+    bridge.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         import numpy as np
 
+        zero = np.zeros(dim, dtype="float32")
         for pdf in it:
             feats = []
             for p in pdf["frame"]:
-                p = p if p is not None else b""
-                seed = int.from_bytes(hashlib.md5(p).digest()[:8], "big")
-                rng = np.random.default_rng(seed)
-                feats.append(rng.standard_normal(dim).astype("float32"))
+                arr = np.frombuffer(p or b"", dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append(zero)
+                    continue
+                pad = (-arr.size) % dim
+                windows = np.pad(arr, (0, pad)).reshape(-1, dim)
+                feats.append(
+                    windows.sum(axis=0, dtype="int64").astype("float32")
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

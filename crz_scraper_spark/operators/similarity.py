@@ -701,7 +701,11 @@ def ivf_incremental_assign(
         f"ivf_cos6:k{len(centroids)}:d{len(centroids[0])}:c{cent_digest}",
     )
     assign = _assign_cells_numpy_udf(centroids)
-    new_assigned = new_vecs.select(
+    # Dedup WITHIN the batch too: duplicate vec_ids inside one new_vecs
+    # frame would otherwise append twice, inflating n_total/new_share_ppm
+    # and breaking the store-uniqueness invariant the anti-join below
+    # maintains against PRIOR batches only.
+    new_assigned = new_vecs.dropDuplicates([id_col]).select(
         F.col(id_col).alias("vec_id"),
         assign(F.col(vec_col).cast("array<double>")).alias("cell"),
     )

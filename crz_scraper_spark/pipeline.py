@@ -241,6 +241,13 @@ def curation_pipeline(
         quality_score_expr,
     )
 
+    if hash_tier not in ("production", "portable_md5"):
+        # A typo ('md5', 'portable') must not silently run the xxhash64
+        # tier while the caller believes they got the engine-portable one.
+        raise ValueError(
+            f"hash_tier must be 'production' or 'portable_md5', got "
+            f"{hash_tier!r}"
+        )
     portable = hash_tier == "portable_md5"
     base = docs.select(id_col, text_col)
     # Stage 1 — exact dedup: group on the content digest, keep lowest id.

@@ -578,8 +578,21 @@ def _curation_audit_md5_sql() -> str:
     from crz_scraper_spark.plans.text_plans import quality_score_sql
 
     pairs_sql = _minhash_md5_sql(src="exact", threshold=0.8).strip()
+    # The re-heading below is string surgery on the template's layout; a
+    # whitespace/layout drift in _minhash_md5_sql must raise HERE, not
+    # silently emit malformed SQL the driver would only catch as a
+    # hash mismatch.
+    if not pairs_sql.startswith("WITH "):
+        raise ValueError(
+            "_minhash_md5_sql layout drift: expected leading 'WITH '"
+        )
     body = pairs_sql[len("WITH ") :]
-    head, final_select = body.rsplit(")\nSELECT", 1)
+    parts = body.rsplit(")\nSELECT", 1)
+    if len(parts) != 2:
+        raise ValueError(
+            "_minhash_md5_sql layout drift: ')\\nSELECT' separator not found"
+        )
+    head, final_select = parts
     final_select = "SELECT" + final_select
     return f"""
 WITH RECURSIVE base AS (

@@ -966,33 +966,69 @@ def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding → per-doc rollup. Media codecs are deterministic stubs
     (operators/multimodal.py); the Spark plumbing — flat-map cardinality,
     binary columns, array<float> features feeding the ANN operators — is
-    real. Rows-only check (hash-seeded stub features have no SQL analog)."""
+    real. FULLY oracled since the featurizer became the integer
+    byte-window-sum stub: with dim=16 and 16-byte frame slices, each
+    feature vector is the frame's zero-padded byte values, so the per-doc
+    sum / sum-of-squares rollup is exact int64 arithmetic DuckDB
+    reproduces from the hex-encoded slices bit-for-bit."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     binary = docs.select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     frames = sample_frames(binary)
-    feats = extract_features(frames)
-    norm = F.sqrt(
-        F.aggregate(
-            F.col("feature"),
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    feats = extract_features(frames, dim=16)
+    fsum = F.aggregate(
+        F.col("feature"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x.cast("bigint"),
+    )
+    fsq = F.aggregate(
+        F.col("feature"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x.cast("bigint") * x.cast("bigint"),
+    )
+    return (
+        feats.select("doc_id", fsum.alias("fs"), fsq.alias("fq"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum("fs").alias("feat_sum"),
+            F.sum("fq").alias("feat_sq_sum"),
         )
     )
-    rolled = feats.select(
-        "doc_id", "frame_no", norm.alias("feat_norm")
-    ).groupBy("doc_id").agg(
-        F.count("*").alias("n_frames"),
-        F.round(F.avg("feat_norm"), 4).alias("avg_feat_norm"),
-    )
-    # Rows-only invariant: every doc that produced frames has >= 1 frame
-    # and a non-degenerate feature norm (the stub embeds unit-scale
-    # hash-seeded values — an all-zeros regression in the UDF chain
-    # empties the row's norm and drops it here).
-    return rolled.filter(
-        (F.col("n_frames") >= 1) & (F.col("avg_feat_norm") > 0.0)
-    )
+
+
+# Mirrors the whole chain in hex space: frame slices exactly as
+# MULTIMODAL_FRAME_INDEX_SQL cuts them, byte values decoded from hex pairs
+# (2 chars = 1 byte; DuckDB hex() is uppercase), per-frame sum /
+# sum-of-squares, per-doc int64 rollup. The strided-window featurizer
+# reduces to plain byte sums here because dim=16 ≥ the 16-byte slice
+# length — pinned by tests/test_multimodal.py's window-fold case.
+MULTIMODAL_FRAME_FEATURES_SQL = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS ph, octet_length(encode(text)) AS n
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         substring(ph, CAST((i * n) // (n % 7) AS BIGINT) * 2 + 1, 32) AS fh
+  FROM (SELECT doc_id, ph, n, unnest(range(0, n % 7)) AS i FROM b)
+),
+v AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(fh) // 2), i ->
+           (strpos('0123456789ABCDEF', substring(fh, 2*i - 1, 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substring(fh, 2*i, 1)) - 1) AS vals
+  FROM f
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(list_sum(vals)) AS BIGINT) AS feat_sum,
+       CAST(sum(list_sum(list_transform(vals, x -> x * x))) AS BIGINT)
+         AS feat_sq_sum
+FROM v
+GROUP BY doc_id
+"""
 
 
 def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2153,7 +2189,10 @@ QUERIES: dict = {
     "simhash_near_dup_md5": (simhash_near_dup_md5, _simhash_md5_sql()),
     "ngram_jaccard_consecutive": (ngram_jaccard_consecutive, NGRAM_JACCARD_SQL),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
-    "multimodal_frame_features": (multimodal_frame_features, None),
+    "multimodal_frame_features": (
+        multimodal_frame_features,
+        MULTIMODAL_FRAME_FEATURES_SQL,
+    ),
     "multimodal_frame_index": (
         multimodal_frame_index,
         MULTIMODAL_FRAME_INDEX_SQL,

@@ -47,6 +47,24 @@ def test_sample_frames_flatmap_cardinality(spark):
     assert counts == {1: len(_P1) % 7, 2: 100 % 7}
 
 
+def test_extract_features_byte_window_sums(spark):
+    # The integer featurizer contract the SQL oracle relies on:
+    # feature[j] = sum of byte values at positions j, j+dim, j+2*dim, ...
+    # (zero padded). With dim >= len(frame) it degrades to plain padded
+    # byte values — which is why MULTIMODAL_FRAME_FEATURES_SQL can reduce
+    # the rollup to per-frame byte sums (16-byte slices, dim=16).
+    frames = spark.createDataFrame(
+        [(1, 0, 0, bytes([1, 2, 3, 250, 4]))],
+        "doc_id bigint, frame_no int, ts_ms bigint, frame binary",
+    )
+    (row,) = extract_features(frames, dim=3).collect()
+    # windows: [1,2,3] + [250,4,0] -> [251, 6, 3]
+    assert [int(x) for x in row.feature] == [251, 6, 3]
+    (row16,) = extract_features(frames, dim=16).collect()
+    assert [int(x) for x in row16.feature[:5]] == [1, 2, 3, 250, 4]
+    assert all(x == 0.0 for x in row16.feature[5:])
+
+
 def test_extract_features_dim_and_determinism(spark):
     frames = sample_frames(_binary(spark))
     f1 = extract_features(frames, dim=8)

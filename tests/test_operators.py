@@ -834,6 +834,20 @@ def test_ivf_incremental_idempotent_store_and_report(spark, tmp_path):
     for _cell, n_prior, n_new, n_total, ppm in r1:
         assert n_prior + n_new == n_total
         assert ppm == n_new * 1_000_000 // n_total
+    # Duplicate vec_ids WITHIN one batch must not double-append either
+    # (ADVICE r7): the store stays unique and the report unchanged.
+    dup_batch = day2.union(day2)
+    r3 = sorted(
+        map(
+            tuple,
+            ivf_incremental_assign(
+                spark, dup_batch, "vec_id", "embedding", cents, store
+            ).collect(),
+        )
+    )
+    assert r3 == r1
+    stored3 = spark.read.option("recursiveFileLookup", "true").parquet(store)
+    assert stored3.count() == n_after_first
 
 
 def test_lsh_bucket_occupancy_and_mega_bucket_cap(spark):

@@ -398,6 +398,18 @@ def test_cli_list_and_unknown():
     assert "unknown queries" in err.getvalue()
 
 
+def test_curation_pipeline_rejects_unknown_hash_tier(spark, sf_dir):
+    """A hash_tier typo ('md5', 'portable') must raise, not silently run
+    the production xxhash64 tier (ADVICE r7)."""
+    import pytest
+
+    from crz_scraper_spark.pipeline import curation_pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="hash_tier"):
+        curation_pipeline(docs, hash_tier="md5")
+
+
 def test_curation_pipeline_end_to_end(spark, sf_dir):
     """The curation chain composes the verified operators: stage counts are
     monotone non-increasing, every dropped id carries a stage tag, the
