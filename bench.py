@@ -11,6 +11,11 @@ under 2 KB; the COMPLETE per-query timing map is always written to
 
 Each query is fully materialized through the noop sink (computes everything,
 writes nothing) — `count()` alone would let Spark skip projection work.
+
+Timing discipline: warm once (Catalyst analysis + codegen JIT), then time
+SPARK_GRAFT_BENCH_REPS executions (default 3) and record the MEDIAN —
+per-rep samples land in the results file under "query_samples". See the
+inline note at the reps loop for why single-shot timing was inadmissible.
 """
 
 from __future__ import annotations
@@ -61,7 +66,19 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown: {sorted(unknown)}")
 
+    # Median-of-N timing (VERDICT r7 item 1): a single timed execution is
+    # hostage to whatever GC pause / page-cache miss / ContextCleaner sweep
+    # lands inside its window — the r7 artifacts carried single-query
+    # spikes up to 14× over standalone cost, making every in-bench
+    # per-query figure inadmissible without a manual standalone re-run.
+    # The median of 3 discards the one-off storm draw while staying honest
+    # about repeatable cost. SPARK_GRAFT_BENCH_REPS=1 restores the old
+    # single-shot mode (the full per-rep samples land in the results file
+    # either way, so spread is auditable per run).
+    reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
+
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name, (fn, _sql) in sorted(REGISTRY.items()):
         if selected and name not in selected:
             continue
@@ -75,22 +92,29 @@ def main() -> None:
             f"[bench] {time.strftime('%H:%M:%S')} start {name}\n"
         )
         sys.stderr.flush()
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()
+        runs: list[float] = []
+        for _ in range(reps):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+            # clearCache between reps: persisted intermediates (LSH
+            # signatures, adjacency lists) must REcompute every measured
+            # pass — no rep gets a free ride from the previous one.
+            spark.catalog.clearCache()
+            df = None
+        samples[name] = runs
+        timings[name] = sorted(runs)[len(runs) // 2]
         # Drop py4j refs so Spark's ContextCleaner reclaims the session's
         # accumulated broadcasts/codegen state: without this, memory
         # pressure late in a 150-query run inflated individual timings
         # 3-10x over their standalone cost (measured 3s -> 37s).
-        df = None
         gc.collect()
         # (A per-query JVM System.gc() was tried against the ±30% churn
         # that read near_dup_clusters at 45 s in-bench vs 8.6 s warm
         # standalone: it made the TOTAL 13% worse — the forced full GC's
         # cost leaks into the next measured window. Not worth it; the
-        # churn is documented in PLANS.md instead.)
+        # median-of-3 absorbs the one-off draws instead.)
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -98,6 +122,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_samples": samples,
+        "reps": reps,
         "sf": sf,
     }
     # SPARK_GRAFT_BENCH_OUT redirects the full-results file (e.g. the sf1
@@ -130,6 +156,7 @@ def main() -> None:
         "queries": headline,
         "sf": sf,
         "n_queries_total": len(timings),
+        "reps": reps,
         "full_results_file": os.path.basename(out_path),
     }
     # Cross-round comparability after a window rotation (VERDICT r6 item
