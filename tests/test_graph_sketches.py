@@ -205,6 +205,27 @@ def test_triangle_counts_match_bruteforce(spark):
     df = spark.createDataFrame(sorted(adj), ["src", "dst"])
     got = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
     assert got == expect
+    # Same counts through every physical variant: the id-compaction and
+    # the shuffle-hash hint change the plan, never the triangle set.
+    for compact, hint in ((False, False), (True, False), (False, True)):
+        alt = {
+            r["node"]: r["n_tri"]
+            for r in triangle_counts(
+                df, compact_ids=compact, hash_join_hint=hint
+            ).collect()
+        }
+        assert alt == expect, (compact, hint)
+    # Ids beyond int32 must skip compaction (bounds check) yet stay exact,
+    # and the output keeps the input's bigint type.
+    big = 2**40
+    shifted = spark.createDataFrame(
+        sorted((a + big, b + big) for a, b in adj), ["src", "dst"]
+    )
+    got_big = {
+        r["node"] - big: r["n_tri"] for r in triangle_counts(shifted).collect()
+    }
+    assert got_big == expect
+    assert dict(triangle_counts(shifted).dtypes)["node"] == "bigint"
 
 
 def test_referential_integrity_clean_on_testdata(spark, sf_dir):
