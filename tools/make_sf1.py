@@ -123,7 +123,11 @@ def main() -> None:
     # quantizer cell (a data-generation pathology, not a real-corpus
     # shape). Rotating the axis keeps every replica separated from every
     # other (two ±3.0 coordinate differences) while replica 0 stays the
-    # literal sf0.1 subset.
+    # literal sf0.1 subset. Past 64 replicas the rotation wraps, so the
+    # offset MAGNITUDE scales with the wrap count (replica 65 gets +6.0 at
+    # dim 1 where replica 1 got +3.0) — without that, wrapped replicas
+    # would be exact embedding twins of their mod-64 partner and every
+    # near-dup query would measure a 2x multiplicity artifact.
     replicate(
         "embeddings",
         lambda d, i: _shift(d, "vec_id", "vec", i).withColumn(
@@ -131,7 +135,8 @@ def main() -> None:
             F.transform(
                 "embedding",
                 lambda x, idx: F.when(
-                    F.lit(i > 0) & (idx == F.lit(i % 64)), x + F.lit(3.0)
+                    F.lit(i > 0) & (idx == F.lit(i % 64)),
+                    x + F.lit(3.0 * (1 + (i - 1) // 64)),
                 ).otherwise(x).cast("float"),
             ),
         ),
