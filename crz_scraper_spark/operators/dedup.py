@@ -1345,3 +1345,122 @@ def simhash_incremental(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup: rare-shingle blocking.
+#
+# Jaccard-based near-dup (MinHash above) systematically MISSES the
+# asymmetric case a training-data pipeline cares about most: a short
+# document embedded verbatim inside a much longer one has Jaccard
+# |A∩B|/|A∪B| ≈ |A|/|B| → 0 even at containment |A∩B|/min(|A|,|B|) = 1
+# (Broder 1997 defines both resemblance AND containment for exactly this
+# reason). This operator detects high-containment pairs without all-pairs
+# work via RARE-SHINGLE BLOCKING: a pair with containment >= c shares at
+# least c·min_size shingles, so if the smaller doc has ANY globally-rare
+# shared shingle, joining on each doc's K rarest shingles (document
+# frequency capped at max_df) surfaces the pair. Work bounds:
+#   - one DF aggregation over the exploded shingle table (shuffle on
+#     shingle — uniformly distributed keys);
+#   - K rarest per doc = a per-doc row_number window (partition key = doc,
+#     bounded partitions, deterministic (df, shingle) tie-break);
+#   - the blocking join emits <= K · max_df candidates PER DOC — linear in
+#     corpus size by construction, never O(n²);
+#   - exact verification joins only candidate docs' shingles.
+# Recall is bounded, not perfect: a contained doc whose every shingle has
+# df > max_df (pure boilerplate) is missed — at that point the
+# line/span-level dedup (`line_dedup_reconstruct`, `dup_span_detect`) is
+# the right tool, and `max_df` is the knob that trades candidate volume
+# for recall.
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    rare_k: int = 3,
+    max_df: int = 20,
+    min_containment_ppm: int = 800_000,
+) -> DataFrame:
+    """Doc pairs with shingle containment >= threshold, rare-shingle blocked.
+
+    Returns ``(id_a, id_b, inter_cnt, min_sz, containment_ppm)`` with
+    ``id_a < id_b``, ppm = floor(|A∩B| · 1e6 / min(|A|, |B|)) — integer
+    ranks plus ONE IEEE division, so the result hash-matches a DuckDB twin.
+    """
+    t = F.col("toks")
+    shingle = F.when(
+        F.size(t) >= shingle_words,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (shingle_words - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j) for j in range(shingle_words)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        docs.select(id_col, tokens_nonempty(text_col).alias("toks"))
+        .select(F.col(id_col).alias("doc"), F.explode(shingle).alias("shingle"))
+        .persist()
+    )
+    try:
+        sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        rk = F.row_number().over(
+            Window.partitionBy("doc").orderBy("df", "shingle")
+        )
+        rare = (
+            sh.join(dfreq, "shingle")
+            .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+            .withColumn("rk", rk)
+            .filter(F.col("rk") <= rare_k)
+            .select("doc", "shingle")
+        )
+        cand = (
+            rare.select(F.col("doc").alias("id_a"), "shingle")
+            .join(sh.select(F.col("doc").alias("id_b"), "shingle"), "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        inter = (
+            cand.join(sh.select(F.col("doc").alias("id_a"), "shingle"), "id_a")
+            .join(
+                sh.select(F.col("doc").alias("id_b"), "shingle"),
+                ["id_b", "shingle"],
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter_cnt"))
+        )
+        ppm = F.floor(
+            F.col("inter_cnt").cast("double")
+            * F.lit(1000000.0)
+            / F.least("a_sz", "b_sz").cast("double")
+        ).cast("bigint")
+        out = (
+            inter.join(
+                sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("a_sz")),
+                "id_a",
+            )
+            .join(
+                sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("b_sz")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                "inter_cnt",
+                F.least("a_sz", "b_sz").alias("min_sz"),
+                ppm.alias("containment_ppm"),
+            )
+            .filter(F.col("containment_ppm") >= min_containment_ppm)
+            .orderBy("id_a", "id_b")
+        )
+        out = out.localCheckpoint()
+    finally:
+        sh.unpersist()
+    return out

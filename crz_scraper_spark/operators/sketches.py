@@ -91,3 +91,107 @@ def cms_estimate(
     joined = keyed.join(F.broadcast(sketch), ["j", "bucket"], "inner")
     group_cols = [col for col in probes.columns]
     return joined.groupBy(*group_cols).agg(F.min("c").alias("est"))
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007), engine-portable md5 edition.
+#
+# Spark ships HLL++ as `approx_count_distinct`, but its hash (xxhash64 of
+# the internal binary layout) and bias tables are engine-private — the
+# DuckDB oracle can never rebuild the same registers, which is why
+# `approx_distinct_profile` is a rows-only check. This twin fixes the whole
+# estimator to public arithmetic: bucket = first 8 md5 bits, rho = leading
+# zeros of the next 52 bits + 1, register = max(rho), estimate =
+# alpha_m * m^2 / sum(2^-register). Every step below is integer except ONE
+# IEEE double division at the end, so the estimate is reproducible
+# bit-for-bit in any engine with md5 — the sketch itself becomes
+# hash-checkable, not just error-bounded.
+#
+# Scale story (same as the CMS above): registers are a per-group max, so
+# map-side partial aggregation collapses each task's contribution to at most
+# ``groups x 256`` rows before the shuffle, and register tables from
+# different days/partitions/clusters merge by element-wise MAX. The raw
+# estimator (no small-range linear-counting branch) is used on purpose:
+# cross-engine `ln()` is not ulp-identical, while the raw path's single
+# division is — callers needing the small-range regime get `zero_regs` to
+# detect it (zero_regs > 0 with n < 2.5m ⇒ prefer linear counting).
+# ---------------------------------------------------------------------------
+
+_HLL_M = 256  # 2^8 registers: bucket = first 2 md5 hex chars
+# alpha_256 * m^2 * 2^53, computed once in IEEE double in this exact
+# operation order; the DuckDB oracle embeds repr() of this value so both
+# engines divide the SAME numerator by the SAME integer register sum.
+HLL_NUMERATOR = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+
+_HEX13_ZEROS = "0" * 13
+
+
+def _hll_rho() -> Column:
+    """rho = 1 + leading zero bits of the 52-bit tail held in col `hex13`.
+
+    Pure string arithmetic (no log2 — cross-engine libm is not
+    ulp-identical): 4 zero bits per leading '0' hex char, plus the
+    intra-digit zeros of the first non-zero char (1 -> 3, 2-3 -> 2,
+    4-7 -> 1, 8-f -> 0). All-zero tail caps at 52 + 1.
+    """
+    stripped = F.expr("trim(LEADING '0' FROM hex13)")
+    first = F.substring(stripped, 1, 1)
+    intra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    return (
+        F.when(F.col("hex13") == _HEX13_ZEROS, F.lit(53))
+        .otherwise(4 * (13 - F.length(stripped)) + intra + 1)
+        .cast("int")
+    )
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HLL register table: ``group_cols + (bucket, mx)``.
+
+    Exactly ``m`` rows per group (empty registers materialized at mx = 0 so
+    the register sum is well-defined), built with one max-aggregate — the
+    shuffle payload is register-table-sized, never input-sized. Register
+    tables are mergeable by MAX on (group, bucket), so incremental daily
+    builds never re-read history.
+    """
+    md = F.md5(F.col(value_col).cast("string"))
+    hashed = df.select(
+        *group_cols,
+        F.conv(F.substring(md, 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        F.substring(md, 3, 13).alias("hex13"),
+    )
+    regs = (
+        hashed.select(*group_cols, "bucket", _hll_rho().alias("r"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("r").alias("mx"))
+    )
+    groups = df.select(*group_cols).distinct()
+    allregs = groups.select(
+        *group_cols,
+        F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("bucket"),
+    ).join(regs, [*group_cols, "bucket"], "left")
+    return allregs.withColumn("mx", F.coalesce(F.col("mx"), F.lit(0)))
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Collapse a register table to ``group_cols + (hll_est, zero_regs)``.
+
+    The register sum is EXACT int64 (sum of 2^(53-mx) over 256 registers
+    <= 2^61); the only float op is the final division of two values both
+    engines hold bit-identically, so `hll_est` hash-matches a DuckDB twin.
+    """
+    summed = registers.groupBy(*group_cols).agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - mx)")).alias("s"),
+        F.sum(F.when(F.col("mx") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("zero_regs"),
+    )
+    est = F.floor(F.lit(HLL_NUMERATOR) / F.col("s").cast("double"))
+    return summed.select(
+        *group_cols, est.cast("bigint").alias("hll_est"), "zero_regs"
+    )

@@ -661,6 +661,107 @@ def approx_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# hll_distinct_md5 — the engine-portable HyperLogLog twin of
+# approx_distinct_profile (operators/sketches.py::hll_registers): per
+# (l_returnflag, l_linestatus), the md5-register HLL estimate of distinct
+# l_orderkey beside the exact count. Unlike Spark's private HLL++, every
+# step is public arithmetic (md5 bucket + leading-zero rho + integer
+# register sum + ONE IEEE division), so the DuckDB oracle rebuilds the
+# identical registers and the driver hash-checks the ESTIMATE itself —
+# the sketch family's first full value-match. err_ppm makes the sketch's
+# accuracy a driver-recorded number (expected |err| ~ 1.04/sqrt(256) = 6.5%).
+# ---------------------------------------------------------------------------
+
+
+def hll_distinct_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.operators.sketches import hll_estimate, hll_registers
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rflag"),
+        F.col("l_linestatus").alias("lstatus"),
+        "l_orderkey",
+    )
+    regs = hll_registers(li, "l_orderkey", ["rflag", "lstatus"])
+    est = hll_estimate(regs, ["rflag", "lstatus"])
+    exact = li.groupBy("rflag", "lstatus").agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    err = F.floor(
+        (F.col("hll_est") - F.col("exact_distinct")).cast("double")
+        * F.lit(1000000.0)
+        / F.col("exact_distinct").cast("double")
+    ).cast("bigint")
+    return (
+        exact.join(est, ["rflag", "lstatus"])
+        .select(
+            "rflag",
+            "lstatus",
+            "exact_distinct",
+            "hll_est",
+            "zero_regs",
+            err.alias("err_ppm"),
+        )
+        .orderBy("rflag", "lstatus")
+    )
+
+
+def _hll_distinct_sql() -> str:
+    from crz_scraper_spark.operators.sketches import HLL_NUMERATOR
+
+    num = repr(HLL_NUMERATOR)
+    return f"""
+WITH src AS (
+  SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+         l_orderkey::VARCHAR AS v
+  FROM lineitem
+),
+hashed AS (
+  SELECT rflag, lstatus,
+         ('0x' || substr(md5(v), 1, 2))::BIGINT AS bucket,
+         substr(md5(v), 3, 13) AS hex13
+  FROM src
+),
+rho AS (
+  SELECT rflag, lstatus, bucket,
+    CASE WHEN hex13 = '0000000000000' THEN 53
+    ELSE 4 * (13 - length(ltrim(hex13, '0')))
+       + CASE WHEN substr(ltrim(hex13, '0'), 1, 1) = '1' THEN 3
+              WHEN substr(ltrim(hex13, '0'), 1, 1) IN ('2','3') THEN 2
+              WHEN substr(ltrim(hex13, '0'), 1, 1) IN ('4','5','6','7') THEN 1
+              ELSE 0 END + 1 END AS r
+  FROM hashed
+),
+regs AS (SELECT rflag, lstatus, bucket, max(r) AS mx
+         FROM rho GROUP BY rflag, lstatus, bucket),
+allregs AS (
+  SELECT g.rflag, g.lstatus, b.bucket, coalesce(regs.mx, 0) AS mx
+  FROM (SELECT DISTINCT rflag, lstatus FROM src) g
+  CROSS JOIN (SELECT unnest(range(256)) AS bucket) b
+  LEFT JOIN regs ON regs.rflag = g.rflag AND regs.lstatus = g.lstatus
+                AND regs.bucket = b.bucket
+),
+summed AS (
+  SELECT rflag, lstatus,
+         sum((1::BIGINT << (53 - mx)))::BIGINT AS s,
+         sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END)::BIGINT AS zero_regs
+  FROM allregs GROUP BY rflag, lstatus
+),
+exact AS (
+  SELECT rflag, lstatus, count(DISTINCT v)::BIGINT AS exact_distinct
+  FROM src GROUP BY rflag, lstatus
+)
+SELECT e.rflag, e.lstatus, e.exact_distinct,
+       CAST(floor({num} / s::DOUBLE) AS BIGINT) AS hll_est,
+       zero_regs,
+       CAST(floor((CAST(floor({num} / s::DOUBLE) AS BIGINT)
+                   - e.exact_distinct) * 1000000.0
+                  / e.exact_distinct) AS BIGINT) AS err_ppm
+FROM exact e JOIN summed USING (rflag, lstatus)
+ORDER BY rflag, lstatus
+"""
+
+
+# ---------------------------------------------------------------------------
 # status_priority_grouping_sets — explicit GROUPING SETS (the exact shape
 # SURVEY §2.4 A2/A3 prescribes for kw/cat/total in one pass): (status,
 # priority), (status), and grand total computed in a single aggregation;
@@ -773,6 +874,7 @@ GROUP BY d.grp
 QUERIES: dict = {
     "salted_skew_join": (salted_skew_join, SALTED_SKEW_JOIN_SQL),
     "approx_distinct_profile": (approx_distinct_profile, None),
+    "hll_distinct_md5": (hll_distinct_md5, _hll_distinct_sql()),
     "approx_percentile_profile": (approx_percentile_profile, None),
     "status_priority_grouping_sets": (
         status_priority_grouping_sets,

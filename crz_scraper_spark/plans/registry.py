@@ -44,10 +44,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # multimodal_frame_features (integer byte-window featurizer, NEWLY
 # ORACLED — was the last rows-only multimodal verb);
 # ivf_incremental_assign (in-batch duplicate guard added to the store
-# append). The 42 refresh slots take all 17 remaining r2-checked
-# queries plus the first 25 r3-checked ones in registry order (the
-# last 11 r3 entries roll into round 9; nothing in the registry is
-# older than an r3 check after this window runs).
+# append). The 40 refresh slots take all 17 remaining r2-checked
+# queries plus the first 23 r3-checked ones in registry order (the
+# last 13 r3 entries roll into round 9; nothing in the registry is
+# older than an r3 check after this window runs). Two queries are NEW
+# this round and take window slots per the changed-this-round rule:
+# hll_distinct_md5 (engine-portable HyperLogLog — the sketch family's
+# first full value-match) and containment_near_dup (Broder containment
+# via rare-shingle blocking — the asymmetric near-dup case).
 _FIRST_WINDOW = [
     # -- pinned flagships (continuously driver-verified) ------------------
     "pricing_summary",          # flagship: decimal aggs, O1 multi-key sort
@@ -59,6 +63,8 @@ _FIRST_WINDOW = [
     "part_triangles",               # compact-int ids + shuffle-hash joins
     "multimodal_frame_features",    # NEWLY ORACLED integer featurizer
     "ivf_incremental_assign",       # in-batch dup guard on the store
+    "hll_distinct_md5",             # NEW: md5-portable HLL, value-oracled
+    "containment_near_dup",         # NEW: rare-shingle containment pairs
     # -- staleness refresh: last checked r2 (all 17 remaining) --------------
     "attachments_explode_sum",
     "dictionary_oov_morph",
@@ -77,7 +83,7 @@ _FIRST_WINDOW = [
     "tables_per_contract",
     "tagged_metadata_rank",
     "token_count_stats",
-    # -- staleness refresh: last checked r3 (first 25, registry order) ------
+    # -- staleness refresh: last checked r3 (first 23, registry order) ------
     "dup_span_detect",
     "line_dedup_reconstruct",
     "gopher_rules_filter",
@@ -101,8 +107,6 @@ _FIRST_WINDOW = [
     "event_value_distribution",
     "jsonl_ingest_roundtrip",
     "returned_revenue_by_customer",
-    "priority_by_shipwindow",
-    "large_volume_orders",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}

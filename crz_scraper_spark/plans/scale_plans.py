@@ -921,6 +921,76 @@ FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 """
 
 # ---------------------------------------------------------------------------
+# containment_near_dup — Broder CONTAINMENT |A∩B|/min(|A|,|B|) pairs via
+# rare-shingle blocking (operators/dedup.py::containment_pairs): the
+# asymmetric doc-embedded-in-doc case Jaccard-threshold MinHash misses by
+# construction. Candidates are bounded at K·max_df per doc (linear, never
+# all-pairs); scoring is integer counts + ONE IEEE division, so the DuckDB
+# twin hash-matches exactly.
+# ---------------------------------------------------------------------------
+
+
+def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.operators.dedup import containment_pairs
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return containment_pairs(docs)
+
+
+CONTAINMENT_NEAR_DUP_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS doc, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 3
+                  THEN list_transform(generate_series(1, len(toks) - 2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END) AS shingle
+    FROM (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text),
+                         '{WORD_SEPARATOR_RE}'), w -> w <> '') AS toks
+      FROM documents
+    )
+  )
+),
+sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+rare AS (
+  SELECT doc, shingle FROM (
+    SELECT s.doc, s.shingle,
+           row_number() OVER (PARTITION BY s.doc ORDER BY d.df, s.shingle)
+             AS rk
+    FROM sh s JOIN dfreq d USING (shingle)
+    WHERE d.df BETWEEN 2 AND 20
+  ) WHERE rk <= 3
+),
+cand AS (
+  SELECT DISTINCT r.doc AS id_a, s.doc AS id_b
+  FROM rare r JOIN sh s USING (shingle)
+  WHERE r.doc < s.doc
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter_cnt
+  FROM cand c
+  JOIN sh sa ON sa.doc = c.id_a
+  JOIN sh sb ON sb.doc = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b, i.inter_cnt,
+       least(za.sz, zb.sz) AS min_sz,
+       CAST(floor(i.inter_cnt * 1000000.0 / least(za.sz, zb.sz)) AS BIGINT)
+         AS containment_ppm
+FROM inter i
+JOIN sizes za ON za.doc = i.id_a
+JOIN sizes zb ON zb.doc = i.id_b
+WHERE CAST(floor(i.inter_cnt * 1000000.0 / least(za.sz, zb.sz)) AS BIGINT)
+      >= 800000
+ORDER BY i.id_a, i.id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # multimodal_decode — binary payload + pandas-UDF decode stub
 # (operators/multimodal.py); metadata is a pure function of the bytes, so it
 # oracle-checks against octet_length/md5 in DuckDB.
@@ -2188,6 +2258,7 @@ QUERIES: dict = {
     "simhash_near_dup": (simhash_near_dup, None),
     "simhash_near_dup_md5": (simhash_near_dup_md5, _simhash_md5_sql()),
     "ngram_jaccard_consecutive": (ngram_jaccard_consecutive, NGRAM_JACCARD_SQL),
+    "containment_near_dup": (containment_near_dup, CONTAINMENT_NEAR_DUP_SQL),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
     "multimodal_frame_features": (
         multimodal_frame_features,

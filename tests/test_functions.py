@@ -154,3 +154,46 @@ def test_dedup_idempotence(spark, sf_dir):
     once = first_wins_dedup(orders, ["o_custkey"], [F.asc("o_orderkey")])
     twice = first_wins_dedup(once, ["o_custkey"], [F.asc("o_orderkey")])
     assert once.count() == twice.count()
+
+
+def test_containment_detects_embedded_doc(spark):
+    """A short doc verbatim-embedded in a long one: containment = 1.0 even
+    though Jaccard is far below any near-dup threshold (the asymmetric case
+    rare-shingle blocking exists for). Unrelated docs produce no pair."""
+    from crz_scraper_spark.operators.dedup import containment_pairs
+
+    chunk = "solar panels convert photon flux into electric current daily"
+    filler = " ".join(f"fillword{i}" for i in range(60))
+    rows = [
+        Row(doc_id=1, text=chunk),
+        Row(doc_id=2, text=filler + " " + chunk),
+        Row(doc_id=3, text="entirely unrelated content about spark engines"),
+        Row(doc_id=4, text="another standalone document with private words"),
+    ]
+    out = containment_pairs(
+        spark.createDataFrame(rows), min_containment_ppm=800_000
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    assert set(pairs) == {(1, 2)}
+    hit = pairs[(1, 2)]
+    assert hit["containment_ppm"] == 1_000_000
+    assert hit["inter_cnt"] == hit["min_sz"]
+    # the same pair's Jaccard would NOT clear a 0.8 near-dup bar:
+    # |A∩B| / |A∪B| = min_sz / (union) << 0.8
+    assert hit["min_sz"] < 0.5 * (60 + hit["min_sz"] - hit["inter_cnt"])
+
+
+def test_containment_below_threshold_excluded(spark):
+    """Half-overlapping docs share rare shingles (candidates) but fall below
+    the 0.8 containment bar — blocked-then-verified, not blocked-then-kept."""
+    from crz_scraper_spark.operators.dedup import containment_pairs
+
+    a = " ".join(f"shared{i}" for i in range(10))
+    rows = [
+        Row(doc_id=1, text=a + " " + " ".join(f"lefty{i}" for i in range(10))),
+        Row(doc_id=2, text=a + " " + " ".join(f"right{i}" for i in range(10))),
+    ]
+    df = spark.createDataFrame(rows)
+    assert containment_pairs(df, min_containment_ppm=800_000).count() == 0
+    loose = containment_pairs(df, min_containment_ppm=300_000).collect()
+    assert [(r["id_a"], r["id_b"]) for r in loose] == [(1, 2)]

@@ -293,3 +293,73 @@ def test_association_rules_invariants(spark, sf_dir):
     for r in rows:
         assert 0 < r["conf_ppm"] <= 1_000_000
         assert r["n_ab"] >= 3
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (md5-portable edition, operators/sketches.py::hll_registers)
+# ---------------------------------------------------------------------------
+
+
+def _py_hll_registers(values):
+    """Independent reference: bucket/rho recomputed with hashlib, not Spark."""
+    import hashlib
+
+    regs = {}
+    for v in values:
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        tail = int(h[2:15], 16)  # 52 bits
+        rho = 53 - tail.bit_length() if tail else 53
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_independent_reference(spark):
+    """Every (bucket, mx) register equals a hashlib reimplementation — the
+    portability contract the DuckDB oracle depends on."""
+    from crz_scraper_spark.operators.sketches import hll_registers
+
+    vals = list(range(1, 400))
+    df = spark.createDataFrame([(v,) for v in vals], ["v"]).withColumn(
+        "g", F.lit("only")
+    )
+    got = {
+        r["bucket"]: r["mx"]
+        for r in hll_registers(df, "v", ["g"]).collect()
+        if r["mx"] > 0
+    }
+    assert got == _py_hll_registers(vals)
+
+
+def test_hll_estimate_accuracy_and_max_merge(spark):
+    """Estimate within 4 standard errors (sigma = 1.04/sqrt(256) = 6.5%) of
+    the true 5000, and registers(A ∪ B) == element-wise MAX of partial
+    register tables — the contract that makes daily/per-executor sketches
+    composable without revisiting data."""
+    from crz_scraper_spark.operators.sketches import hll_estimate, hll_registers
+
+    a = spark.createDataFrame([(i,) for i in range(3000)], ["v"]).withColumn(
+        "g", F.lit("x")
+    )
+    b = spark.createDataFrame(
+        [(i,) for i in range(2000, 5000)], ["v"]
+    ).withColumn("g", F.lit("x"))
+    est = hll_estimate(hll_registers(a.union(b), "v", ["g"]), ["g"]).collect()[0]
+    assert abs(est["hll_est"] - 5000) <= 4 * 0.065 * 5000
+    merged = (
+        hll_registers(a, "v", ["g"])
+        .union(hll_registers(b, "v", ["g"]))
+        .groupBy("g", "bucket")
+        .agg(F.max("mx").alias("mx"))
+    )
+    direct = hll_registers(a.union(b), "v", ["g"])
+    diff = (
+        merged.alias("m")
+        .join(direct.alias("d"), ["g", "bucket"], "full")
+        .filter(
+            F.coalesce(F.col("m.mx"), F.lit(-1))
+            != F.coalesce(F.col("d.mx"), F.lit(-1))
+        )
+        .count()
+    )
+    assert diff == 0
