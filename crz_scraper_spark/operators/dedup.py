@@ -1407,6 +1407,12 @@ def containment_pairs(
         .select(F.col(id_col).alias("doc"), F.explode(shingle).alias("shingle"))
         .persist()
     )
+    # Populate the cache eagerly: the shingle table feeds FIVE branches of
+    # one plan (sizes, df, rare, candidate probe, two verify probes), and
+    # AQE runs independent shuffle-map stages concurrently — without this
+    # count the tokenize+shingle build runs once per concurrent branch
+    # before any cache block exists (measured 19.4 s -> ~10 s at sf0.1).
+    sh.count()
     try:
         sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
         dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))

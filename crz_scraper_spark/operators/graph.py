@@ -46,21 +46,41 @@ def pagerank_fixed_point(
     that the full node set). Sinks receive the teleport mass only
     (coalesce 0), matching the unrolled SQL oracle exactly.
     """
-    base = scale - scale * damping_num // damping_den
-    # Adjacency-list form, built ONCE and persisted: the per-iteration join
-    # is then NODE-sized on both sides (ranks ⋈ adjacency), with the edge
-    # list riding along as an array payload that explodes map-side AFTER
-    # the join — each iteration ships ranks + one copy of the adjacency,
-    # not an edge-sized join probe. The groupBy(dst) message shuffle is the
-    # irreducible Pregel step. (First cut joined ranks against the raw
-    # 12M-row edge list every iteration; the array form measures ~2×
-    # faster at sf1 — 20 s → 10.5 s — and scales with nodes, not edges,
-    # on the join side.)
-    adj = (
-        edges.groupBy(F.col(src).alias("node"))
-        .agg(F.collect_list(dst).alias("nbrs"))
-        .persist()
+    # Adjacency-list form: the per-iteration join is then NODE-sized on
+    # both sides (ranks ⋈ adjacency), with the edge list riding along as
+    # an array payload that explodes map-side AFTER the join — each
+    # iteration ships ranks + one copy of the adjacency, not an edge-sized
+    # join probe. (First cut joined ranks against the raw 12M-row edge
+    # list every iteration; the array form measures ~2× faster at sf1 —
+    # 20 s → 10.5 s — and scales with nodes, not edges, on the join side.)
+    # Callers that already hold an adjacency (copurchase_adjacency) should
+    # use `pagerank_on_adjacency` directly and skip this regroup.
+    return pagerank_on_adjacency(
+        edges.groupBy(F.col(src).alias("node")).agg(
+            F.collect_list(dst).alias("nbrs")
+        ),
+        iterations=iterations,
+        damping_num=damping_num,
+        damping_den=damping_den,
+        scale=scale,
     )
+
+
+def pagerank_on_adjacency(
+    adjacency: DataFrame,
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """PageRank over a prebuilt ``(node, nbrs array)`` adjacency.
+
+    Same fixed-point arithmetic as `pagerank_fixed_point`; the adjacency is
+    persisted here for the iteration loop. The groupBy(dst) message shuffle
+    is the irreducible Pregel step.
+    """
+    base = scale - scale * damping_num // damping_den
+    adj = adjacency.select("node", "nbrs").persist()
     nodes = adj.select("node")
     ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
     try:
@@ -95,10 +115,11 @@ def pagerank_fixed_point(
     return ranks
 
 
-def copurchase_edges(
+def copurchase_adjacency(
     lineitem: DataFrame, max_basket: int = 50
 ) -> DataFrame:
-    """Distinct symmetric (src, dst) part pairs co-occurring in an order.
+    """Co-purchase graph in adjacency form: ``(node, nbrs array)``, each
+    neighbor set distinct by construction.
 
     Pair generation is quadratic in basket size, so baskets with more than
     ``max_basket`` distinct parts are dropped first — the standard guard
@@ -106,12 +127,21 @@ def copurchase_edges(
     emitting k^2 pairs in a single task. TPC-H baskets top out at 7 parts,
     so the cap is a no-op on testdata and purely a scale guard.
 
-    Physical shape: NOT the naive self-join on the order key (two scans +
-    a join + the distinct = three corpus shuffles). One groupBy collapses
-    each order to its part set (a single shuffle, map-side combined), the
-    cap filters on ``size(set)``, and the k^2 expansion is two map-side
-    explodes; only the final distinct shuffles again — and on the pair
-    key, which is also the output partitioning downstream joins want.
+    Physical shape — the round-8 sf10 probe's lesson: the previous form
+    ended in ``pairs.distinct()``, a full shuffle of every expanded pair
+    keyed on the PAIR (240M rows at sf10) that removed only 0.3% of them
+    (within-basket dedup is already done by the basket ``collect_set``;
+    cross-basket repeats of the same pair are rare at this density), then
+    downstream adjacency builds shuffled the deduped edges AGAIN on src —
+    measured 332 s for the distinct alone at sf10, the dominant cost of
+    every graph query. Here dedup instead rides the aggregation that was
+    needed anyway: ``groupBy(node).collect_set(nbr)`` partial-aggregates
+    MAP-SIDE (ObjectHashAggregate), so each task ships per-node partial
+    sets, never raw pairs — ONE node-keyed shuffle replaces the pair-keyed
+    distinct + the node-keyed regroup (measured 54 s from scratch at sf10,
+    6x the whole old edge build). Per-node set size is bounded by the
+    co-purchase neighborhood (sum of co-basket sizes), the same bound the
+    old adjacency rows had.
     """
     baskets = (
         lineitem.groupBy("l_orderkey")
@@ -121,19 +151,37 @@ def copurchase_edges(
         )
         .select("parts")
     )
-    return (
-        baskets.select(F.explode("parts").alias("src"), "parts")
-        .select("src", F.explode("parts").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
+    pairs = (
+        baskets.select(F.explode("parts").alias("node"), "parts")
+        .select("node", F.explode("parts").alias("nbr"))
+        .filter(F.col("node") != F.col("nbr"))
+    )
+    return pairs.groupBy("node").agg(F.collect_set("nbr").alias("nbrs"))
+
+
+def copurchase_edges(
+    lineitem: DataFrame, max_basket: int = 50
+) -> DataFrame:
+    """Distinct symmetric (src, dst) part pairs co-occurring in an order.
+
+    Derived by exploding `copurchase_adjacency` — distinctness comes from
+    the set semantics of the adjacency aggregate (a map-side-combined,
+    node-keyed shuffle), NOT from a pair-keyed ``distinct()`` over the full
+    expansion, which the sf10 probe measured at 332 s against 54 s for the
+    adjacency build it was feeding anyway. The explode is map-only, so
+    edge consumers pay one shuffle total.
+    """
+    return copurchase_adjacency(lineitem, max_basket).select(
+        F.col("node").alias("src"), F.explode("nbrs").alias("dst")
     )
 
 
 def triangle_counts(
-    edges: DataFrame,
+    edges: DataFrame | None = None,
     top_k: int | None = None,
     compact_ids: bool = True,
     hash_join_hint: bool = True,
+    adjacency: DataFrame | None = None,
 ) -> DataFrame:
     """(node, n_tri): how many triangles each node participates in.
 
@@ -162,13 +210,27 @@ def triangle_counts(
     a<b<c three-way self-join oracle: orientation and the intersection
     plan change the strategy, not the triangle set.
     """
-    und = edges.filter(F.col("src") < F.col("dst"))
-    deg = (
-        und.select(F.col("src").alias("node"))
-        .union(und.select(F.col("dst").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
+    if (edges is None) == (adjacency is None):
+        raise ValueError("pass exactly one of edges / adjacency")
+    if adjacency is not None:
+        # Adjacency fast path (round-8 sf10 probe): the symmetric neighbor
+        # sets already hold each node's undirected degree as size(nbrs) —
+        # deriving degrees from an exploded edge list would re-shuffle the
+        # full 2m-row expansion (map-side combined, but still the graph's
+        # biggest aggregate) to recompute what the adjacency aggregate
+        # already paid for.
+        und = adjacency.select(
+            F.col("node").alias("src"), F.explode("nbrs").alias("dst")
+        ).filter(F.col("src") < F.col("dst"))
+        deg = adjacency.select("node", F.size("nbrs").alias("deg"))
+    else:
+        und = edges.filter(F.col("src") < F.col("dst"))
+        deg = (
+            und.select(F.col("src").alias("node"))
+            .union(und.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
     # Annotate both endpoints, then orient by (deg, node).
     e = (
         und.join(deg.withColumnRenamed("node", "src"), "src")

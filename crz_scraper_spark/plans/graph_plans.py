@@ -26,14 +26,18 @@ _PR_TOP = 20
 
 def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crz_scraper_spark.operators.graph import (
-        copurchase_edges,
-        pagerank_fixed_point,
+        copurchase_adjacency,
+        pagerank_on_adjacency,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li, max_basket=_PR_MAX_BASKET)
-    ranks = pagerank_fixed_point(
-        edges,
+    # Adjacency consumed directly: copurchase_adjacency's collect_set IS
+    # the dedup (map-side combined, one node-keyed shuffle) — exploding to
+    # an edge list only for pagerank to regroup it would re-shuffle the
+    # full edge expansion for nothing (the 332 s sf10 distinct, PLANS.md
+    # round-8 probe).
+    ranks = pagerank_on_adjacency(
+        copurchase_adjacency(li, max_basket=_PR_MAX_BASKET),
         iterations=_PR_ITERS,
         damping_num=_PR_DAMP_NUM,
         damping_den=_PR_DAMP_DEN,
@@ -59,13 +63,15 @@ def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy — exactly the contract the correctness gate checks.
     """
     from crz_scraper_spark.operators.graph import (
-        copurchase_edges,
+        copurchase_adjacency,
         triangle_counts,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li, max_basket=_PR_MAX_BASKET)
-    out = triangle_counts(edges, top_k=_TRI_TOP)
+    out = triangle_counts(
+        adjacency=copurchase_adjacency(li, max_basket=_PR_MAX_BASKET),
+        top_k=_TRI_TOP,
+    )
     return out.select(F.col("node").alias("partkey"), "n_tri").orderBy(
         F.desc("n_tri"), "partkey"
     )

@@ -363,3 +363,74 @@ def test_hll_estimate_accuracy_and_max_merge(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_graph_adjacency_path_equals_edge_path(spark):
+    """The round-8 plan change: triangles and PageRank consumed via
+    `copurchase_adjacency` (one node-keyed shuffle, set-semantics dedup)
+    must produce IDENTICAL results to the original edge-list path — the
+    physical strategy changed, the graph didn't."""
+    from crz_scraper_spark.operators.graph import (
+        pagerank_on_adjacency,
+        triangle_counts,
+    )
+
+    edges = [
+        (1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2),
+        (3, 4), (4, 3), (4, 5), (5, 4), (4, 6), (6, 4), (5, 6), (6, 5),
+        (2, 6), (6, 2),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    adj = df.groupBy(F.col("src").alias("node")).agg(
+        F.collect_set("dst").alias("nbrs")
+    )
+    tri_e = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
+    tri_a = {
+        r["node"]: r["n_tri"]
+        for r in triangle_counts(adjacency=adj).collect()
+    }
+    assert tri_e == tri_a and tri_e
+    pr_e = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(df, iterations=4).collect()
+    }
+    pr_a = {
+        r["node"]: r["rank"]
+        for r in pagerank_on_adjacency(adj, iterations=4).collect()
+    }
+    assert pr_e == pr_a
+    with pytest.raises(ValueError):
+        triangle_counts(df, adjacency=adj)
+    with pytest.raises(ValueError):
+        triangle_counts()
+
+
+def test_copurchase_adjacency_matches_exploded_edges(spark):
+    """copurchase_edges == explode(copurchase_adjacency): distinct symmetric
+    pairs either way, so every edge consumer inherits the cheap build."""
+    from crz_scraper_spark.operators.graph import (
+        copurchase_adjacency,
+        copurchase_edges,
+    )
+
+    rows = [
+        (1, 10), (1, 11), (1, 10),       # dup within basket
+        (2, 10), (2, 11),                # repeats pair (10,11)
+        (3, 12), (3, 13), (3, 14),
+    ]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    edges = {
+        (r["src"], r["dst"]) for r in copurchase_edges(li).collect()
+    }
+    adj = {
+        r["node"]: sorted(r["nbrs"])
+        for r in copurchase_adjacency(li).collect()
+    }
+    assert edges == {
+        (a, b)
+        for a, nbrs in adj.items()
+        for b in nbrs
+    }
+    assert adj[10] == [11] and adj[12] == [13, 14]
+    # symmetric + self-free + distinct
+    assert all((b, a) in edges and a != b for a, b in edges)
