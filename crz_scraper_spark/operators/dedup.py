@@ -1426,11 +1426,20 @@ def containment_pairs(
             .filter(F.col("rk") <= rare_k)
             .select("doc", "shingle")
         )
+        # Seed from BOTH directions: every doc's K rarest shingles probe the
+        # full shingle table, and the (seed, match) pair is normalized via
+        # least/greatest before distinct. A one-directional join keyed on the
+        # lower id would drop any pair where only the HIGHER-id doc's rare
+        # shingles are shared — e.g. a contained doc with the higher id whose
+        # host's K rarest df∈[2,max_df] shingles all come from OTHER overlaps.
         cand = (
-            rare.select(F.col("doc").alias("id_a"), "shingle")
-            .join(sh.select(F.col("doc").alias("id_b"), "shingle"), "shingle")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+            rare.select(F.col("doc").alias("d1"), "shingle")
+            .join(sh.select(F.col("doc").alias("d2"), "shingle"), "shingle")
+            .filter(F.col("d1") != F.col("d2"))
+            .select(
+                F.least("d1", "d2").alias("id_a"),
+                F.greatest("d1", "d2").alias("id_b"),
+            )
             .distinct()
         )
         inter = (

@@ -186,7 +186,15 @@ def triangle_counts(
     """(node, n_tri): how many triangles each node participates in.
 
     ``edges`` is a symmetric edge list (both directions present, as
-    `copurchase_edges` emits). The naive wedge enumeration explodes on hub
+    `copurchase_edges` emits). ``adjacency`` — the cheaper input when the
+    caller already built one — MUST likewise be SYMMETRIC (v ∈ nbrs[u] ⇔
+    u ∈ nbrs[v]) and self-loop-free, as `copurchase_adjacency` guarantees:
+    the fast path reads each node's undirected degree as ``size(nbrs)`` and
+    derives the undirected edge set by keeping only the src<dst half of the
+    explosion. A DIRECTED adjacency (e.g. the one pagerank builds from an
+    arbitrary edge list) silently yields wrong degrees and a wrong triangle
+    set — pass ``edges`` instead for anything not symmetric by
+    construction. The naive wedge enumeration explodes on hub
     nodes (sum of deg^2); the standard fix — and the whole point of this
     operator — is DEGREE-ORDERED ORIENTATION (Chiba-Nishizeki / the
     "node-iterator++" scheme): orient every undirected edge from its

@@ -170,7 +170,13 @@ def hll_registers(
         .groupBy(*group_cols, "bucket")
         .agg(F.max("r").alias("mx"))
     )
-    groups = df.select(*group_cols).distinct()
+    # Group list for register densification comes from the ALREADY-AGGREGATED
+    # register table, not the raw input: a `df.select(...).distinct()` here
+    # would force a second full scan + distinct shuffle of the source (full
+    # lineitem at sf10) to enumerate a handful of groups the register rows
+    # already name. Every non-empty group has >= 1 register row, and an
+    # empty group has no defined estimate anyway, so the group sets match.
+    groups = regs.select(*group_cols).distinct()
     allregs = groups.select(
         *group_cols,
         F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("bucket"),

@@ -966,9 +966,12 @@ rare AS (
   ) WHERE rk <= 3
 ),
 cand AS (
-  SELECT DISTINCT r.doc AS id_a, s.doc AS id_b
+  -- both-direction seeding, pair normalized via least/greatest (mirrors the
+  -- Spark operator: a lower-id-only join misses pairs only the higher-id
+  -- doc's rare shingles surface)
+  SELECT DISTINCT least(r.doc, s.doc) AS id_a, greatest(r.doc, s.doc) AS id_b
   FROM rare r JOIN sh s USING (shingle)
-  WHERE r.doc < s.doc
+  WHERE r.doc <> s.doc
 ),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS inter_cnt

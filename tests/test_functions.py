@@ -183,6 +183,31 @@ def test_containment_detects_embedded_doc(spark):
     assert hit["min_sz"] < 0.5 * (60 + hit["min_sz"] - hit["inter_cnt"])
 
 
+def test_containment_detects_higher_id_contained_doc(spark):
+    """The contained doc has the HIGHER id and the host's K rarest
+    df∈[2,max_df] shingles are all UNSHARED with it (they overlap a third
+    doc and sort alphabetically first at equal df) — the pair is only
+    reachable from the contained doc's own rare shingles, i.e. it requires
+    both-direction candidate seeding."""
+    from crz_scraper_spark.operators.dedup import containment_pairs
+
+    boiler = " ".join(f"aboiler{i}" for i in range(10))
+    chunk = " ".join(f"zchunk{i}" for i in range(10))
+    rows = [
+        Row(doc_id=1, text=boiler + " " + chunk),  # host (low id)
+        Row(doc_id=2, text=chunk),  # contained, HIGHER id
+        Row(doc_id=3, text=boiler + " " + " ".join(f"other{i}" for i in range(30))),
+    ]
+    out = containment_pairs(
+        spark.createDataFrame(rows), min_containment_ppm=800_000
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    # host's 3 rarest shingles are the boiler ones (df=2, sort first), none
+    # shared with doc 2 — a lower-id-only seed join would return {} here.
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)]["containment_ppm"] == 1_000_000
+
+
 def test_containment_below_threshold_excluded(spark):
     """Half-overlapping docs share rare shingles (candidates) but fall below
     the 0.8 containment bar — blocked-then-verified, not blocked-then-kept."""
