@@ -663,6 +663,15 @@ def _parse_byte_size(s: str, default_unit: int = 1) -> int:
 _BYTES_PER_EDGE_DRIVER = 300
 _DRIVER_HEAP_FRACTION = 4  # use at most 1/4 of the driver heap for edges
 
+# Observability side-channel for bench attribution (VERDICT r8: the driver's
+# bench run read near_dup_clusters at 13.8 s min-of-3 vs 2.4 s on the
+# builder's run of the SAME tree, and whether the memory-derived cutover had
+# picked driver union-find or the ~20-join-round iterative path was not
+# recoverable from the artifact). Every connected_components call records
+# its path decision here; bench.py copies it into BENCH_RESULT under
+# "query_notes" so a slow artifact is attributable on its own.
+LAST_CC_DECISION: dict | None = None
+
 
 def _default_driver_max_edges(spark) -> int:
     """Memory-derived ceiling for the driver union-find path: a quarter of
@@ -721,6 +730,19 @@ def connected_components(
         driver_max_edges = _default_driver_max_edges(pairs.sparkSession)
     pairs = pairs.persist()
     n_pairs = pairs.count()
+    global LAST_CC_DECISION
+    spark = pairs.sparkSession
+    LAST_CC_DECISION = {
+        "path": (
+            "driver_union_find"
+            if 2 * n_pairs <= driver_max_edges
+            else "iterative_label_prop"
+        ),
+        "n_pairs": n_pairs,
+        "driver_max_edges": driver_max_edges,
+        "driver_memory": spark.conf.get("spark.driver.memory", "1g"),
+        "max_result_size": spark.conf.get("spark.driver.maxResultSize", "1g"),
+    }
     if 2 * n_pairs <= driver_max_edges:
         # Driver path works on the RAW pair list — union-find neither needs
         # the symmetrized edge set nor a distinct (duplicate edges are
