@@ -201,3 +201,88 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
     return summed.select(
         *group_cols, est.cast("bigint").alias("hll_est"), "zero_regs"
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-boundary quantile histogram — the engine-portable twin of Spark's
+# approx_percentile (KLL/GK-style sketches differ across engines by design,
+# so approx_percentile_profile can only be rows-only checked). The recipe is
+# hll_distinct_md5's applied to RANK sketches: replace the engine-private
+# sketch with public integer arithmetic both engines execute bit-identically.
+#
+#   - bucket = floor(value * scale) — ONE IEEE multiply + floor, identical
+#     in any IEEE-754 engine; with `scale` a power of two the inverse
+#     mapping bucket -> bucket/scale is also exact.
+#   - the histogram (group, bucket, cnt) is the sketch state: bounded by
+#     value_range * scale buckets per group REGARDLESS of row count, built
+#     by one map-side-combined count aggregate, and mergeable across
+#     partitions/days/clusters by plain SUM on (group, bucket) — the same
+#     mergeability story as the HLL register table.
+#   - quantile readout is pure integer rank selection: target rank =
+#     (n-1)*num DIV den + 1 (nearest-rank-lower), answer = the smallest
+#     bucket whose running count reaches it. Deterministic error bound:
+#     the true quantile lies in [bucket/scale, (bucket+1)/scale) — a
+#     1/scale-wide certainty interval, not a probabilistic one.
+# ---------------------------------------------------------------------------
+
+
+def quantile_histogram(
+    df: DataFrame, value_col: str, group_cols: list[str], scale: int = 16
+) -> DataFrame:
+    """Per-group fixed-boundary histogram: ``group_cols + (bucket, cnt)``.
+
+    The sketch state for portable quantiles: one map-side-combined count
+    per (group, floor(value*scale)) — shuffle payload is histogram-sized
+    (bounded by the value DOMAIN, not the row count), mergeable by SUM.
+    """
+    bucket = F.floor(F.col(value_col) * F.lit(float(scale))).cast("bigint")
+    return df.groupBy(*group_cols, bucket.alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    group_cols: list[str],
+    probs: list[tuple[str, int, int]] | None = None,
+    scale: int = 16,
+) -> DataFrame:
+    """Nearest-rank-lower quantiles from a `quantile_histogram` table.
+
+    ``probs`` is a list of (name, numerator, denominator); returns
+    ``group_cols + (n_rows, <name>_bucket bigint, <name>_est double)`` per
+    prob. Everything up to the readout is integer (running count vs
+    integer target rank); the only float op is bucket/scale with scale a
+    power of two — exact in IEEE — so the output hash-matches a DuckDB
+    twin. The cumulative window partitions on the GROUP and orders by
+    bucket: partition width is bounded by the bucket domain (value_range *
+    scale rows), never by input size, so the window never sees corpus-
+    scale partitions.
+    """
+    from pyspark.sql import Window
+
+    if probs is None:
+        probs = [("p50", 1, 2), ("p95", 19, 20)]
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    tot = hist.groupBy(*group_cols).agg(F.sum("cnt").alias("n_rows"))
+    j = cum.join(tot, list(group_cols))
+    aggs = [F.max("n_rows").cast("bigint").alias("n_rows")]
+    for name, num, den in probs:
+        target = F.expr(f"((n_rows - 1) * {num}) DIV {den} + 1")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= target, F.col("bucket"))).alias(
+                f"{name}_bucket"
+            )
+        )
+    out = j.groupBy(*group_cols).agg(*aggs)
+    for name, _num, _den in probs:
+        out = out.withColumn(
+            f"{name}_est",
+            F.col(f"{name}_bucket").cast("double") / F.lit(float(scale)),
+        )
+    return out

@@ -762,6 +762,65 @@ ORDER BY rflag, lstatus
 
 
 # ---------------------------------------------------------------------------
+# quantile_histogram_profile — the engine-portable twin of
+# approx_percentile_profile
+# (operators/sketches.py::quantile_histogram): per event_type, p50/p95 read
+# from a fixed-boundary histogram sketch via integer nearest-rank selection.
+# Unlike Spark's private KLL-style approx_percentile, every step is public
+# arithmetic (one IEEE multiply+floor to bucket, integer running counts,
+# one exact power-of-two division back to value space), so the DuckDB
+# oracle rebuilds the identical histogram and the driver hash-checks the
+# ESTIMATES themselves — the rank-sketch family's first full value match.
+# Deterministic 1/16 certainty interval stands in for the sketch's
+# probabilistic bound; err audit vs the exact quantile lives in the tests
+# (exact interpolated percentiles are NOT engine-portable in IEEE).
+# ---------------------------------------------------------------------------
+
+_QH_SCALE = 16  # power of two: bucket/scale is IEEE-exact both engines
+
+
+def quantile_histogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.operators.sketches import (
+        histogram_quantiles,
+        quantile_histogram,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    hist = quantile_histogram(events, "value", ["event_type"], scale=_QH_SCALE)
+    out = histogram_quantiles(hist, ["event_type"], scale=_QH_SCALE)
+    return out.orderBy("event_type")
+
+
+QUANTILE_HISTOGRAM_PROFILE_SQL = f"""
+WITH hist AS (
+  SELECT event_type,
+         CAST(floor(value * {_QH_SCALE}) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+  FROM hist
+),
+tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_rows
+        FROM hist GROUP BY 1)
+SELECT c.event_type, t.n_rows,
+       MIN(CASE WHEN c.cum >= (t.n_rows - 1) // 2 + 1
+                THEN c.bucket END) AS p50_bucket,
+       MIN(CASE WHEN c.cum >= ((t.n_rows - 1) * 19) // 20 + 1
+                THEN c.bucket END) AS p95_bucket,
+       CAST(MIN(CASE WHEN c.cum >= (t.n_rows - 1) // 2 + 1
+                THEN c.bucket END) AS DOUBLE) / {_QH_SCALE} AS p50_est,
+       CAST(MIN(CASE WHEN c.cum >= ((t.n_rows - 1) * 19) // 20 + 1
+                THEN c.bucket END) AS DOUBLE) / {_QH_SCALE} AS p95_est
+FROM cum c JOIN tot t USING (event_type)
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # status_priority_grouping_sets — explicit GROUPING SETS (the exact shape
 # SURVEY §2.4 A2/A3 prescribes for kw/cat/total in one pass): (status,
 # priority), (status), and grand total computed in a single aggregation;
@@ -876,6 +935,10 @@ QUERIES: dict = {
     "approx_distinct_profile": (approx_distinct_profile, None),
     "hll_distinct_md5": (hll_distinct_md5, _hll_distinct_sql()),
     "approx_percentile_profile": (approx_percentile_profile, None),
+    "quantile_histogram_profile": (
+        quantile_histogram_profile,
+        QUANTILE_HISTOGRAM_PROFILE_SQL,
+    ),
     "status_priority_grouping_sets": (
         status_priority_grouping_sets,
         STATUS_PRIORITY_GROUPING_SETS_SQL,

@@ -222,6 +222,72 @@ def test_approx_percentile_within_rank_bound(spark, sf_dir):
         assert w[2] - 1e-9 <= r.approx_p95 <= w[3] + 1e-9, (r, w)
 
 
+def test_quantile_histogram_bucket_contains_exact_rank(spark, sf_dir):
+    """The portable histogram quantile is nearest-rank-lower snapped to a
+    1/16-wide bucket: the exact (type-7 interpolated) quantile must sit no
+    more than one bucket below the estimate and no more than one adjacent
+    order-statistic gap above it — here we assert the deterministic bound
+    the operator documents: the true nearest-rank element lies in
+    [est, est + 1/16)."""
+    from crz_scraper_spark.plans.extra_plans import quantile_histogram_profile
+
+    rows = quantile_histogram_profile(spark, sf_dir).collect()
+    assert rows
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # exact nearest-rank-lower elements, computed the same way in pure SQL
+    import pyspark.sql.functions as SF
+
+    w = {
+        r.event_type: (r.v50, r.v95)
+        for r in events.groupBy("event_type")
+        .agg(
+            SF.expr(
+                "element_at(array_sort(collect_list(value)),"
+                " int((count(*) - 1) / 2) + 1)"
+            ).alias("v50"),
+            SF.expr(
+                "element_at(array_sort(collect_list(value)),"
+                " int((count(*) - 1) * 19 / 20) + 1)"
+            ).alias("v95"),
+        )
+        .collect()
+    }
+    for r in rows:
+        v50, v95 = w[r.event_type]
+        assert r.p50_est <= v50 < r.p50_est + 1 / 16, (r, v50)
+        assert r.p95_est <= v95 < r.p95_est + 1 / 16, (r, v95)
+        assert r.p50_bucket <= r.p95_bucket
+
+
+def test_quantile_histogram_merges_by_sum(spark):
+    """Mergeability: the histogram of a union equals the bucket-wise SUM of
+    per-part histograms, so daily partials compose without re-reading
+    history — the property the docstring sells."""
+    from crz_scraper_spark.operators.sketches import (
+        histogram_quantiles,
+        quantile_histogram,
+    )
+
+    a = spark.range(0, 500).select(
+        F.lit("g").alias("g"), (F.col("id") % 97 / 7.0).alias("v")
+    )
+    b = spark.range(500, 1300).select(
+        F.lit("g").alias("g"), (F.col("id") % 131 / 11.0).alias("v")
+    )
+    merged = (
+        quantile_histogram(a, "v", ["g"])
+        .unionByName(quantile_histogram(b, "v", ["g"]))
+        .groupBy("g", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    direct = quantile_histogram(a.unionByName(b), "v", ["g"])
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    got = histogram_quantiles(merged, ["g"]).collect()
+    want = histogram_quantiles(direct, ["g"]).collect()
+    assert got == want
+
+
 def test_transform_with_state_counts(spark, sf_dir):
     """Spark-4 transformWithStateInPandas stateful counts ≡ batch group
     counts (runs only where the protobuf dependency exists)."""
