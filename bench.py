@@ -127,6 +127,16 @@ def main() -> None:
         unknown = selected - set(REGISTRY)
         if unknown:
             raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown: {sorted(unknown)}")
+    # SPARK_GRAFT_BENCH_EXCLUDE drops named queries by configuration and
+    # RECORDS the exclusion in the artifact (VERDICT r8 item 4): the two
+    # documented-quadratic fuzzy cautionary tiers (fuzzy_name_pairs ~1833 s,
+    # fuzzy_name_pairs_refined ~403 s at sf10) dominate any full-registry
+    # sweep at sf>=3 — exclude them by config, not by hand, so the artifact
+    # says what was dropped instead of silently reading as full coverage.
+    excl_env = os.environ.get("SPARK_GRAFT_BENCH_EXCLUDE", "")
+    excluded = sorted(
+        {q.strip() for q in excl_env.split(",") if q.strip()} & set(REGISTRY)
+    )
 
     # Min-of-N timing (VERDICT r7 item 1): a single timed execution is
     # hostage to whatever GC pause / page-cache miss / ContextCleaner sweep
@@ -155,6 +165,8 @@ def main() -> None:
     notes: dict[str, dict] = {}
     for name, (fn, _sql) in sorted(REGISTRY.items()):
         if selected and name not in selected:
+            continue
+        if name in excluded:
             continue
         _dedup_mod.LAST_CC_DECISION = None
         if warmup:
@@ -203,6 +215,7 @@ def main() -> None:
         "query_samples": samples,
         "query_notes": notes,
         "environment": env_block,
+        "excluded_queries": excluded,
         "reps": reps,
         "sf": sf,
     }
@@ -255,6 +268,8 @@ def main() -> None:
     # stdout as BENCH_rN): disk-hygiene state, per-query >1.5x deltas vs
     # the committed run, and any runtime path decisions — all bounded-size.
     compact["environment"] = env_block
+    if excluded:
+        compact["excluded_queries"] = excluded
     if ratio_report is not None:
         compact["ratio_vs_committed"] = ratio_report
     if notes:

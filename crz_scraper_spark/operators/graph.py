@@ -302,7 +302,22 @@ def triangle_counts(
         if hash_join_hint:
             adj_a = adj_a.hint("shuffle_hash")
             adj_b = adj_b.hint("shuffle_hash")
-        withs = work.join(adj_a, "a").join(adj_b, "b")
+        # Join ORDER is a payload lever (round 9): whichever adjacency joins
+        # FIRST rides inside the wide intermediate through the second join's
+        # shuffle. Attaching the DST side first ships sum_e outdeg(dst)
+        # array elements (the oriented 2-path count) instead of
+        # sum_e outdeg(src) = sum outdeg² — and orientation points every
+        # edge AT the higher-(deg,id) endpoint, whose own out-degree is the
+        # small one, so dst-first is never larger and wins whatever skew
+        # exists. Measured on the sf3 co-purchase graph: 2.50B vs 1.48B
+        # elements (1.69x), wall 45.1 -> 37.5 s min-of-2; sf0.1 flat. At
+        # sf10 wall-clock is parity under this box's ±30% disk variance —
+        # the reduction is real bytes (it's network on a real cluster), but
+        # the local-mode sf10 bottleneck is page-cache I/O, not payload
+        # (PLANS.md round-9 entry). A bucketed-table adjacency was also
+        # A/B'd and lost (the saved exchange was already partitioning-
+        # reused; the bucketed write is pure extra I/O).
+        withs = work.join(adj_b, "b").join(adj_a, "a")
         tri = withs.select(
             "a", "b", F.explode(F.array_intersect("na", "nb")).alias("c")
         )

