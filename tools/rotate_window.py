@@ -1,6 +1,10 @@
-"""Round-N window rotation helper: list registry queries never checked by
-any CORRECTNESS_r*.json on disk, SQL-oracled first (window slots should be
-oracled — see tests/test_integrity.py).
+"""Round-N window rotation helper: staleness report over the driver's
+CORRECTNESS_r*.json record — per-query last-checked round, grouped into
+tiers (oldest first), plus the never-checked list, SQL-oracled first.
+Window slots must be oracled (tests/test_integrity.py), so rows-only
+queries are listed separately and never rotated in: each is the
+hash-seeded/sketch-library tier of an operator whose portable twin IS
+oracled and windowed.
 
 Usage: python tools/rotate_window.py
 """
@@ -9,6 +13,7 @@ from __future__ import annotations
 
 import glob
 import json
+import re
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -18,9 +23,27 @@ from crz_scraper_spark.plans.registry import _FIRST_WINDOW, REGISTRY  # noqa: E4
 
 def main() -> None:
     checked: set = set()
+    last: dict[str, int] = {}
     for p in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
-        checked |= set(json.load(open(p)))
-        print(f"{p}: {len(json.load(open(p)))} queries")
+        rnd = int(re.search(r"r(\d+)", p).group(1))
+        names = set(json.load(open(p)))
+        checked |= names
+        for q in names:
+            last[q] = max(last.get(q, 0), rnd)
+        print(f"{p}: {len(names)} queries")
+    # staleness tiers: oldest-first, registry order inside a tier — the
+    # refresh slots of the next window take these top-down (oracled only)
+    tiers: dict[int, list[str]] = {}
+    for q in REGISTRY:
+        if q in last:
+            tiers.setdefault(last[q], []).append(q)
+    print("\nstaleness tiers (oldest first; * = rows-only, not rotatable):")
+    for rnd in sorted(tiers):
+        qs = [
+            q + ("*" if REGISTRY[q][1] is None else "")
+            for q in tiers[rnd]
+        ]
+        print(f"  last checked r{rnd} ({len(qs)}): {', '.join(qs)}")
     never = [q for q in REGISTRY if q not in checked]
     oracled = [q for q in never if REGISTRY[q][1] is not None]
     rows_only = [q for q in never if REGISTRY[q][1] is None]
