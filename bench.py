@@ -123,10 +123,29 @@ def main() -> None:
     # fuzzy_name_pairs_refined ~403 s at sf10) dominate any full-registry
     # sweep at sf>=3 — exclude them by config, not by hand, so the artifact
     # says what was dropped instead of silently reading as full coverage.
-    excl_env = os.environ.get("SPARK_GRAFT_BENCH_EXCLUDE", "")
-    excluded = sorted(
-        {q.strip() for q in excl_env.split(",") if q.strip()} & set(REGISTRY)
-    )
+    # Documented sf>=3 cautionary set, applied BY DEFAULT at that scale so
+    # slope sweeps don't re-litigate known-superlinear oracled twins
+    # (VERDICT r9 item 3): the two quadratic fuzzy tiers (~1833 s / ~403 s
+    # at sf10; production tier = fuzzy_name_pairs_banded, flat) and
+    # semantic_dedup's fixed-cell tier (8.5x per 3x data BY CONSTRUCTION —
+    # fixed cell count => within-cell pair work grows quadratically;
+    # production tier = semantic_dedup_scaled, 1.5x). Setting
+    # SPARK_GRAFT_BENCH_EXCLUDE explicitly (even to "") replaces this
+    # default, so a full-coverage run at scale stays one env var away.
+    # The sf0.01 correctness oracle is untouched — this is bench-only.
+    _SF3_CAUTIONARY = "fuzzy_name_pairs,fuzzy_name_pairs_refined,semantic_dedup"
+    excl_default = _SF3_CAUTIONARY if sf >= 3 else ""
+    excl_env = os.environ.get("SPARK_GRAFT_BENCH_EXCLUDE", excl_default)
+    excl_names = {q.strip() for q in excl_env.split(",") if q.strip()}
+    # A misspelled exclusion must fail loudly, mirroring BENCH_ONLY: a
+    # silent intersection would run the heavy query anyway AND record no
+    # exclusion in the artifact — the worst of both (ADVICE r9).
+    unknown_excl = excl_names - set(REGISTRY)
+    if unknown_excl:
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_EXCLUDE unknown: {sorted(unknown_excl)}"
+        )
+    excluded = sorted(excl_names)
 
     # Resolve the output file NOW and load its previous (committed) content
     # before this run can overwrite it: the end-of-run ratio report
@@ -206,10 +225,13 @@ def main() -> None:
             ).count()
             n_restarts += 1
         n_run += 1
-        _dedup_mod.LAST_CC_DECISION = None
         if warmup:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             spark.catalog.clearCache()
+        # Clear AFTER warmup so the note reflects the measured reps only;
+        # identical repeat decisions are deduped below to keep the stdout
+        # artifact bounded (reps x same decision adds nothing).
+        _dedup_mod.CC_DECISIONS.clear()
         # Timestamped stderr marker so engine WARNs in the captured log
         # (single-partition windows, broadcast sizes, state-store notes)
         # can be attributed to the query that emitted them.
@@ -230,8 +252,16 @@ def main() -> None:
             df = None
         samples[name] = runs
         timings[name] = min(runs)
-        if _dedup_mod.LAST_CC_DECISION is not None:
-            notes[name] = {"connected_components": _dedup_mod.LAST_CC_DECISION}
+        if _dedup_mod.CC_DECISIONS:
+            # One entry per DISTINCT connected_components decision across
+            # the measured reps (order-preserving dedupe): a query invoking
+            # CC twice is fully attributed (ADVICE r9), while N identical
+            # per-rep repeats collapse to one entry.
+            distinct: list[dict] = []
+            for d in _dedup_mod.CC_DECISIONS:
+                if d not in distinct:
+                    distinct.append(d)
+            notes[name] = {"connected_components": distinct}
         # Drop py4j refs so Spark's ContextCleaner reclaims the session's
         # accumulated broadcasts/codegen state: without this, memory
         # pressure late in a 150-query run inflated individual timings

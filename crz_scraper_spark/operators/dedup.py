@@ -667,10 +667,15 @@ _DRIVER_HEAP_FRACTION = 4  # use at most 1/4 of the driver heap for edges
 # bench run read near_dup_clusters at 13.8 s min-of-3 vs 2.4 s on the
 # builder's run of the SAME tree, and whether the memory-derived cutover had
 # picked driver union-find or the ~20-join-round iterative path was not
-# recoverable from the artifact). Every connected_components call records
-# its path decision here; bench.py copies it into BENCH_RESULT under
-# "query_notes" so a slow artifact is attributable on its own.
-LAST_CC_DECISION: dict | None = None
+# recoverable from the artifact). Every connected_components call APPENDS
+# its path decision here; bench.py clears the list before each query and
+# copies whatever accumulated into BENCH_RESULT under "query_notes" — a
+# query that invokes CC twice is fully attributed (ADVICE r9; the former
+# LAST_CC_DECISION scalar kept only the final call). Module-global, not
+# thread-local, BY DESIGN: the bench harness and the driver's correctness
+# runner are single-threaded, and the list is a diagnostics channel — a
+# concurrent caller would interleave entries, never corrupt results.
+CC_DECISIONS: list[dict] = []
 
 
 def _default_driver_max_edges(spark) -> int:
@@ -730,9 +735,8 @@ def connected_components(
         driver_max_edges = _default_driver_max_edges(pairs.sparkSession)
     pairs = pairs.persist()
     n_pairs = pairs.count()
-    global LAST_CC_DECISION
     spark = pairs.sparkSession
-    LAST_CC_DECISION = {
+    CC_DECISIONS.append({
         "path": (
             "driver_union_find"
             if 2 * n_pairs <= driver_max_edges
@@ -742,7 +746,7 @@ def connected_components(
         "driver_max_edges": driver_max_edges,
         "driver_memory": spark.conf.get("spark.driver.memory", "1g"),
         "max_result_size": spark.conf.get("spark.driver.maxResultSize", "1g"),
-    }
+    })
     if 2 * n_pairs <= driver_max_edges:
         # Driver path works on the RAW pair list — union-find neither needs
         # the symmetrized edge set nor a distinct (duplicate edges are

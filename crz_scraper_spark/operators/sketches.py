@@ -234,10 +234,18 @@ def quantile_histogram(
     The sketch state for portable quantiles: one map-side-combined count
     per (group, floor(value*scale)) — shuffle payload is histogram-sized
     (bounded by the value DOMAIN, not the row count), mergeable by SUM.
+
+    NULL values are excluded BEFORE bucketing (ADVICE r9): a NULL bucket
+    would count toward n_rows yet sort NULLS FIRST under Spark's window
+    and NULLS LAST under DuckDB's — a latent cross-engine rank skew.
+    Quantiles over NULLs are undefined anyway; the filter makes both
+    engines agree by never producing the bucket.
     """
     bucket = F.floor(F.col(value_col) * F.lit(float(scale))).cast("bigint")
-    return df.groupBy(*group_cols, bucket.alias("bucket")).agg(
-        F.count("*").cast("bigint").alias("cnt")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, bucket.alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
     )
 
 

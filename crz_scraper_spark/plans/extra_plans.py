@@ -796,7 +796,7 @@ WITH hist AS (
   SELECT event_type,
          CAST(floor(value * {_QH_SCALE}) AS BIGINT) AS bucket,
          CAST(count(*) AS BIGINT) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ),
 cum AS (
   SELECT event_type, bucket, cnt,

@@ -1644,6 +1644,14 @@ FROM part
 # same cluster. FULLY oracled: the centroid matrix is a literal, so DuckDB
 # reproduces cell assignment (6-dp-rounded argmax, ties to lowest pid), the
 # per-cluster pair set, and the keep/drop verdicts bit-for-bit.
+#
+# CAUTIONARY TIER at scale (VERDICT r9 item 3): the FIXED cell count (8)
+# that buys the bit-exact oracle makes within-cell pair work grow
+# quadratically with the corpus — measured 8.5x per 3x data (sf1 6.2 s ->
+# sf3 52.9 s). The production tier is semantic_dedup_scaled (n_cells grows
+# with the corpus, 1.5x per 3x). bench.py therefore excludes this tier by
+# DEFAULT at sf>=3 alongside the quadratic fuzzy tiers, with the exclusion
+# recorded in the artifact; the sf0.01 correctness oracle is untouched.
 # ---------------------------------------------------------------------------
 
 _SEMDEDUP_CELLS = 8

@@ -276,6 +276,29 @@ def test_window_rows_only_entries_are_the_flagged_tail():
     assert rows_only == set(), rows_only
 
 
+def test_rows_only_entries_declare_oracled_twins():
+    """The rows-only ledger is self-certifying (VERDICT r9 item 6): every
+    registry entry without a SQL oracle must declare its oracled twin in
+    ROWS_ONLY_TWINS — the same operator with the engine-specific piece
+    (hash seed / trained state / sketch library) replaced by a portable
+    equivalent that IS hash-matched against DuckDB. A future rows-only
+    addition without a twin fails here instead of silently weakening the
+    driver's correctness gate."""
+    from crz_scraper_spark.plans.registry import REGISTRY, ROWS_ONLY_TWINS
+
+    rows_only = {n for n, (_f, s) in REGISTRY.items() if s is None}
+    assert set(ROWS_ONLY_TWINS) == rows_only, (
+        "ROWS_ONLY_TWINS keys must be exactly the rows-only registry "
+        f"entries; diff: {set(ROWS_ONLY_TWINS) ^ rows_only}"
+    )
+    for name, twin in ROWS_ONLY_TWINS.items():
+        assert twin in REGISTRY, f"{name}: twin {twin} not registered"
+        assert REGISTRY[twin][1] is not None, (
+            f"{name}: twin {twin} is itself rows-only — the mapping must "
+            "land on a DuckDB-oracled query"
+        )
+
+
 def test_architecture_registry_map_not_stale():
     """ARCHITECTURE.md's registry map must name EVERY registry query (the
     one-hop navigation aid VERDICT r6 item 7 asked for) and carry the live

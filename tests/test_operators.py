@@ -288,6 +288,34 @@ def test_quantile_histogram_merges_by_sum(spark):
     assert got == want
 
 
+def test_quantile_histogram_ignores_nulls(spark):
+    """NULL values must be excluded BEFORE bucketing (ADVICE r9): a NULL
+    bucket would inflate n_rows and sort NULLS FIRST in Spark's cumulative
+    window vs NULLS LAST in the DuckDB twin — injecting NULLs must leave
+    the sketch identical to running on the non-NULL rows alone."""
+    from crz_scraper_spark.operators.sketches import (
+        histogram_quantiles,
+        quantile_histogram,
+    )
+
+    clean = spark.range(0, 400).select(
+        F.lit("g").alias("g"), (F.col("id") % 53 / 4.0).alias("v")
+    )
+    dirty = clean.unionByName(
+        spark.range(0, 37).select(
+            F.lit("g").alias("g"), F.lit(None).cast("double").alias("v")
+        )
+    )
+    h_clean = quantile_histogram(clean, "v", ["g"])
+    h_dirty = quantile_histogram(dirty, "v", ["g"])
+    assert h_dirty.exceptAll(h_clean).count() == 0
+    assert h_clean.exceptAll(h_dirty).count() == 0
+    got = histogram_quantiles(h_dirty, ["g"]).collect()
+    want = histogram_quantiles(h_clean, ["g"]).collect()
+    assert got == want
+    assert got[0].n_rows == 400  # NULL rows never reach the count
+
+
 def test_transform_with_state_counts(spark, sf_dir):
     """Spark-4 transformWithStateInPandas stateful counts ≡ batch group
     counts (runs only where the protobuf dependency exists)."""
