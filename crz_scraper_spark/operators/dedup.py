@@ -773,11 +773,17 @@ def connected_components(
         members: dict = {}
         for node in parent:
             members.setdefault(find(node), []).append(node)
-        rows = [
-            (node, min(group))
-            for group in members.values()
-            for node in group
-        ]
+        # Hoist min(group) OUT of the per-node loop: evaluating it inside
+        # the row comprehension recomputed the cluster minimum for EVERY
+        # member, turning the readout O(sum |cluster|^2) — invisible at
+        # sf0.1 (largest cluster ~10) but 786 s of redundant min() calls
+        # at sf10, where the 430k-pair graph carries a giant component
+        # (measured round 10: the whole 660 s near_dup_clusters sf10
+        # reading was this line; pairs build 54 s, union-find 1.1 s).
+        rows = []
+        for group in members.values():
+            rep = min(group)
+            rows.extend((node, rep) for node in group)
         out_schema = (
             pairs.select(
                 F.col(id_a).alias("doc_id"), F.col(id_a).alias("cluster_id")
@@ -1440,7 +1446,27 @@ def containment_pairs(
     # before any cache block exists (measured 19.4 s -> ~10 s at sf0.1).
     sh.count()
     try:
-        sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+        # Per-doc shingle-set state for the VERIFICATION phase: the set of
+        # 64-bit shingle hashes plus the exact (string-distinct) size. The
+        # former exact-verify shape exploded every candidate pair by the
+        # full shingle list of one side and shuffled ~300M (pair, shingle
+        # STRING) rows at sf10 (~17 GB — past this box's page cache, hence
+        # the 8.3x sf3->sf10 slope measured in round 10: the inter stage
+        # alone read 26.7 s -> 224.9 s while candidates grew 3.67x).
+        # Intersecting per-doc hash ARRAYS instead ships each doc's set
+        # once (doc count rows, ~8 B/shingle), the wide pair x (two
+        # arrays) intermediate is pipelined inside the join stage, and the
+        # groupBy shuffle disappears — size(array_intersect(...)) IS the
+        # intersection count. xxhash64 stands in for the shingle string on
+        # the verify/candidate paths only; a 2^-64 collision could
+        # overcount one shared shingle (the same accepted tradeoff as the
+        # hash-seeded LSH tiers), while the string-based DuckDB oracle
+        # hash-matches in practice because no collision has a realistic
+        # chance of occurring at any tested scale.
+        arrs = sh.groupBy("doc").agg(
+            F.collect_set(F.xxhash64("shingle")).alias("sids"),
+            F.count("*").alias("sz"),
+        )
         dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         rk = F.row_number().over(
             Window.partitionBy("doc").orderBy("df", "shingle")
@@ -1450,7 +1476,7 @@ def containment_pairs(
             .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
             .withColumn("rk", rk)
             .filter(F.col("rk") <= rare_k)
-            .select("doc", "shingle")
+            .select("doc", F.xxhash64("shingle").alias("sid"))
         )
         # Seed from BOTH directions: every doc's K rarest shingles probe the
         # full shingle table, and the (seed, match) pair is normalized via
@@ -1458,9 +1484,16 @@ def containment_pairs(
         # lower id would drop any pair where only the HIGHER-id doc's rare
         # shingles are shared — e.g. a contained doc with the higher id whose
         # host's K rarest df∈[2,max_df] shingles all come from OTHER overlaps.
+        # The blocking join keys on the 8-byte sid, not the string (a
+        # collision-spurious candidate is removed by exact verification).
         cand = (
-            rare.select(F.col("doc").alias("d1"), "shingle")
-            .join(sh.select(F.col("doc").alias("d2"), "shingle"), "shingle")
+            rare.select(F.col("doc").alias("d1"), "sid")
+            .join(
+                sh.select(
+                    F.col("doc").alias("d2"), F.xxhash64("shingle").alias("sid")
+                ),
+                "sid",
+            )
             .filter(F.col("d1") != F.col("d2"))
             .select(
                 F.least("d1", "d2").alias("id_a"),
@@ -1468,28 +1501,36 @@ def containment_pairs(
             )
             .distinct()
         )
-        inter = (
-            cand.join(sh.select(F.col("doc").alias("id_a"), "shingle"), "id_a")
-            .join(
-                sh.select(F.col("doc").alias("id_b"), "shingle"),
-                ["id_b", "shingle"],
-            )
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("inter_cnt"))
-        )
         ppm = F.floor(
             F.col("inter_cnt").cast("double")
             * F.lit(1000000.0)
             / F.least("a_sz", "b_sz").cast("double")
         ).cast("bigint")
         out = (
-            inter.join(
-                sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("a_sz")),
+            cand.join(
+                arrs.select(
+                    F.col("doc").alias("id_a"),
+                    F.col("sids").alias("a_sids"),
+                    F.col("sz").alias("a_sz"),
+                ),
                 "id_a",
             )
             .join(
-                sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("b_sz")),
+                arrs.select(
+                    F.col("doc").alias("id_b"),
+                    F.col("sids").alias("b_sids"),
+                    F.col("sz").alias("b_sz"),
+                ),
                 "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("a_sids", "b_sids"))
+                .cast("bigint")
+                .alias("inter_cnt"),
+                "a_sz",
+                "b_sz",
             )
             .select(
                 "id_a",

@@ -41,12 +41,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # queries whose last driver check is oldest, oldest-first in registry
 # order. Round 10 changes: quantile_histogram_profile (NULL values now
 # excluded before bucketing in BOTH the operator and the oracle,
-# ADVICE r9 — code AND oracle changed); near_dup_clusters
-# (connected_components' path-decision side-channel became an
-# accumulating CC_DECISIONS list, ADVICE r9 — touches the CC code
-# path). The 43 refresh slots take all 37 ORACLED r6-checked queries
-# plus the first 6 oracled r7-checked ones in registry order (the
-# remaining 38 r7-checked roll to the r11 window). The window stays
+# ADVICE r9 — code AND oracle changed); near_dup_clusters and
+# curation_pipeline_audit_md5 (connected_components' cluster readout
+# de-quadratified — min(group) hoisted out of the per-node loop, the
+# 786 s sf10 finding — and the path-decision side-channel became an
+# accumulating CC_DECISIONS list, ADVICE r9); containment_near_dup
+# (verification now intersects per-doc xxhash64 shingle-set ARRAYS
+# instead of exploding pair x shingle strings — sf10 198.8 -> 47.2 s).
+# The 41 refresh slots take all 37 ORACLED r6-checked queries plus
+# the first 4 oracled r7-checked ones in registry order (the
+# remaining 40 r7-checked roll to the r11 window). The window stays
 # all-oracled by policy (tests/test_integrity.py: every window slot
 # must hash-match, the strongest driver signal) — the 10 rows-only
 # entries are deliberately never window-rotated: each declares its
@@ -62,7 +66,9 @@ _FIRST_WINDOW = [
     "streaming_interval_join",  # §2.8 stream-stream interval join
     # -- changed this round: first check of the new shape ------------------
     "quantile_histogram_profile",   # NULLs excluded pre-bucketing
-    "near_dup_clusters",            # CC decision list side-channel
+    "near_dup_clusters",            # CC readout de-quadratified
+    "containment_near_dup",         # sid-array verification
+    "curation_pipeline_audit_md5",  # chain calls the changed CC
     # -- staleness refresh: last checked r6 (all 37 oracled, registry order)
     "quality_band_filter",
     "weighted_sample",
@@ -101,13 +107,11 @@ _FIRST_WINDOW = [
     "important_part_value",
     "part_supplier_variety",
     "excess_quantity_suppliers",
-    # -- staleness refresh: last checked r7 (first 6 oracled, registry order)
+    # -- staleness refresh: last checked r7 (first 4 oracled, registry order)
     "sql_shipping_priority",
     "revenue_by_nation",
     "top_orders_per_customer",
     "customers_without_orders",
-    "order_lineitem_rollup",
-    "priority_status_pivot",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}

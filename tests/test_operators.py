@@ -355,6 +355,25 @@ def test_connected_components_chain_and_triangle(spark):
     assert got_loop == want
 
 
+def test_connected_components_giant_component_readout_is_linear(spark):
+    """Regression for the round-10 sf10 finding: the driver path's cluster
+    readout recomputed min(group) for EVERY member, making it
+    O(sum |cluster|^2) — 786 s of redundant min() calls on a 287k-node
+    giant component. A single 120k-node chain (one cluster) finishes in
+    seconds under the hoisted-representative readout; under the old
+    comprehension it needed ~120k^2/2 comparisons (minutes), so this test
+    passing within the suite's normal runtime IS the regression check."""
+    from crz_scraper_spark.operators.dedup import connected_components
+
+    n = 120_000
+    pairs = spark.range(n - 1).selectExpr(
+        "id AS id_a", "id + 1 AS id_b"
+    )
+    out = connected_components(pairs)
+    agg = out.groupBy("cluster_id").count().collect()
+    assert len(agg) == 1 and agg[0].cluster_id == 0 and agg[0]["count"] == n
+
+
 def test_connected_components_paths_agree_on_random_graphs(spark):
     """The distributed pointer-jumping loop and the driver union-find must
     produce identical labels on random graphs (chains, stars, cycles,
