@@ -148,16 +148,14 @@ def _hll_rho() -> Column:
     )
 
 
-def hll_registers(
+def _hll_sparse(
     df: DataFrame, value_col: str, group_cols: list[str]
 ) -> DataFrame:
-    """Per-group HLL register table: ``group_cols + (bucket, mx)``.
-
-    Exactly ``m`` rows per group (empty registers materialized at mx = 0 so
-    the register sum is well-defined), built with one max-aggregate — the
-    shuffle payload is register-table-sized, never input-sized. Register
-    tables are mergeable by MAX on (group, bucket), so incremental daily
-    builds never re-read history.
+    """SPARSE per-group register table ``group_cols + (bucket, mx)`` —
+    only buckets some value actually hashed into. One max-aggregate, so
+    map-side partials collapse each task to <= groups x 256 rows before
+    the shuffle. This is the mergeable sketch state: sparse tables from
+    different days/partitions/clusters combine by MAX on (group, bucket).
     """
     md = F.md5(F.col(value_col).cast("string"))
     hashed = df.select(
@@ -165,11 +163,16 @@ def hll_registers(
         F.conv(F.substring(md, 1, 2), 16, 10).cast("bigint").alias("bucket"),
         F.substring(md, 3, 13).alias("hex13"),
     )
-    regs = (
+    return (
         hashed.select(*group_cols, "bucket", _hll_rho().alias("r"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("r").alias("mx"))
     )
+
+
+def _hll_densify(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Materialize empty registers at mx = 0 so the register SUM in
+    `hll_estimate` is well-defined over exactly ``m`` rows per group."""
     # Group list for register densification comes from the ALREADY-AGGREGATED
     # register table, not the raw input: a `df.select(...).distinct()` here
     # would force a second full scan + distinct shuffle of the source (full
@@ -182,6 +185,70 @@ def hll_registers(
         F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("bucket"),
     ).join(regs, [*group_cols, "bucket"], "left")
     return allregs.withColumn("mx", F.coalesce(F.col("mx"), F.lit(0)))
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HLL register table: ``group_cols + (bucket, mx)``.
+
+    Exactly ``m`` rows per group (empty registers materialized at mx = 0 so
+    the register sum is well-defined), built with one max-aggregate — the
+    shuffle payload is register-table-sized, never input-sized. Register
+    tables are mergeable by MAX on (group, bucket), so incremental daily
+    builds never re-read history — `hll_incremental` below is that path.
+    """
+    return _hll_densify(_hll_sparse(df, value_col, group_cols), group_cols)
+
+
+def hll_incremental(
+    spark,
+    delta: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    store_path: str,
+) -> DataFrame:
+    """Incremental distinct-count maintenance — the daily-ingest form of
+    `hll_registers`: the NEW batch's sparse register table is computed
+    (one map-side-combined aggregate over the increment only), committed
+    to a persisted register store via the signature-store protocol
+    (atomic dot-staging + rename, `_family` marker pinning the hash
+    family/width), and the estimate is read from store ∪ batch merged by
+    element-wise MAX. The corpus never re-scans: daily cost is
+    O(increment) + O(store), and the store is register-table-sized —
+    <= groups x 256 rows PER BATCH whatever the corpus row count (the
+    minhash/simhash/ivf `*_incremental` discipline applied to counting).
+
+    Maintenance semantics:
+    - estimate-idempotent: re-running a batch appends duplicate register
+      rows, but MAX-merge absorbs them — the estimate cannot drift. (No
+      id anti-join as in `minhash_incremental`: registers carry no ids,
+      and duplicates cost store bytes, not correctness.)
+    - compaction = replace all batch dirs with the merged table (same
+      shape), bounding store growth at daily cadence; not automated here.
+    - single-writer per store, as with the signature stores.
+
+    Fully oracle-able: registers are md5 arithmetic, the merge is MAX,
+    and merge-over-batches ≡ one build over the unioned input — so a SQL
+    oracle over the FULL corpus reproduces the post-ingest estimate
+    bit-for-bit. `hll_incremental_md5` in the registry pins it vs DuckDB.
+
+    Returns ``group_cols + (hll_est, zero_regs)`` for the merged state.
+    """
+    from crz_scraper_spark.operators.dedup import (
+        _store_commit,
+        _store_family_check,
+        _store_list,
+    )
+
+    _store_family_check(spark, store_path, f"hll_md5:m{_HLL_M}")
+    _store_commit(spark, _hll_sparse(delta, value_col, group_cols), store_path)
+    merged = (
+        spark.read.parquet(*_store_list(spark, store_path))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("mx").alias("mx"))
+    )
+    return hll_estimate(_hll_densify(merged, group_cols), group_cols)
 
 
 def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:

@@ -462,6 +462,122 @@ WHERE b.doc_id % 2 = 1
 
 
 # ---------------------------------------------------------------------------
+# hll_incremental_md5 — incremental distinct-count maintenance as a
+# driver-checked query (the counting member of the `*_incremental` family
+# beside minhash/simhash/ivf): even-event_id events ingested as day 1 into
+# a persisted sparse HLL register store (atomic staged-batch commits), odd
+# event_ids as day 2, and the post-ingest per-event_type estimate of
+# distinct active USER-DAYS (user_id x day-of-year — the DAU-style
+# quantity with real repetition; ~1.6k per type at sf0.01, safely above
+# the 2.5m = 640 raw-estimator floor) returned from the MAX-merged
+# registers. Because
+# merge-over-batches ≡ one register build over day1 ∪ day2 = the full
+# table, the DuckDB oracle recomputes the estimate from raw events and the
+# driver hash-checks the ESTIMATE itself. Repeat invocations re-ingest day
+# 2 against the existing store — MAX-merge absorbs the duplicate registers,
+# so the result is bit-identical (the maintenance property under test).
+# `exact_distinct`/`err_ppm` are report-side instrumentation (a production
+# incremental counter would never re-scan for the exact — that is the
+# entire point of keeping registers).
+# ---------------------------------------------------------------------------
+
+
+def hll_incremental_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.operators.sketches import hll_incremental
+
+    store = _fixture_dir("hllinc", sf_dir)
+    ev = fan_out(load_table(spark, sf_dir, "events")).select(
+        "event_id",
+        "event_type",
+        (F.col("user_id") * 1000 + F.dayofyear("ts")).alias("user_day"),
+    )
+    if store not in _BUILT:
+        _sh.rmtree(store, ignore_errors=True)
+        day1 = ev.filter(F.col("event_id") % 2 == 0)
+        hll_incremental(
+            spark, day1, "user_day", ["event_type"], store
+        ).count()  # materialize day-1 ingest (report discarded)
+        _BUILT.add(store)
+    day2 = ev.filter(F.col("event_id") % 2 == 1)
+    est = hll_incremental(spark, day2, "user_day", ["event_type"], store)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_day").alias("exact_distinct")
+    )
+    err = F.floor(
+        (F.col("hll_est") - F.col("exact_distinct")).cast("double")
+        * F.lit(1000000.0)
+        / F.col("exact_distinct").cast("double")
+    ).cast("bigint")
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            "hll_est",
+            "zero_regs",
+            err.alias("err_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _hll_incremental_sql() -> str:
+    from crz_scraper_spark.operators.sketches import HLL_NUMERATOR
+
+    num = repr(HLL_NUMERATOR)
+    return f"""
+WITH src AS (
+  SELECT event_type,
+         (user_id * 1000 + dayofyear(ts))::VARCHAR AS v
+  FROM events
+),
+hashed AS (
+  SELECT event_type,
+         ('0x' || substr(md5(v), 1, 2))::BIGINT AS bucket,
+         substr(md5(v), 3, 13) AS hex13
+  FROM src
+),
+rho AS (
+  SELECT event_type, bucket,
+    CASE WHEN hex13 = '0000000000000' THEN 53
+    ELSE 4 * (13 - length(ltrim(hex13, '0')))
+       + CASE WHEN substr(ltrim(hex13, '0'), 1, 1) = '1' THEN 3
+              WHEN substr(ltrim(hex13, '0'), 1, 1) IN ('2','3') THEN 2
+              WHEN substr(ltrim(hex13, '0'), 1, 1) IN ('4','5','6','7') THEN 1
+              ELSE 0 END + 1 END AS r
+  FROM hashed
+),
+regs AS (SELECT event_type, bucket, max(r) AS mx
+         FROM rho GROUP BY event_type, bucket),
+allregs AS (
+  SELECT g.event_type, b.bucket, coalesce(regs.mx, 0) AS mx
+  FROM (SELECT DISTINCT event_type FROM src) g
+  CROSS JOIN (SELECT unnest(range(256)) AS bucket) b
+  LEFT JOIN regs ON regs.event_type = g.event_type
+                AND regs.bucket = b.bucket
+),
+summed AS (
+  SELECT event_type,
+         sum((1::BIGINT << (53 - mx)))::BIGINT AS s,
+         sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END)::BIGINT AS zero_regs
+  FROM allregs GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, count(DISTINCT v)::BIGINT AS exact_distinct
+  FROM src GROUP BY event_type
+)
+SELECT e.event_type, e.exact_distinct,
+       CAST(floor({num} / s::DOUBLE) AS BIGINT) AS hll_est,
+       zero_regs,
+       CAST(floor((CAST(floor({num} / s::DOUBLE) AS BIGINT)
+                   - e.exact_distinct) * 1000000.0
+                  / e.exact_distinct) AS BIGINT) AS err_ppm
+FROM exact e JOIN summed USING (event_type)
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # delete_by_key_audit — the copy-on-write opt-out delete as a driver-checked
 # query: orders materialized as a parquet table partitioned by status, every
 # 7th orderkey deleted through operators/upsert.delete_by_key (partition-
@@ -962,6 +1078,10 @@ QUERIES: dict = {
     "simhash_incremental_md5": (
         simhash_incremental_md5,
         _simhash_incremental_sql(),
+    ),
+    "hll_incremental_md5": (
+        hll_incremental_md5,
+        _hll_incremental_sql(),
     ),
     "delete_by_key_audit": (delete_by_key_audit, DELETE_BY_KEY_AUDIT_SQL),
 }

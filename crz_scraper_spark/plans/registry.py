@@ -47,10 +47,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # 786 s sf10 finding — and the path-decision side-channel became an
 # accumulating CC_DECISIONS list, ADVICE r9); containment_near_dup
 # (verification now intersects per-doc xxhash64 shingle-set ARRAYS
-# instead of exploding pair x shingle strings — sf10 198.8 -> 47.2 s).
-# The 41 refresh slots take all 37 ORACLED r6-checked queries plus
-# the first 4 oracled r7-checked ones in registry order (the
-# remaining 40 r7-checked roll to the r11 window). The window stays
+# instead of exploding pair x shingle strings — sf10 198.8 -> 47.2 s);
+# hll_incremental_md5 (NEW — the counting member of the *_incremental
+# family: persisted sparse HLL register store, MAX-merge ingest);
+# near_dup_keep_best (NEW — canonical-representative selection per
+# near-dup cluster, the keep-one step after near_dup_clusters).
+# The 39 refresh slots take all 37 ORACLED r6-checked queries plus
+# the first 2 oracled r7-checked ones in registry order (the
+# remaining 42 r7-checked roll to the r11 window). The window stays
 # all-oracled by policy (tests/test_integrity.py: every window slot
 # must hash-match, the strongest driver signal) — the 10 rows-only
 # entries are deliberately never window-rotated: each declares its
@@ -64,11 +68,13 @@ _FIRST_WINDOW = [
     "xml_ingest_flatten",       # S1/S2 XML dump scan + corrupt routing
     "minhash_near_dup_md5",     # dedup: MinHash-LSH (portable hash)
     "streaming_interval_join",  # §2.8 stream-stream interval join
-    # -- changed this round: first check of the new shape ------------------
+    # -- changed/new this round: first check of the new shape --------------
     "quantile_histogram_profile",   # NULLs excluded pre-bucketing
     "near_dup_clusters",            # CC readout de-quadratified
     "containment_near_dup",         # sid-array verification
     "curation_pipeline_audit_md5",  # chain calls the changed CC
+    "hll_incremental_md5",          # NEW: incremental HLL register store
+    "near_dup_keep_best",           # NEW: per-cluster canonical selection
     # -- staleness refresh: last checked r6 (all 37 oracled, registry order)
     "quality_band_filter",
     "weighted_sample",
@@ -107,11 +113,9 @@ _FIRST_WINDOW = [
     "important_part_value",
     "part_supplier_variety",
     "excess_quantity_suppliers",
-    # -- staleness refresh: last checked r7 (first 4 oracled, registry order)
+    # -- staleness refresh: last checked r7 (first 2 oracled, registry order)
     "sql_shipping_priority",
     "revenue_by_nation",
-    "top_orders_per_customer",
-    "customers_without_orders",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}

@@ -858,6 +858,71 @@ FROM reach GROUP BY node
 
 
 # ---------------------------------------------------------------------------
+# near_dup_keep_best — canonical-representative selection per near-dup
+# cluster: the "then what" step after `near_dup_clusters` that curation
+# pipelines actually apply (keep ONE member per cluster, drop the rest).
+# Selection policy: longest member (max n_chars), lowest doc_id as the
+# deterministic tie-break. The Spark side is ONE struct-max aggregate —
+# max(struct(n_chars, -doc_id)) picks the longest member and, among
+# length ties, the smallest id, in a single map-side-combined shuffle (no
+# self-join, no per-cluster window); the oracle expresses the identical
+# policy as max-chars agg + member join + min doc_id (DuckDB's struct
+# comparison isn't needed — both reduce to the same (cluster, kept, n,
+# best) rows). Multi-member clusters only: unclustered docs are trivially
+# kept and would just echo the documents table.
+# ---------------------------------------------------------------------------
+
+
+def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = near_dup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    agg = (
+        clusters.join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")
+                )
+            ).alias("b"),
+        )
+    )
+    return agg.select(
+        "cluster_id",
+        (-F.col("b.neg_id")).alias("kept_doc"),
+        "n_members",
+        F.col("b.n_chars").alias("best_chars"),
+    ).orderBy("cluster_id")
+
+
+def _near_dup_keep_best_sql() -> str:
+    cl = _near_dup_clusters_sql().strip()
+    body = cl[len("WITH RECURSIVE ") :]
+    head, final_select = body.rsplit(")\nSELECT", 1)
+    return f"""
+WITH RECURSIVE {head}),
+clusters AS (
+SELECT{final_select}
+),
+m AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars
+  FROM clusters c JOIN documents d USING (doc_id)
+),
+agg AS (
+  SELECT cluster_id, count(*) AS n_members, max(n_chars) AS best_chars
+  FROM m GROUP BY cluster_id
+)
+SELECT a.cluster_id AS cluster_id, min(m.doc_id) AS kept_doc,
+       a.n_members, a.best_chars
+FROM agg a JOIN m ON m.cluster_id = a.cluster_id
+                 AND m.n_chars = a.best_chars
+GROUP BY a.cluster_id, a.n_members, a.best_chars
+ORDER BY a.cluster_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # ngram_jaccard_consecutive — exact n-gram (word bigram) Jaccard similarity
 # for adjacent doc-id pairs: a linear, fully-SQL-expressible slice of the
 # near-dup surface (the LSH pipelines above are its scale path).
@@ -2266,6 +2331,7 @@ QUERIES: dict = {
         _lsh_band_occupancy_md5_sql(),
     ),
     "near_dup_clusters": (near_dup_clusters, _near_dup_clusters_sql()),
+    "near_dup_keep_best": (near_dup_keep_best, _near_dup_keep_best_sql()),
     "simhash_near_dup": (simhash_near_dup, None),
     "simhash_near_dup_md5": (simhash_near_dup_md5, _simhash_md5_sql()),
     "ngram_jaccard_consecutive": (ngram_jaccard_consecutive, NGRAM_JACCARD_SQL),

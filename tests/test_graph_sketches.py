@@ -365,6 +365,59 @@ def test_hll_estimate_accuracy_and_max_merge(spark):
     assert diff == 0
 
 
+def test_hll_incremental_store_matches_full_build_and_is_idempotent(
+    spark, tmp_path
+):
+    """Incremental ingest (day 1 committed to the register store, day 2
+    merged in) must yield the SAME estimate as one build over the full
+    input — the merge-over-batches ≡ union contract the DuckDB oracle of
+    `hll_incremental_md5` rests on — and re-ingesting day 2 must change
+    nothing (MAX-merge absorbs duplicate registers)."""
+    from crz_scraper_spark.operators.sketches import (
+        hll_estimate,
+        hll_incremental,
+        hll_registers,
+    )
+
+    store = str(tmp_path / "hll_store")
+    full = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(2000)], ["v", "g"]
+    )
+    day1 = full.filter(F.col("v") % 2 == 0)
+    day2 = full.filter(F.col("v") % 2 == 1)
+    hll_incremental(spark, day1, "v", ["g"], store).count()
+    got = sorted(
+        (r["g"], r["hll_est"], r["zero_regs"])
+        for r in hll_incremental(spark, day2, "v", ["g"], store).collect()
+    )
+    want = sorted(
+        (r["g"], r["hll_est"], r["zero_regs"])
+        for r in hll_estimate(hll_registers(full, "v", ["g"]), ["g"]).collect()
+    )
+    assert got == want
+    again = sorted(
+        (r["g"], r["hll_est"], r["zero_regs"])
+        for r in hll_incremental(spark, day2, "v", ["g"], store).collect()
+    )
+    assert again == want
+
+
+def test_hll_incremental_store_rejects_family_mismatch(spark, tmp_path):
+    """A register store pins its hash family via the `_family` marker; a
+    caller presenting a different family string must be refused (mixing
+    register widths would corrupt every later estimate)."""
+    import pytest
+
+    from crz_scraper_spark.operators.dedup import _store_family_check
+    from crz_scraper_spark.operators.sketches import hll_incremental
+
+    store = str(tmp_path / "hll_store")
+    df = spark.createDataFrame([(1, "g")], ["v", "g"])
+    hll_incremental(spark, df, "v", ["g"], store).count()
+    with pytest.raises(ValueError, match="family"):
+        _store_family_check(spark, store, "hll_md5:m1024")
+
+
 def test_graph_adjacency_path_equals_edge_path(spark):
     """The round-8 plan change: triangles and PageRank consumed via
     `copurchase_adjacency` (one node-keyed shuffle, set-semantics dedup)
