@@ -512,6 +512,8 @@ def kmeans_lloyd_distributed(
     history list) — inertia (decimal-exact sum of squared distances) is
     the monotone-non-increasing convergence witness.
     """
+    from decimal import ROUND_HALF_UP, Decimal
+
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -524,31 +526,40 @@ def kmeans_lloyd_distributed(
     inertia_hist: list[float] = []
     try:
         for _ in range(n_iter):
-            # ONE Arrow pass per iteration: the assign UDF returns BOTH
-            # the argmin cell and its (9-dp-rounded) squared distance, and
-            # the frame is persisted so the stats and inertia jobs share
-            # the single assignment instead of each recomputing it. (The
-            # previous shape ran assignment twice per iteration and
-            # computed inertia through an O(k)-term interpreted expression
-            # — the dominant cost once k scales as √n.)
+            # ONE Spark job per iteration (optimization round 10; guide
+            # §1.2 "remove passes"): the assign UDF returns BOTH the
+            # argmin cell and its (9-dp-rounded) squared distance, and a
+            # single explode + groupBy(cell, dim) aggregation carries the
+            # per-(cell, dim) decimal sums AND per-cell inertia partials
+            # (summed only on the dim==0 replica of each row, so each
+            # row's d2 counts exactly once). The previous shape persisted
+            # the assignment and ran TWO collect jobs per iteration
+            # (stats, then inertia) — 2 jobs + a cache write per iteration
+            # over what is one aggregation pass of work. Exactness is
+            # unchanged: per-value decimal casts and per-group decimal
+            # sums are order-independent, and the driver-side total is an
+            # exact Decimal sum of exact per-cell partials, rounded
+            # HALF_UP to 3 like Spark's round() on decimals.
             assign_udf = _assign_l2_d2_numpy_udf(cents)
-            assigned = (
-                base.withColumn("__a", assign_udf("__v"))
-                .select(
-                    "__id", "__v", F.col("__a.cell").alias("cell"),
-                    F.col("__a.d2").alias("__d2"),
-                )
-                .persist()
+            assigned = base.withColumn("__a", assign_udf("__v")).select(
+                F.col("__a.cell").alias("cell"),
+                F.col("__a.d2").alias("__d2"),
+                "__v",
             )
-            # Decimal-exact per-(cell, dim) means: explode dims, exact sum.
             stats = (
                 assigned.select(
-                    "cell", F.posexplode("__v").alias("dim", "val")
+                    "cell", "__d2", F.posexplode("__v").alias("dim", "val")
                 )
                 .groupBy("cell", "dim")
                 .agg(
                     F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
                     F.count("*").alias("n"),
+                    F.sum(
+                        F.when(
+                            F.col("dim") == 0,
+                            F.col("__d2").cast("decimal(28,9)"),
+                        )
+                    ).alias("i"),
                 )
                 .select(
                     "cell",
@@ -556,25 +567,30 @@ def kmeans_lloyd_distributed(
                     F.round(
                         (F.col("s") / F.col("n")).cast("double"), round_to
                     ).alias("m"),
+                    "i",
                 )
                 .collect()
             )
             new_cents = [list(c) for c in cents]  # empty cells keep old
+            itot, seen = Decimal(0), False
             for r in stats:
                 new_cents[r["cell"]][r["dim"]] = r["m"]
+                if r["dim"] == 0 and r["i"] is not None:
+                    itot += r["i"]
+                    seen = True
             # Inertia of the CURRENT assignment vs the centroids it was
-            # made against (the Lloyd monotonicity witness), decimal-exact
-            # sum of the per-row rounded distances from the same pass.
+            # made against (the Lloyd monotonicity witness) — exact sum of
+            # the per-cell decimal partials from the same single pass.
             inertia = (
-                assigned.agg(
-                    F.round(
-                        F.sum(F.col("__d2").cast("decimal(28,9)")), 3
-                    ).cast("double").alias("i")
+                float(
+                    itot.quantize(
+                        Decimal("0.001"), rounding=ROUND_HALF_UP
+                    )
                 )
-                .collect()[0]["i"]
+                if seen
+                else None
             )
             inertia_hist.append(inertia)
-            assigned.unpersist()
             cents = new_cents
         final_udf = _assign_l2_d2_numpy_udf(cents)
         final = base.withColumn("__a", final_udf("__v")).select(

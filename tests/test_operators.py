@@ -1255,3 +1255,39 @@ def test_kmeans_distributed_converges_and_is_deterministic(spark, sf_dir):
     )
     assert sorted(map(tuple, a2.collect())) == rows1
     assert c1 == c2 and h1 == h2
+
+
+def test_kmeans_single_pass_inertia_matches_direct_recompute(spark, sf_dir):
+    """The r10 single-job iteration folds the inertia total into the
+    per-(cell, dim) stats aggregation (per-cell decimal partials on the
+    dim==0 replica, exact Decimal sum driver-side, HALF_UP round to 3).
+    Pin that readout against the straightforward two-pass computation:
+    re-assign with the FINAL iteration's input centroids and sum the
+    rounded distances through Spark's own decimal round — the two paths
+    must agree to the last bit."""
+    from pyspark.sql import functions as F
+
+    from crz_scraper_spark.operators.similarity import (
+        _assign_l2_d2_numpy_udf,
+        kmeans_lloyd_distributed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # One iteration: hist[0] is the inertia of the SEED assignment, so the
+    # reference recompute below can rebuild the identical assignment from
+    # the seed centroids alone.
+    import numpy as np
+
+    seed_cents = np.random.default_rng(99).standard_normal((4, 64)).tolist()
+    _a, _c, hist = kmeans_lloyd_distributed(emb, k=4, n_iter=1)
+    ref = (
+        emb.select(F.col("embedding").cast("array<double>").alias("__v"))
+        .withColumn("__a", _assign_l2_d2_numpy_udf(seed_cents)("__v"))
+        .agg(
+            F.round(
+                F.sum(F.col("__a.d2").cast("decimal(28,9)")), 3
+            ).cast("double")
+        )
+        .collect()[0][0]
+    )
+    assert hist[0] == ref
