@@ -897,20 +897,24 @@ def semantic_dedup(
     assignment or the keep/drop decision; argmax ties break to the lowest
     centroid index on both engines.
     """
-    from crz_scraper_spark.operators.similarity import _dot, _norm
-
-    cm = F.lit([[float(x) for x in c] for c in centroids])
-    v = F.col("__v")
-    sims = F.transform(
-        cm, lambda c: F.round(_dot(v, c) / (_norm(v) * _norm(c)), 6)
+    from crz_scraper_spark.operators.similarity import (
+        _dot,
+        _norm,
+        matrix_lit,
     )
+
+    v = F.col("__v")
     # Expression argmax costs O(n_cells) interpreted array ops per row —
     # right for the oracled fixed-cell query (n_cells=8, SQL-reproducible),
     # wrong once n_cells scales with the corpus: the BLAS path below does
     # ONE (batch × dim) @ (dim × n_cells) matrix multiply per Arrow batch.
     # Both round to 6 dp before the argmax with lowest-index tie-break;
     # assignment agreement is asserted empirically in tests (BLAS pairwise
-    # summation can differ in the last ulp, absorbed by the round).
+    # summation can differ in the last ulp, absorbed by the round). The
+    # sims tree is built only on the branch that uses it (r10: building
+    # the centroid literal costs py4j calls proportional to n_cells × dim
+    # — wasted work on the BLAS branch, and `matrix_lit` collapses it to
+    # one parsed expression on the expression branch).
     if len(centroids) > 16:
         assign = _assign_cells_numpy_udf(centroids)
         base = emb.select(
@@ -918,6 +922,10 @@ def semantic_dedup(
             F.col(vec_col).cast("array<double>").alias("__v"),
         ).withColumns({"cell": assign("__v"), "__nrm": _norm(v)})
     else:
+        sims = F.transform(
+            matrix_lit(centroids),
+            lambda c: F.round(_dot(v, c) / (_norm(v) * _norm(c)), 6),
+        )
         base = emb.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("__v"),

