@@ -66,6 +66,65 @@ def pagerank_fixed_point(
     )
 
 
+def _pagerank_chain(
+    adj: DataFrame,
+    nodes: DataFrame,
+    iterations: int,
+    damping_num: int,
+    damping_den: int,
+    scale: int,
+) -> DataFrame:
+    """The lazy ``iterations``-step rank-update chain: ONE join + ONE
+    aggregation per iteration.
+
+    The pre-r10 shape ran TWO joins per step — (adj ⋈ ranks) to ship
+    contributions, then a second ``nodes LEFT JOIN incoming`` purely to
+    re-attach zero-contribution nodes for the ``coalesce(tot, 0)``. That
+    second join (two exchange inputs per iteration) is replaced by riding
+    one zero-contribution row per node THROUGH the message aggregation:
+    union is shuffle-free, so the zero rows add only node-count rows to
+    the one irreducible Pregel message shuffle the groupBy(dst) already
+    pays. The ``is_node`` max-marker preserves the operator's exact
+    contract for non-symmetric graphs — ranks are emitted for SOURCE
+    nodes only, so a dst-only sink (marker 0, no zero row) is filtered
+    out post-aggregation just as the old inner node list dropped it.
+    Arithmetic is unchanged integer fixed-point: a node with no incoming
+    mass now sums tot = 0 (its zero row) and ``(d * 0) DIV den = 0``
+    reproduces the old ``coalesce(NULL, 0)`` bit-for-bit.
+    """
+    base = scale - scale * damping_num // damping_den
+    ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
+    zeros = nodes.select(
+        "node",
+        F.lit(0).cast("bigint").alias("contrib"),
+        F.lit(1).alias("is_node"),
+    )
+    for _ in range(iterations):
+        contribs = adj.join(ranks, "node").select(
+            F.explode("nbrs").alias("node"),
+            F.expr("rank DIV size(nbrs)").alias("contrib"),
+            F.lit(0).alias("is_node"),
+        )
+        stats = (
+            contribs.unionByName(zeros)
+            .groupBy("node")
+            .agg(
+                F.sum("contrib").alias("tot"),
+                F.max("is_node").alias("is_node"),
+            )
+        )
+        ranks = stats.filter(F.col("is_node") == 1).select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_num} * tot) DIV {damping_den}")
+            )
+            .cast("bigint")
+            .alias("rank"),
+        )
+    return ranks
+
+
 def pagerank_on_adjacency(
     adjacency: DataFrame,
     iterations: int = 5,
@@ -77,35 +136,15 @@ def pagerank_on_adjacency(
 
     Same fixed-point arithmetic as `pagerank_fixed_point`; the adjacency is
     persisted here for the iteration loop. The groupBy(dst) message shuffle
-    is the irreducible Pregel step.
+    is the irreducible Pregel step (one join + one aggregation per
+    iteration — see `_pagerank_chain`).
     """
-    base = scale - scale * damping_num // damping_den
     adj = adjacency.select("node", "nbrs").persist()
     nodes = adj.select("node")
-    ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
     try:
-        for _ in range(iterations):
-            incoming = (
-                adj.join(ranks, "node")
-                .select(
-                    F.expr("rank DIV size(nbrs)").alias("contrib"),
-                    F.explode("nbrs").alias("node"),
-                )
-                .groupBy("node")
-                .agg(F.sum("contrib").alias("tot"))
-            )
-            ranks = nodes.join(incoming, "node", "left").select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.coalesce(
-                        F.expr(f"({damping_num} * tot) DIV {damping_den}"),
-                        F.lit(0),
-                    )
-                )
-                .cast("bigint")
-                .alias("rank"),
-            )
+        ranks = _pagerank_chain(
+            adj, nodes, iterations, damping_num, damping_den, scale
+        )
         # Materialize the bounded-depth chain while the adjacency persist is
         # alive; the result is node-sized, not edge-sized, so localCheckpoint
         # (executor-memory, no lineage) is the right cut point.

@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _run_bounded(df: DataFrame, output_mode: str, name_prefix: str) -> DataFrame:
+def _run_bounded(
+    df: DataFrame,
+    output_mode: str,
+    name_prefix: str,
+    needs_eviction_batch: bool = False,
+) -> DataFrame:
     """Run a streaming DataFrame to completion over the bounded local input
     (memory sink + processAllAvailable) and return the materialized result.
 
@@ -39,12 +44,33 @@ def _run_bounded(df: DataFrame, output_mode: str, name_prefix: str) -> DataFrame
     O(cores × state volume) before the FIRST start, since it is fixed into
     the checkpoint thereafter) and restore the batch setting afterwards.
     Partition count never affects results — only state-file fan-out.
+
+    `needs_eviction_batch`: after the data is exhausted the engine runs one
+    more NO-DATA micro-batch (noDataMicroBatches, default on) purely to
+    advance the watermark and evict state. That extra batch re-plans and
+    re-executes the full streaming plan over zero input rows — measured
+    2-4 s per query locally, ~⅓ of each streaming query's cost — and
+    changes the RESULT only for operators that EMIT on eviction (the
+    left-outer join's null-padded rows). Queries whose sinks are complete/
+    update-mode aggregations or append-mode pass-throughs (inner join,
+    dedup) emit everything in the data batches, so they skip it; the
+    left-outer join sets True. Same knob, same reasoning on a real
+    cluster: an availableNow backfill pays one extra full-plan cycle per
+    run unless the query semantically needs eviction emission.
     """
     spark = df.sparkSession
     batch_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    no_data = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     state_parts = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "8")
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     spark.conf.set("spark.sql.shuffle.partitions", state_parts)
+    # SPARK_GRAFT_STREAM_NODATA_BATCH=1 restores the engine default
+    # (always run the trailing no-data batch) — the A/B escape hatch.
+    force_no_data = os.environ.get("SPARK_GRAFT_STREAM_NODATA_BATCH") == "1"
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if (needs_eviction_batch or force_no_data) else "false",
+    )
     try:
         q = (
             df.writeStream.outputMode(output_mode)
@@ -58,6 +84,9 @@ def _run_bounded(df: DataFrame, output_mode: str, name_prefix: str) -> DataFrame
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", batch_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", no_data
+        )
     return spark.table(name)
 
 
@@ -243,10 +272,20 @@ def _run_foreach_batch(spark: SparkSession, agg: DataFrame, write_batch) -> None
     """Run an update-mode foreachBatch stream to completion with the same
     explicit state-partition sizing as _run_bounded (32 default shuffle
     partitions = 32 state-store delta commits per micro-batch for state
-    that fits a page — measured ~2× on the whole run locally)."""
+    that fits a page — measured ~2× on the whole run locally), and the
+    same no-data-micro-batch skip: an update-mode windowed aggregation
+    emits a window the moment a batch changes it, so the trailing
+    watermark-advance batch calls write_batch with ZERO changed rows —
+    a full extra plan+execute+sink cycle that never alters the store."""
     batch_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    no_data = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     state_parts = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "8")
     spark.conf.set("spark.sql.shuffle.partitions", state_parts)
+    force_no_data = os.environ.get("SPARK_GRAFT_STREAM_NODATA_BATCH") == "1"
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if force_no_data else "false",
+    )
     try:
         q = (
             agg.writeStream.outputMode("update")
@@ -259,6 +298,9 @@ def _run_foreach_batch(spark: SparkSession, agg: DataFrame, write_batch) -> None
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", batch_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", no_data
+        )
 
 
 def stream_to_upsert_store(
@@ -508,7 +550,12 @@ def stream_stream_left_outer_join(
         "click_ts",
         "purchase_id",
     )
-    out = _run_bounded(joined, "append", "stream_lojoin")
+    # needs_eviction_batch: the null-padded rows for unmatched clicks are
+    # EMITTED by the watermark-advance eviction batch — skipping it would
+    # silently drop every unmatched click from the result.
+    out = _run_bounded(
+        joined, "append", "stream_lojoin", needs_eviction_batch=True
+    )
     # The frontier comes from one bounded batch aggregate over the same
     # drop (2 values to the driver) — identical arithmetic to the oracle's
     # `least(max click, max purchase) - (watermark + upper + safety)`.
