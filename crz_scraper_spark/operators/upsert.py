@@ -210,39 +210,57 @@ def delete_by_key(
     `isin` nor the equi anti-join matches NULL, so accepting them would
     silently drop those opt-out records and under-report `rows_deleted`.
     """
-    null_parts = delete_keys.filter(F.col(partition_col).isNull()).count()
-    if null_parts:
+    # ONE pass over delete_keys yields the NULL-partition guard AND the
+    # touched-partition list (the pre-r10 shape paid a count job plus a
+    # distinct+collect job over the same tiny frame).
+    part_counts = {
+        r[0]: r[1]
+        for r in delete_keys.groupBy(partition_col).count().collect()
+    }
+    if None in part_counts:
         raise ValueError(
-            f"delete_by_key: {null_parts} delete_keys rows have a NULL "
-            f"{partition_col!r}; NULL never matches isin() or an equi "
+            f"delete_by_key: {part_counts[None]} delete_keys rows have a "
+            f"NULL {partition_col!r}; NULL never matches isin() or an equi "
             "anti-join, so these opt-out records would be silently "
             "ignored. Resolve the partition (key->partition index lookup) "
             "before calling."
         )
-    touched = [
-        r[0] for r in delete_keys.select(partition_col).distinct().collect()
-    ]
+    touched = list(part_counts)
     if not touched:
         return {"partitions_rewritten": 0, "rows_deleted": 0}
     join_cols = [*key_cols, partition_col]
     base = (
         spark.read.parquet(base_path)
         .filter(F.col(partition_col).isin(touched))
-        .persist()  # one read serves count, anti-join, and the rewrite
+        .persist()  # one read serves the audit count and the rewrite
     )
     try:
-        before_per_part = {
-            r[0]: r[1] for r in base.groupBy(partition_col).count().collect()
-        }
-        before = sum(before_per_part.values())
         keys = delete_keys.select(*join_cols).distinct()
-        kept = base.join(F.broadcast(keys), join_cols, "left_anti")
-        kept_per_part = {
-            r[0]: r[1]
-            for r in kept.groupBy(partition_col)
-            .count()
+        # Audit counts in ONE aggregation: a left join against the
+        # broadcast opt-out keys marks each base row instead of filtering
+        # it, so per-partition BEFORE and KEPT counts come from a single
+        # pass (the pre-r10 shape ran two count jobs — base, then the
+        # anti-joined survivors — over the same persisted data). The
+        # rewrite below still uses the anti-join; both derive from the
+        # same broadcast key set, so marker IS NULL ≡ anti-join survivor.
+        marked = base.join(
+            F.broadcast(keys.withColumn("__del", F.lit(1))),
+            join_cols,
+            "left",
+        )
+        audit = {
+            r[0]: (r[1], r[2])
+            for r in marked.groupBy(partition_col)
+            .agg(
+                F.count(F.lit(1)).alias("before"),
+                F.count(F.when(F.col("__del").isNull(), 1)).alias("kept"),
+            )
             .collect()
         }
+        before_per_part = {p: b for p, (b, _) in audit.items()}
+        kept_per_part = {p: kk for p, (_, kk) in audit.items()}
+        before = sum(before_per_part.values())
+        kept = base.join(F.broadcast(keys), join_cols, "left_anti")
         deleted = before - sum(kept_per_part.values())
         (
             kept.write.mode("overwrite")
