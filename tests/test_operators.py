@@ -1291,3 +1291,25 @@ def test_kmeans_single_pass_inertia_matches_direct_recompute(spark, sf_dir):
         .collect()[0][0]
     )
     assert hist[0] == ref
+
+
+def test_widen_cells_pregrouped_semantics(spark):
+    """widen_cells after the r10 pre-grouped rewrite: one wide row per
+    non-NULL key, cells placed by col_idx, missing col_idx → NULL, and
+    NULL-key rows dropped (the contract the partitioned-UDTF form had)."""
+    from pyspark.sql import functions as F
+
+    from crz_scraper_spark.operators.extraction import widen_cells
+
+    long_df = spark.createDataFrame(
+        [
+            (1, 0, "a"), (1, 1, "b"), (1, 2, "c"),
+            (2, 0, "x"), (2, 2, "z"),          # col_idx 1 missing -> NULL
+            (None, 0, "dropped"),              # NULL key group dropped
+        ],
+        "key long, col_idx int, cell string",
+    )
+    out = widen_cells(long_df, "key", 3)
+    assert out.columns == ["key", "c0", "c1", "c2"]
+    got = {r["key"]: (r["c0"], r["c1"], r["c2"]) for r in out.collect()}
+    assert got == {1: ("a", "b", "c"), 2: ("x", None, "z")}
