@@ -333,14 +333,40 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
-    c12 = doc_bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c1 = doc_bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
-    vocab = doc_bigrams.select(F.col("w1").alias("w")).union(
-        doc_bigrams.select(F.col("w2").alias("w"))
-    ).distinct().count()
+    # Lazy localCheckpoint: c12 feeds THREE consumers (the broadcast join
+    # side, the c1 rollup, the vocab count) and Spark 4's planner does not
+    # reuse the aggregation exchange across them (ReusedExchange: 0,
+    # measured) — without the checkpoint the corpus explode+partial-agg
+    # ran once per consumer. eager=False keeps construction job-free; the
+    # first action computes the table once and every branch reads the
+    # checkpointed blocks. State is LM-model-sized (distinct bigrams),
+    # the same bound that already makes it broadcastable.
+    c12 = (
+        doc_bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    # c1 and the vocabulary size both derive EXACTLY from the c12 table —
+    # c1(w1) = Σ_w2 c12(w1,w2), vocab = |{w1} ∪ {w2} of c12's keys| — so
+    # they aggregate the vocabulary²-bounded bigram-count table instead of
+    # the full corpus bigram stream (optimization round 10, guide §1.2
+    # step 1 / §2.3 "aggregate before you shuffle"): the previous shape
+    # re-aggregated the corpus stream for c1 (a second full-corpus
+    # shuffle) and ran a THIRD full tokenize+explode pass at plan-build
+    # time just to collect vocab as a Python literal. vocab now rides the
+    # plan as a broadcast scalar, making the query fully lazy; the
+    # smoothing term 0.5·V is a power-of-two multiple of an exact
+    # integer either way, so every probability input is bit-identical.
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab_df = (
+        c12.select(F.col("w1").alias("w"))
+        .union(c12.select(F.col("w2").alias("w")))
+        .distinct()
+        .agg(F.count("*").alias("__vocab"))
+    )
     neg_logp = -F.log(
         (F.col("c12") + F.lit(_PPL_K))
-        / (F.col("c1") + F.lit(float(_PPL_K * vocab)))
+        / (F.col("c1") + F.lit(_PPL_K) * F.col("__vocab"))
     )
     # Decimal-sum discipline: each ln term is an identical double on both
     # engines, but a float SUM is summation-order-dependent. Casting each
@@ -350,6 +376,7 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         doc_bigrams.join(F.broadcast(c12), ["w1", "w2"])
         .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(vocab_df))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
