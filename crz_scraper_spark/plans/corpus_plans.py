@@ -333,18 +333,20 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
-    # Lazy localCheckpoint: c12 feeds THREE consumers (the broadcast join
+    # Eager localCheckpoint: c12 feeds THREE consumers (the broadcast join
     # side, the c1 rollup, the vocab count) and Spark 4's planner does not
     # reuse the aggregation exchange across them (ReusedExchange: 0,
-    # measured) — without the checkpoint the corpus explode+partial-agg
-    # ran once per consumer. eager=False keeps construction job-free; the
-    # first action computes the table once and every branch reads the
-    # checkpointed blocks. State is LM-model-sized (distinct bigrams),
-    # the same bound that already makes it broadcastable.
+    # measured — per-consumer column pruning de-canonicalizes the
+    # exchanges), so without the checkpoint the corpus explode+partial-agg
+    # ran once per consumer; a LAZY checkpoint still races, because AQE
+    # submits the three consumer stages concurrently and each recomputes
+    # unmaterialized partitions. Eager pins exactly ONE corpus pass for
+    # the LM table. State is LM-model-sized (distinct bigrams), the same
+    # bound that already makes it broadcastable.
     c12 = (
         doc_bigrams.groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     # c1 and the vocabulary size both derive EXACTLY from the c12 table —
     # c1(w1) = Σ_w2 c12(w1,w2), vocab = |{w1} ∪ {w2} of c12's keys| — so
