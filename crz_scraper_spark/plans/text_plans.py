@@ -595,10 +595,18 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         # struct array) — tokens themselves are already projected away.
         .persist()
     )
-    stats = per_doc.agg(
+    # Materialize the 1-row corpus stats EAGERLY: the same job warms the
+    # per_doc cache (AQE submits the df and scored leaf stages
+    # concurrently — without a materialized cache each recomputes the
+    # tokenize + per-term scans, the containment-scan race fixed in
+    # operators/dedup.py), and the two scalars then ride the plan as
+    # literals instead of a broadcast cross-join (r10, guide §1.2/§5).
+    # Same doubles bit-for-bit: the JVM computes sum(dl)/count either way.
+    st = per_doc.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    )
+    ).collect()[0]
+    n_docs, avgdl = st["n_docs"], st["avgdl"]
     tf = (
         per_doc.select("doc_id", "dl", F.explode("tf_arr").alias("t"))
         .select("doc_id", "dl", "t.word", "t.tf")
@@ -607,7 +615,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
     idf = F.log(
         1.0
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     contrib = F.round(
         idf
@@ -615,13 +623,12 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (
             F.col("tf")
             + _BM25_K1
-            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
         ),
         6,
     )
     scored = (
         tf.join(F.broadcast(df), "word")
-        .join(F.broadcast(stats))
         .withColumn("contrib", contrib)
         .groupBy("doc_id")
         .agg(F.round(F.sum("contrib"), 4).alias("score"))
