@@ -39,20 +39,38 @@ from pyspark.sql import types as T
 from crz_scraper_spark.functions.text import tokens_nonempty
 
 
-def first_wins_dedup(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
+def first_wins_dedup(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    group_size_col: str | None = None,
+) -> DataFrame:
     """Keep the first row per key under an explicit deterministic ordering.
 
     ≈ the reference's control-list dedup (`02_filter_by_CIN.py:259-268`) where
     "first" = file order; here the caller names the ordering column(s)
     (ingest index / primary key), making the pick reproducible across runs
     and partitionings — `dropDuplicates` does not guarantee that.
+
+    `group_size_col`: when set, the kept row also carries the SIZE of its
+    duplicate group under that column name — computed by the same window
+    pass (count over the identical partition spec adds no shuffle and no
+    extra scan), so a caller that needs "how many rows did dedup see" can
+    aggregate the deduped output instead of re-scanning the input
+    (curation_pipeline's audit ledger; r10, guide §1.2 step 1).
     """
     w = Window.partitionBy(*keys).orderBy(*order_by)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    out = df.withColumn("__rn", F.row_number().over(w))
+    if group_size_col is not None:
+        # Unbounded count over the same partition keys: the second window
+        # reuses the row_number window's Exchange (identical partitioning,
+        # no ordering requirement of its own) — the group size rides the
+        # shuffle the dedup already pays for, zero extra scans.
+        out = out.withColumn(
+            group_size_col,
+            F.count(F.lit(1)).over(Window.partitionBy(*keys)),
+        )
+    return out.filter(F.col("__rn") == 1).drop("__rn")
 
 
 def char_shingles(text: Column | str, n: int = 5) -> Column:
@@ -722,8 +740,9 @@ def connected_components(
     Scale strategy (the broadcast-join analog for graphs): a near-dup pair
     graph is usually TINY relative to the corpus — LSH emits edges only
     for actual near-duplicates. Below `driver_max_edges` the edge set is
-    collected and solved with driver-side union-find (microseconds, two
-    Spark jobs total); the iterative loop is the path for genuinely large
+    collected and solved with driver-side union-find (microseconds; ONE
+    action — a limit-bounded collect — both decides the path and fetches
+    the edges); the iterative loop is the path for genuinely large
     pair graphs, where each round's joins are worth their scheduling cost.
     Both paths produce identical (doc_id, min-reachable-id) labels.
     `driver_max_edges` defaults to a MEMORY-DERIVED bound
@@ -733,26 +752,34 @@ def connected_components(
     """
     if driver_max_edges is None:
         driver_max_edges = _default_driver_max_edges(pairs.sparkSession)
-    pairs = pairs.persist()
-    n_pairs = pairs.count()
     spark = pairs.sparkSession
-    CC_DECISIONS.append({
-        "path": (
-            "driver_union_find"
-            if 2 * n_pairs <= driver_max_edges
-            else "iterative_label_prop"
-        ),
-        "n_pairs": n_pairs,
-        "driver_max_edges": driver_max_edges,
-        "driver_memory": spark.conf.get("spark.driver.memory", "1g"),
-        "max_result_size": spark.conf.get("spark.driver.maxResultSize", "1g"),
-    })
-    if 2 * n_pairs <= driver_max_edges:
+    # ONE action decides the path AND fetches the edges (optimization
+    # round 10, guide §1.2 step 1): the former count()-then-collect()
+    # shape materialized the whole upstream pair pipeline for the count,
+    # wrote it to cache, then re-read the cache — a cache write plus a
+    # second pass that existed only to learn n_pairs before collecting.
+    # limit(cap + 1) bounds the collect at the SAME driver-memory ceiling
+    # by construction (at most cap + 1 rows can arrive, whatever the pair
+    # graph holds), and len(head) ≤ cap proves head IS the complete edge
+    # set. cap = driver_max_edges // 2 keeps the old 2·n_pairs ≤ ceiling
+    # cutover bit-exactly (floor is the conservative side on odd values).
+    cap = driver_max_edges // 2
+    head = pairs.select(id_a, id_b).limit(cap + 1).collect()
+    take_driver = len(head) <= cap
+    if take_driver:
+        CC_DECISIONS.append({
+            "path": "driver_union_find",
+            "n_pairs": len(head),
+            "driver_max_edges": driver_max_edges,
+            "driver_memory": spark.conf.get("spark.driver.memory", "1g"),
+            "max_result_size": spark.conf.get(
+                "spark.driver.maxResultSize", "1g"
+            ),
+        })
         # Driver path works on the RAW pair list — union-find neither needs
         # the symmetrized edge set nor a distinct (duplicate edges are
         # no-op unions), so skipping the union+distinct shuffle saves a
-        # full stage; the pipeline materializes exactly once (count), and
-        # collect() re-reads the persisted pairs.
+        # full stage; no persist either — head already holds every pair.
         parent: dict = {}
 
         def find(x):
@@ -763,7 +790,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in pairs.select(id_a, id_b).collect():
+        for r in head:
             a, b = r[0], r[1]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -789,11 +816,19 @@ def connected_components(
                 F.col(id_a).alias("doc_id"), F.col(id_a).alias("cluster_id")
             ).schema
         )
-        # The collect above was the last read of the persisted pairs; drop
-        # the cached blocks so long-lived sessions (the CLI running many
-        # queries) do not accumulate leaked storage.
-        pairs.unpersist()
-        return pairs.sparkSession.createDataFrame(rows, out_schema)
+        return spark.createDataFrame(rows, out_schema)
+    # Iterative fallback for genuinely large pair graphs: NOW persist —
+    # `edges` reads pairs twice (both orientations) per build, and the
+    # exact n_pairs count doubles as the path-decision attribution the
+    # bench artifact records (the limit probe above only proved > cap).
+    pairs = pairs.persist()
+    CC_DECISIONS.append({
+        "path": "iterative_label_prop",
+        "n_pairs": pairs.count(),
+        "driver_max_edges": driver_max_edges,
+        "driver_memory": spark.conf.get("spark.driver.memory", "1g"),
+        "max_result_size": spark.conf.get("spark.driver.maxResultSize", "1g"),
+    })
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(

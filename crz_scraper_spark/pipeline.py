@@ -251,6 +251,10 @@ def curation_pipeline(
     portable = hash_tier == "portable_md5"
     base = docs.select(id_col, text_col)
     # Stage 1 — exact dedup: group on the content digest, keep lowest id.
+    # The kept row also carries its duplicate-group size (__grp_n, computed
+    # by the same window shuffle) so the audit ledger's `input` count can
+    # aggregate the CACHED deduped frame instead of re-scanning the raw
+    # corpus — one fewer full input pass per audit (r10, guide §1.2).
     digest = (
         F.md5(F.col(text_col)) if portable else F.xxhash64(F.col(text_col))
     )
@@ -258,6 +262,7 @@ def curation_pipeline(
         base.withColumn("__h", digest),
         keys=["__h"],
         order_by=[F.asc(id_col)],
+        group_size_col="__grp_n",
     ).drop("__h")
     if persist:
         exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
@@ -280,7 +285,8 @@ def curation_pipeline(
     non_reps = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    deduped = exact.join(non_reps, id_col, "left_anti")
+    # __grp_n is audit bookkeeping — it must not leak into survivors.
+    deduped = exact.drop("__grp_n").join(non_reps, id_col, "left_anti")
     if persist:
         deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
     # Stage 3 — quality floor + language tag, appended in place (map-only;
@@ -312,11 +318,24 @@ def curation_pipeline(
             .select(id_col).withColumn("stage", F.lit("low_quality"))
         )
     )
-    # Audit ledger in THREE branches, not five: one conditional-aggregate
-    # scan of the (cached) post-dedup frame yields near_dedup,
-    # quality_floor AND final in a single pass (`final` == `quality_floor`
-    # by construction — the split stage only appends a column), plus a
-    # column-pruned count of the input and a count of the cached `exact`.
+    # Audit ledger in TWO branches, not five: one aggregate of the cached
+    # `exact` yields input AND exact_dedup (input = Σ duplicate-group
+    # sizes — every raw row belongs to exactly one digest group, so the
+    # sum over kept rows reproduces count(base) without re-scanning the
+    # raw corpus), and one conditional-aggregate scan of the (cached)
+    # post-dedup frame yields near_dedup, quality_floor AND final
+    # (`final` == `quality_floor` by construction — the split stage only
+    # appends a column). The former three-branch shape paid a full
+    # column-pruned input scan per audit for a number the dedup window
+    # had already seen (r10, guide §1.2 step 1).
+    ex_counts = exact.agg(
+        # coalesce: sum over an EMPTY corpus is NULL where count was 0.
+        F.coalesce(F.sum("__grp_n"), F.lit(0).cast("bigint")).alias("input"),
+        F.count(F.lit(1)).alias("exact_dedup"),
+    ).selectExpr(
+        "stack(2, 'input', input, 'exact_dedup', exact_dedup)"
+        " AS (stage, n_rows)"
+    )
     dd_counts = scored.agg(
         F.count(F.lit(1)).alias("near_dedup"),
         F.count(
@@ -326,15 +345,7 @@ def curation_pipeline(
         "stack(3, 'near_dedup', near_dedup, 'quality_floor', quality_floor,"
         " 'final', quality_floor) AS (stage, n_rows)"
     )
-    audit = (
-        base.agg(F.count(F.lit(1)).alias("n_rows"))
-        .select(F.lit("input").alias("stage"), "n_rows")
-        .unionByName(
-            exact.agg(F.count(F.lit(1)).alias("n_rows"))
-            .select(F.lit("exact_dedup").alias("stage"), "n_rows")
-        )
-        .unionByName(dd_counts)
-    )
+    audit = ex_counts.unionByName(dd_counts)
     return {
         "survivors": survivors,
         "dropped": dropped,

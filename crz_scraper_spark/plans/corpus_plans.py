@@ -109,7 +109,11 @@ def boilerplate_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         )
     )
-    n_docs = docs.count()  # scalar; metadata-cheap and exact
+    # Scalar doc count for the blacklist threshold: count the RAW table
+    # (parquet count pushdown, no shuffle), not the fanned frame — the
+    # value is identical and the fanned count pays the full repartition
+    # shuffle just to answer a metadata question (r10, guide §2.1).
+    n_docs = load_table(spark, sf_dir, "documents").count()
     blacklist = (
         grams.groupBy("gram")
         .agg(F.count("*").alias("df"))

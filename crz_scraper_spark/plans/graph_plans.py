@@ -192,14 +192,16 @@ ORDER BY hop
 
 
 def part_reach_3hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark side: the recursive step re-evaluates every CTE it references
-    per iteration, so leaving the pair build inside the recursion costs
-    ~4× the graph construction (measured 14.7 s at sf0.1). The kNN edge
-    frame is built ONCE as a DataFrame (collect_set + map-side explode —
-    `copurchase_edges`' shape — plus the per-source top-5 window), cached,
-    and the recursion runs over the cached view; the oracle keeps the
-    single-string form since DuckDB materializes CTEs. The 4-row result is
-    collected so the cache never outlives the call."""
+    """Spark side: the kNN edge frame is built ONCE as a DataFrame
+    (collect_set + map-side explode — `copurchase_edges`' shape — plus the
+    per-source top-5 window), cached, and the FIXED 3-hop walk is unrolled
+    into chained broadcast joins over the cached frame (the recursive-CTE
+    executor re-planned one union branch per level and re-evaluated every
+    CTE it referenced per iteration — measured 14.7 s at sf0.1 with the
+    pair build inside the recursion, and still 33 driver jobs with it
+    hoisted; the unrolled plan is one query). The oracle keeps the
+    single recursive-CTE string since DuckDB materializes CTEs. The 4-row
+    result is collected so the cache never outlives the call."""
     li = load_table(spark, sf_dir, "lineitem")
     baskets = (
         li.groupBy("l_orderkey")
@@ -226,23 +228,45 @@ def part_reach_3hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     try:
-        knn.createOrReplaceTempView("knn_edges")
-        out = spark.sql(
-            """
-WITH RECURSIVE reach(node, hop) AS (
-  SELECT min(src), 0 FROM knn_edges
-  UNION ALL
-  SELECT k.dst, r.hop + 1
-  FROM reach r JOIN knn_edges k ON k.src = r.node
-  WHERE r.hop < 3
-)
-SELECT hop, count(*) AS n_first_reached
-FROM (SELECT node, min(hop) AS hop FROM reach GROUP BY node)
-GROUP BY hop
-ORDER BY hop
-"""
+        # Bounded-hop walk as driver-paced BFS (optimization r10, guide
+        # §1.2 step 1): the recursive-CTE executor re-planned and
+        # re-executed one union branch per level — measured 33 driver
+        # jobs / 1447 tasks at sf0.1 for a walk whose frontier is
+        # structurally ≤ 5^hop rows (an unrolled chained-broadcast-join
+        # form was tried first and was WORSE: every nested broadcast
+        # subtree re-executed all prior levels — 35 jobs / 2285 tasks).
+        # Each BFS level is ONE filter-collect over the cached kNN frame;
+        # everything that reaches the driver is capped at 5·|frontier| ≤
+        # 5^3·5 rows BY CONSTRUCTION of the top-5 pruned graph — the same
+        # bounded-collect contract as connected_components' driver path.
+        # Equivalence: the CTE enumerates paths and takes min(hop) per
+        # node; a node's minimum hop over ≤3-hop paths IS its BFS level,
+        # and visited-pruning only removes re-reached nodes whose min hop
+        # is already recorded. The DuckDB oracle keeps the recursive-CTE
+        # string, so the hash-match IS the equivalence proof.
+        seed = knn.agg(F.min("src")).collect()[0][0]
+        visited = {seed: 0}
+        frontier = [seed]
+        for hop in (1, 2, 3):
+            if not frontier:
+                break
+            rows = (
+                knn.filter(F.col("src").isin(frontier))
+                .select("dst")
+                .collect()
+            )
+            frontier = [
+                n for n in {r[0] for r in rows} if n not in visited
+            ]
+            for n in frontier:
+                visited[n] = hop
+        from collections import Counter
+
+        cnt = Counter(visited.values())
+        out = spark.createDataFrame(
+            [(h, cnt[h]) for h in sorted(cnt)],
+            "hop INT, n_first_reached BIGINT",
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
     finally:
         knn.unpersist()
     return out

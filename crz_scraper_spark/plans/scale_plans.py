@@ -1906,13 +1906,16 @@ def semantic_dedup_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_lloyd_distributed,
     )
 
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(raw)
     # k ∝ √n is the IVF balance point: quantizer assignment costs O(n·k)
     # and the within-cell pair phase O(n·(n/k)) — both n^1.5 at k = √n. A
     # FIXED k (the pre-round-5 k=8) makes the pair phase quadratic the
     # moment the corpus outgrows it (measured: 128 s at sf3 vs 16 s at
-    # sf1 for 3× data).
-    n = emb.count()
+    # sf1 for 3× data). Count the RAW table, not the fanned frame: the
+    # value is identical, but counting after repartition shuffles the
+    # whole table to answer a metadata question (r10, guide §2.1).
+    n = raw.count()
     k = max(8, isqrt(n))
     _assigned, cents, _hist = kmeans_lloyd_distributed(
         emb, "vec_id", "embedding", k=k, n_iter=3
@@ -2033,8 +2036,11 @@ def semantic_dedup_scaled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     check: the centroid count depends on the input count, so the oracle
     SQL cannot be a static string. One extra count() job; everything else
     is the same codegen argmax + cell equi-join."""
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    n = emb.count()
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(raw)
+    # Count the raw table (parquet count, no shuffle), not the fanned
+    # frame — same value, one job instead of repartition + count (r10).
+    n = raw.count()
     n_cells = max(8, n // 250)
     cents = fixed_centroids(_SEMDEDUP_DIM, n_cells, _SEMDEDUP_SEED)
     return _release_semdedup_cache(
