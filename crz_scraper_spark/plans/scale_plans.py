@@ -377,7 +377,8 @@ def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism). The query also carries a corpus_recall_ppm guard vs the
     exact L2 top-5 (mirrored in the oracle): a recall collapse empties the
     result."""
-    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(raw).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 8)
@@ -390,8 +391,11 @@ def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebooks=fixed_pq_codebooks(_ANN_DIM, _PQ_M, _PQ_KSUB, _PQ_SEED),
         encode_round_to=6,
     )
+    # The guard only COUNTS the corpus frame — hand it the raw table so
+    # floor_ppm's n comes from a parquet count, not a full repartition
+    # shuffle of the embedding vectors (r10, guide §2.1); same value.
     return _with_recall_guard(
-        topk, _exact_l2_topk(emb), emb, _PQ_FLOOR_X_RANDOM
+        topk, _exact_l2_topk(emb), raw, _PQ_FLOOR_X_RANDOM
     )
 
 
@@ -406,7 +410,8 @@ def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nprobe=nlist ≡ exact brute force). The query also carries a
     corpus_recall_ppm guard vs the exact cosine top-5 (mirrored in the
     oracle): a recall collapse empties the result."""
-    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(raw).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 8)
@@ -425,7 +430,8 @@ def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk_bruteforce(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    return _with_recall_guard(topk, exact, emb, _IVF_FLOOR_X_RANDOM)
+    # Raw table for the guard's count — see pq_ann_topk_q (r10).
+    return _with_recall_guard(topk, exact, raw, _IVF_FLOOR_X_RANDOM)
 
 
 def _sq_dist_sql(a: str, b: str) -> str:
