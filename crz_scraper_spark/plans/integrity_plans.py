@@ -455,13 +455,29 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for check, fact, fk, dim, dk in _FK_EDGES:
         f = load_table(spark, sf_dir, fact).select(F.col(fk).alias("k"))
-        d = load_table(spark, sf_dir, dim).select(F.col(dk).alias("k"))
-        orphans = f.join(d, "k", "left_anti")
-        row = f.agg(
+        # ONE pass per edge (optimization r10, guide §1.2 step 1): a
+        # marker LEFT join against the DISTINCT dim keys makes n_orphans
+        # a conditional count of the same aggregation that computes
+        # n_rows/n_keys — the former shape scanned every fact table TWICE
+        # per edge (a stats agg plus a separate anti-join agg; lineitem,
+        # on three edges, was scanned six times per audit). distinct()
+        # keeps the join 1:1 per fact row whatever the dim's key
+        # multiplicity, so count(*) stays exact; marker IS NULL ≡
+        # anti-join survivor (NULL fact keys match nothing on either
+        # shape). No broadcast hint: the lineitem->orders edge's "dim" is
+        # itself fact-sized at scale — AQE picks the strategy.
+        d = (
+            load_table(spark, sf_dir, dim)
+            .select(F.col(dk).alias("k"))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        row = f.join(d, "k", "left").agg(
             F.lit(check).alias("fk_check"),
             F.count("*").alias("n_rows"),
             F.count_distinct("k").alias("n_keys"),
-        ).crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+            F.count(F.when(F.col("__hit").isNull(), 1)).alias("n_orphans"),
+        )
         out = row if out is None else out.union(row)
     return out.orderBy("fk_check")
 

@@ -88,6 +88,28 @@ def test_first_wins_dedup_deterministic(spark):
     assert got == {"a": "first", "b": "only"}
 
 
+def test_first_wins_dedup_group_size_col(spark):
+    """group_size_col (r10): the kept row carries its duplicate-group size
+    from the same window pass, Σ sizes reproduces the input count (the
+    curation audit's input-ledger contract), and omitting the parameter
+    leaves the schema untouched."""
+    rows = [
+        Row(k="a", idx=3, v="third"),
+        Row(k="a", idx=1, v="first"),
+        Row(k="a", idx=2, v="second"),
+        Row(k="b", idx=10, v="only"),
+    ]
+    df = spark.createDataFrame(rows).repartition(8)
+    out = first_wins_dedup(
+        df, ["k"], [F.asc("idx")], group_size_col="grp_n"
+    ).collect()
+    got = {r["k"]: (r["v"], r["grp_n"]) for r in out}
+    assert got == {"a": ("first", 3), "b": ("only", 1)}
+    assert sum(n for _, n in got.values()) == len(rows)
+    plain = first_wins_dedup(df, ["k"], [F.asc("idx")])
+    assert "grp_n" not in plain.columns
+
+
 def test_char_shingles(spark):
     df = spark.createDataFrame([Row(t="abcde")])
     got = df.select(char_shingles("t", 3).alias("s")).first()["s"]
