@@ -136,19 +136,79 @@ def sample_frames(binary: DataFrame, fps_divisor: int = 10) -> DataFrame:
             out: dict[str, list] = {"doc_id": [], "frame_no": [], "ts_ms": [], "frame": []}
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 p = p if p is not None else b""
-                n_frames = len(p) % 7
-                for i in range(n_frames):
-                    start = (i * len(p)) // max(n_frames, 1)
+                for i, frame in enumerate(_frame_slices(p)):
                     out["doc_id"].append(doc_id)
                     out["frame_no"].append(i)
                     out["ts_ms"].append(i * 1000 * fps_divisor)
-                    out["frame"].append(p[start : start + 16])
+                    out["frame"].append(frame)
             yield pd.DataFrame(out)
 
     return binary.mapInPandas(batches, FRAMES_SCHEMA)
 
 
 FEATURES_SCHEMA = "doc_id bigint, frame_no int, feature array<float>"
+
+
+def _frame_slices(p: bytes) -> list[bytes]:
+    """The stub frame sampler's slice arithmetic, shared by `sample_frames`
+    and the fused `frame_features`: n_frames = len(p) % 7 16-byte slices."""
+    n_frames = len(p) % 7
+    return [
+        p[(i * len(p)) // max(n_frames, 1) :][:16] for i in range(n_frames)
+    ]
+
+
+def _featurize_bytes(frame: bytes, dim: int, np, zero):
+    """The stub featurizer's strided byte-window sum, shared by
+    `extract_features` and the fused `frame_features`."""
+    arr = np.frombuffer(frame or b"", dtype=np.uint8)
+    if arr.size == 0:
+        return zero
+    pad = (-arr.size) % dim
+    windows = np.pad(arr, (0, pad)).reshape(-1, dim)
+    return windows.sum(axis=0, dtype="int64").astype("float32")
+
+
+def frame_features(binary: DataFrame, dim: int = 16) -> DataFrame:
+    """Fused sample_frames ∘ extract_features in ONE mapInPandas pass.
+
+    Chaining the two verbs ships every frame's bytes across the JVM↔Python
+    boundary twice (payload → Python → frame rows → JVM → Python →
+    features → JVM); consumers that never need the raw frame rows (the
+    per-doc feature rollup) fuse the sampler and featurizer so the payload
+    crosses ONCE and only dim floats per frame cross back (optimization
+    guide §4: the boundary cost is columns × crossings — control both).
+    Slice arithmetic and window sums are the SAME helpers the standalone
+    verbs use, so output parity is structural (pinned by
+    tests/test_multimodal.py::test_frame_features_fused_parity).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        zero = np.zeros(dim, dtype="float32")
+        for pdf in it:
+            out: dict[str, list] = {"doc_id": [], "frame_no": [], "feature": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = p if p is not None else b""
+                for i, frame in enumerate(_frame_slices(p)):
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(i)
+                    out["feature"].append(
+                        _featurize_bytes(frame, dim, np, zero)
+                    )
+            # object dtype: a zero-frame batch would otherwise yield an
+            # empty float64 column, which Arrow cannot cast to
+            # array<float> (NumPyConverter lacks list<float>).
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "frame_no": out["frame_no"],
+                    "feature": pd.Series(out["feature"], dtype=object),
+                }
+            )
+
+    return binary.mapInPandas(batches, FEATURES_SCHEMA)
 
 
 def extract_features(frames: DataFrame, dim: int = 16) -> DataFrame:
@@ -172,17 +232,9 @@ def extract_features(frames: DataFrame, dim: int = 16) -> DataFrame:
 
         zero = np.zeros(dim, dtype="float32")
         for pdf in it:
-            feats = []
-            for p in pdf["frame"]:
-                arr = np.frombuffer(p or b"", dtype=np.uint8)
-                if arr.size == 0:
-                    feats.append(zero)
-                    continue
-                pad = (-arr.size) % dim
-                windows = np.pad(arr, (0, pad)).reshape(-1, dim)
-                feats.append(
-                    windows.sum(axis=0, dtype="int64").astype("float32")
-                )
+            feats = [
+                _featurize_bytes(p, dim, np, zero) for p in pdf["frame"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

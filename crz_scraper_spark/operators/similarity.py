@@ -521,6 +521,7 @@ def kmeans_lloyd_distributed(
     dim: int = 64,
     seed: int = 99,
     round_to: int = 9,
+    unpersist_base: bool = True,
 ):
     """Full-corpus Lloyd iterations, deterministic across partitionings.
 
@@ -537,6 +538,13 @@ def kmeans_lloyd_distributed(
     Returns (assignments DataFrame[(id, cell)], centroids list, inertia
     history list) — inertia (decimal-exact sum of squared distances) is
     the monotone-non-increasing convergence witness.
+
+    ``unpersist_base=False`` keeps the trainer's persisted (cast,
+    repartitioned) input frame alive and exposes it as ``_crz_base`` on
+    the returned assignments — for consumers that immediately run ANOTHER
+    full pass over the same vectors (the trained-SemDeDup queries): reusing
+    the cache saves one corpus scan + its fan-out exchange per query (r10,
+    guide §1.2/§2.4). The caller owns the unpersist.
     """
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -622,9 +630,12 @@ def kmeans_lloyd_distributed(
         final = base.withColumn("__a", final_udf("__v")).select(
             F.col("__id").alias(id_col), F.col("__a.cell").alias("cell")
         )
+        if not unpersist_base:
+            final._crz_base = base
         return final, cents, inertia_hist
     finally:
-        base.unpersist()
+        if unpersist_base:
+            base.unpersist()
 
 
 def _assign_l2_numpy_udf(centroids: list[list[float]]):

@@ -38,13 +38,24 @@ def _bucket(col: Column, j: int, width: int) -> Column:
 
 
 def cms_build(
-    tokens: DataFrame, token_col: str, depth: int = 4, width: int = 512
+    tokens: DataFrame,
+    token_col: str,
+    depth: int = 4,
+    width: int = 512,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the sketch: ``(j, bucket, c)`` — exactly ``depth*width`` rows.
 
     One pass over the token stream; the explode to ``depth`` rows per token
     is collapsed by map-side partial aggregation to at most ``depth*width``
     rows per task before the (tiny, fixed-size) shuffle.
+
+    ``weight_col``: build from a PRE-AGGREGATED (token, count) table instead
+    of the raw occurrence stream — counter (j, bucket) becomes the SUM of
+    weights of the tokens hashing there, which equals the occurrence count
+    bit-for-bit (the bucket depends only on the token). A caller that
+    already holds word counts thus sketches vocabulary-sized input instead
+    of re-streaming the corpus (r10, guide §1.2 — fewer passes).
     """
     c = F.col(token_col)
     rows = F.array(
@@ -53,10 +64,14 @@ def cms_build(
             for j in range(depth)
         ]
     )
+    w = F.count("*") if weight_col is None else F.sum(weight_col)
     return (
-        tokens.select(F.explode(rows).alias("r"))
+        tokens.select(
+            *([] if weight_col is None else [weight_col]),
+            F.explode(rows).alias("r"),
+        )
         .groupBy(F.col("r.j").alias("j"), F.col("r.bucket").alias("bucket"))
-        .agg(F.count("*").alias("c"))
+        .agg(w.cast("bigint").alias("c"))
     )
 
 
@@ -201,6 +216,37 @@ def hll_registers(
     return _hll_densify(_hll_sparse(df, value_col, group_cols), group_cols)
 
 
+def hll_sparse_with_exact(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Sparse registers PLUS per-bucket exact distinct counts in ONE
+    aggregation: ``group_cols + (bucket, mx, nd)``.
+
+    The md5 bucket partitions the value space (it is a pure function of
+    the value), so ``Σ_bucket nd`` per group ≡ ``count(DISTINCT value)``
+    per group — a caller that reports estimate AND exact side by side
+    (the sketch-accuracy queries) gets both from a single input scan
+    instead of a register pass plus a separate countDistinct pass (r10,
+    guide §1.2: fewer passes). Register values are untouched: max(rho)
+    over duplicates equals max(rho) over distinct values.
+    """
+    md = F.md5(F.col(value_col).cast("string"))
+    hashed = df.select(
+        *group_cols,
+        F.conv(F.substring(md, 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        F.substring(md, 3, 13).alias("hex13"),
+        F.col(value_col).cast("string").alias("__v"),
+    )
+    return (
+        hashed.select(*group_cols, "bucket", _hll_rho().alias("r"), "__v")
+        .groupBy(*group_cols, "bucket")
+        .agg(
+            F.max("r").alias("mx"),
+            F.countDistinct("__v").alias("nd"),
+        )
+    )
+
+
 def hll_incremental(
     spark,
     delta: DataFrame,
@@ -248,7 +294,36 @@ def hll_incremental(
         .groupBy(*group_cols, "bucket")
         .agg(F.max("mx").alias("mx"))
     )
-    return hll_estimate(_hll_densify(merged, group_cols), group_cols)
+    # Sparse-direct estimate (r10): store batches hold only present
+    # registers (mx >= 1 by construction), so the absent-bucket arithmetic
+    # replaces the densify explode + 256-way join with one aggregation.
+    return hll_estimate_sparse(merged, group_cols)
+
+
+def hll_estimate_sparse(
+    sparse: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """`hll_estimate` taken directly on a SPARSE register table — the
+    ``m - n_present`` absent registers are pure arithmetic (each
+    contributes ``2^53`` to the register sum and 1 to ``zero_regs``), so
+    the densify explode + 256-way left join disappears and the estimate
+    is ONE aggregation over ≤ groups × 256 rows (r10, guide §1.2).
+    Requires every present register to have mx ≥ 1, which `_hll_sparse`
+    guarantees (rho ≥ 1 by construction) and MAX-merging preserves —
+    identical output to `hll_estimate(_hll_densify(sparse))`, pinned by
+    tests/test_graph_sketches.py."""
+    n_absent = F.lit(_HLL_M) - F.count(F.lit(1))
+    summed = sparse.groupBy(*group_cols).agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - mx)"))
+            + n_absent * F.lit(1 << 53)
+        ).alias("s"),
+        n_absent.cast("bigint").alias("zero_regs"),
+    )
+    est = F.floor(F.lit(HLL_NUMERATOR) / F.col("s").cast("double"))
+    return summed.select(
+        *group_cols, est.cast("bigint").alias("hll_est"), "zero_regs"
+    )
 
 
 def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:

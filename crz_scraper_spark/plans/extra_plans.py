@@ -674,35 +674,55 @@ def approx_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def hll_distinct_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crz_scraper_spark.operators.sketches import hll_estimate, hll_registers
+    from crz_scraper_spark.operators.sketches import (
+        _HLL_M,
+        HLL_NUMERATOR,
+        hll_sparse_with_exact,
+    )
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("rflag"),
         F.col("l_linestatus").alias("lstatus"),
         "l_orderkey",
     )
-    regs = hll_registers(li, "l_orderkey", ["rflag", "lstatus"])
-    est = hll_estimate(regs, ["rflag", "lstatus"])
-    exact = li.groupBy("rflag", "lstatus").agg(
-        F.countDistinct("l_orderkey").alias("exact_distinct")
+    # ONE scan of lineitem, ONE linear plan (r10, guide §1.2): the sparse
+    # register build carries a per-(group, bucket) exact-distinct column
+    # (buckets partition the value space, so Σ nd per group ≡
+    # countDistinct), and estimate + exact + zero_regs all collapse into a
+    # single per-group aggregation over that ≤ groups × 256-row table —
+    # absent buckets are pure arithmetic (2^53 to the register sum, 1 to
+    # zero_regs; present registers always have mx ≥ 1), so no densify
+    # explode/join, no second input scan, no est⋈exact join. The previous
+    # shape scanned the input twice and joined two aggregation branches.
+    groups = ["rflag", "lstatus"]
+    sparse = hll_sparse_with_exact(li, "l_orderkey", groups)
+    n_absent = F.lit(_HLL_M) - F.count(F.lit(1))
+    summed = sparse.groupBy(*groups).agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - mx)"))
+            + n_absent * F.lit(1 << 53)
+        ).alias("s"),
+        n_absent.cast("bigint").alias("zero_regs"),
+        F.sum("nd").cast("bigint").alias("exact_distinct"),
+    )
+    est = (
+        F.floor(F.lit(HLL_NUMERATOR) / F.col("s").cast("double"))
+        .cast("bigint")
+        .alias("hll_est")
     )
     err = F.floor(
-        (F.col("hll_est") - F.col("exact_distinct")).cast("double")
+        (est - F.col("exact_distinct")).cast("double")
         * F.lit(1000000.0)
         / F.col("exact_distinct").cast("double")
     ).cast("bigint")
-    return (
-        exact.join(est, ["rflag", "lstatus"])
-        .select(
-            "rflag",
-            "lstatus",
-            "exact_distinct",
-            "hll_est",
-            "zero_regs",
-            err.alias("err_ppm"),
-        )
-        .orderBy("rflag", "lstatus")
-    )
+    return summed.select(
+        "rflag",
+        "lstatus",
+        "exact_distinct",
+        est,
+        "zero_regs",
+        err.alias("err_ppm"),
+    ).orderBy("rflag", "lstatus")
 
 
 def _hll_distinct_sql() -> str:

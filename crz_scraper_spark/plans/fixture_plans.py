@@ -486,11 +486,17 @@ def hll_incremental_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crz_scraper_spark.operators.sketches import hll_incremental
 
     store = _fixture_dir("hllinc", sf_dir)
-    ev = fan_out(load_table(spark, sf_dir, "events")).select(
+    raw_ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
         (F.col("user_id") * 1000 + F.dayofyear("ts")).alias("user_day"),
     )
+    # fan_out only where per-row compute needs the cores (the md5 register
+    # builds); the exact countDistinct below is a plain aggregation whose
+    # shuffle provides its own parallelism — feeding it the repartitioned
+    # frame would round-robin-exchange the full table first (r10, guide
+    # §2.4: remove shuffles outright).
+    ev = fan_out(raw_ev)
     if store not in _BUILT:
         _sh.rmtree(store, ignore_errors=True)
         day1 = ev.filter(F.col("event_id") % 2 == 0)
@@ -500,7 +506,7 @@ def hll_incremental_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BUILT.add(store)
     day2 = ev.filter(F.col("event_id") % 2 == 1)
     est = hll_incremental(spark, day2, "user_day", ["event_type"], store)
-    exact = ev.groupBy("event_type").agg(
+    exact = raw_ev.groupBy("event_type").agg(
         F.countDistinct("user_day").alias("exact_distinct")
     )
     err = F.floor(

@@ -33,7 +33,7 @@ from crz_scraper_spark.operators.extraction import (
 )
 from crz_scraper_spark.operators.multimodal import (
     decode_documents,
-    extract_features,
+    frame_features,
     resize_images,
     sample_frames,
 )
@@ -1119,8 +1119,10 @@ def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary = docs.select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    frames = sample_frames(binary)
-    feats = extract_features(frames, dim=16)
+    # Fused sampler+featurizer: ONE Python boundary crossing for the
+    # payload bytes instead of two chained mapInPandas nodes (r10, guide
+    # §4) — structurally the same slice/window helpers, parity-tested.
+    feats = frame_features(binary, dim=16)
     fsum = F.aggregate(
         F.col("feature"),
         F.lit(0).cast("bigint"),
@@ -1781,9 +1783,15 @@ def embedding_kmeans_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    # unpersist_base=False + eager checkpoint of the k-row report: the
+    # trainer unpersisting in its finally meant the FINAL assignment pass
+    # (lazily executed after return) re-scanned + re-fanned the input
+    # instead of reading the trainer's cache (r10, guide §1.2/§2.4 — one
+    # corpus scan and one round-robin exchange removed per run). The
+    # checkpoint holds only k rows; the base is released before return.
     assigned, _cents, hist = kmeans_lloyd_distributed(
         emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER,
-        dim=_KM_DIM, seed=_KM_SEED,
+        dim=_KM_DIM, seed=_KM_SEED, unpersist_base=False,
     )
     # In-query invariant: Lloyd's inertia is provably non-increasing; a
     # trainer regression that breaks monotonicity (or empties a cell)
@@ -1791,13 +1799,15 @@ def embedding_kmeans_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone = all(
         hist[i + 1] <= hist[i] + 1e-9 for i in range(len(hist) - 1)
     )
-    return (
+    report = (
         assigned.groupBy("cell")
         .agg(F.count("*").alias("n_vectors"))
         .withColumn("final_inertia", F.lit(round(hist[-1], 3)))
         .filter(F.lit(monotone) & (F.col("n_vectors") > 0))
         .orderBy("cell")
     )
+    report._crz_cached = assigned._crz_base
+    return _release_semdedup_cache(report)
 
 
 def _kmeans_train_ctes() -> tuple[str, str]:
@@ -1923,16 +1933,22 @@ def semantic_dedup_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole table to answer a metadata question (r10, guide §2.1).
     n = raw.count()
     k = max(8, isqrt(n))
+    # unpersist_base=False: the SemDeDup pass below runs over the SAME
+    # cast+repartitioned vectors the trainer just cached — feeding it the
+    # trainer's persisted base saves one corpus scan + one fan-out
+    # exchange per query (r10, guide §1.2/§2.4); values are identical
+    # (the cast is already applied, the re-cast is a no-op).
     _assigned, cents, _hist = kmeans_lloyd_distributed(
-        emb, "vec_id", "embedding", k=k, n_iter=3
+        emb, "vec_id", "embedding", k=k, n_iter=3, unpersist_base=False,
     )
-    return _release_semdedup_cache(
+    tbase = _assigned._crz_base
+    out = _release_semdedup_cache(
         _semdedup_invariant(
             semantic_dedup(
-                emb,
+                tbase,
                 cents,
-                "vec_id",
-                "embedding",
+                "__id",
+                "__v",
                 threshold=_SEMDEDUP_TAU,
                 round_to=4,
                 pair_impl="gram",
@@ -1944,6 +1960,10 @@ def semantic_dedup_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # The release wrapper's eager checkpoint has materialized the verdict;
+    # the trainer's base has no further consumer.
+    tbase.unpersist()
+    return out
 
 
 def semantic_dedup_trained_fixed_q(
@@ -1965,19 +1985,23 @@ def semantic_dedup_trained_fixed_q(
     )
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    # unpersist_base=False: same cache-sharing as semantic_dedup_trained —
+    # the dedup pass reads the trainer's persisted vectors instead of
+    # re-scanning + re-fanning the input (r10, guide §1.2/§2.4).
     _assigned, cents, hist = kmeans_lloyd_distributed(
         emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER,
-        dim=_KM_DIM, seed=_KM_SEED,
+        dim=_KM_DIM, seed=_KM_SEED, unpersist_base=False,
     )
+    tbase = _assigned._crz_base
     monotone = all(
         hist[i + 1] <= hist[i] + 1e-9 for i in range(len(hist) - 1)
     )
     sd = _semdedup_invariant(
         semantic_dedup(
-            emb,
+            tbase,
             cents,
-            "vec_id",
-            "embedding",
+            "__id",
+            "__v",
             threshold=_SEMDEDUP_TAU,
             round_to=4,
             pair_impl="gram",
@@ -1998,7 +2022,9 @@ def semantic_dedup_trained_fixed_q(
     cached = getattr(sd, "_crz_cached", None)
     if cached is not None:
         gated._crz_cached = cached
-    return _release_semdedup_cache(gated)
+    out = _release_semdedup_cache(gated)
+    tbase.unpersist()
+    return out
 
 
 def _semantic_dedup_trained_fixed_sql() -> str:

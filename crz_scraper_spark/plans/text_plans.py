@@ -880,19 +880,29 @@ def cms_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crz_scraper_spark.operators.sketches import cms_build, cms_estimate
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        F.explode(tokens_nonempty("text")).alias("word")
-    ).persist()
+    # ONE pass over the corpus token stream: the per-word exact counts.
+    # Everything downstream — the sketch counters (bucket depends only on
+    # the word, so SUM of per-word counts per (j, bucket) ≡ COUNT of
+    # occurrences bit-for-bit), the corpus total (Σ cnt ≡ count of the
+    # exploded stream), and the >1% probe set — derives from this
+    # vocabulary-sized table. The previous shape persisted the EXPLODED
+    # occurrence stream (corpus-sized cache, guide §5) and scanned it three
+    # times (sketch build, count, probe groupBy — guide §1.2: fewer
+    # passes); at 100 TB that is 3 corpus token streams vs 1.
+    wc = (
+        docs.select(F.explode(tokens_nonempty("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
     try:
-        sketch = cms_build(toks, "word", _CMS_DEPTH, _CMS_WIDTH)
-        total = toks.count()
+        sketch = cms_build(
+            wc, "word", _CMS_DEPTH, _CMS_WIDTH, weight_col="cnt"
+        )
+        total = wc.agg(F.sum("cnt")).collect()[0][0]
         # Probe set = the exact >1% heavy hitters (bounded at <= 100 rows by
         # construction), so the output carries both truths side by side.
-        probes = (
-            toks.groupBy("word")
-            .agg(F.count("*").alias("cnt"))
-            .filter(F.col("cnt") * 100 > F.lit(total))
-        )
+        probes = wc.filter(F.col("cnt") * 100 > F.lit(total))
         est = cms_estimate(sketch, probes, "word", _CMS_DEPTH, _CMS_WIDTH)
         out = est.select(
             "word",
@@ -902,7 +912,7 @@ def cms_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy(F.desc("cnt"), "word")
         out = spark.createDataFrame(out.collect(), out.schema)
     finally:
-        toks.unpersist()
+        wc.unpersist()
     return out
 
 

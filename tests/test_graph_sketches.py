@@ -39,6 +39,24 @@ def test_cms_never_undercounts_and_is_bounded(spark):
         sketch.unpersist()
 
 
+def test_cms_build_weighted_equals_occurrence_stream(spark):
+    """The r10 single-pass contract: building the sketch from the
+    pre-aggregated (word, cnt) table with weight_col yields the IDENTICAL
+    counter table as building from the raw occurrence stream — the bucket
+    depends only on the word, so Σ cnt per (j, bucket) ≡ count(*)."""
+    words = [f"w{i % 23}" for i in range(400)] + ["hot"] * 60
+    toks = spark.createDataFrame([(w,) for w in words], ["word"])
+    wc = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    raw = sorted(
+        tuple(r) for r in cms_build(toks, "word", 3, 32).collect()
+    )
+    weighted = sorted(
+        tuple(r)
+        for r in cms_build(wc, "word", 3, 32, weight_col="cnt").collect()
+    )
+    assert raw == weighted and raw
+
+
 def test_cms_merges_by_addition(spark):
     """The scale contract: sketch(A ∪ B) == sketch(A) + sketch(B)
     element-wise — what makes per-executor / per-day partial sketches
@@ -329,6 +347,65 @@ def test_hll_registers_match_independent_reference(spark):
         if r["mx"] > 0
     }
     assert got == _py_hll_registers(vals)
+
+
+def test_hll_estimate_sparse_equals_densified_estimate(spark):
+    """The r10 densify-elimination: estimating straight off the sparse
+    register table (absent buckets as arithmetic) must reproduce
+    hll_estimate over the densified table bit-for-bit — hll_est AND
+    zero_regs, across groups with very different fill levels."""
+    from crz_scraper_spark.operators.sketches import (
+        _hll_densify,
+        _hll_sparse,
+        hll_estimate,
+        hll_estimate_sparse,
+    )
+
+    rows = [(v, "big") for v in range(2000)] + [(v, "tiny") for v in range(3)]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    sparse = _hll_sparse(df, "v", ["g"])
+    direct = sorted(tuple(r) for r in hll_estimate_sparse(sparse, ["g"]).collect())
+    densified = sorted(
+        tuple(r)
+        for r in hll_estimate(_hll_densify(sparse, ["g"]), ["g"]).collect()
+    )
+    assert direct == densified and direct
+
+
+def test_hll_sparse_with_exact_single_pass_parity(spark):
+    """The r10 one-scan fold: the combined (registers + per-bucket exact)
+    aggregation must reproduce the standalone sparse registers exactly AND
+    Σ nd per group must equal countDistinct — duplicates included, multiple
+    groups included."""
+    from crz_scraper_spark.operators.sketches import (
+        _hll_sparse,
+        hll_sparse_with_exact,
+    )
+
+    rows = [(v % 130, "g%d" % (v % 3)) for v in range(900)]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    combined = hll_sparse_with_exact(df, "v", ["g"])
+    regs_combined = sorted(
+        (r["g"], r["bucket"], r["mx"]) for r in combined.collect()
+    )
+    regs_standalone = sorted(
+        (r["g"], r["bucket"], r["mx"])
+        for r in _hll_sparse(df, "v", ["g"]).collect()
+    )
+    assert regs_combined == regs_standalone and regs_combined
+    nd_sum = {
+        r["g"]: r["s"]
+        for r in combined.groupBy("g")
+        .agg(F.sum("nd").alias("s"))
+        .collect()
+    }
+    exact = {
+        r["g"]: r["c"]
+        for r in df.groupBy("g")
+        .agg(F.countDistinct("v").alias("c"))
+        .collect()
+    }
+    assert nd_sum == exact
 
 
 def test_hll_estimate_accuracy_and_max_merge(spark):

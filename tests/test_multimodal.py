@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from crz_scraper_spark.operators.multimodal import (
     decode_documents,
     extract_features,
+    frame_features,
     resize_images,
     sample_frames,
 )
@@ -63,6 +64,26 @@ def test_extract_features_byte_window_sums(spark):
     (row16,) = extract_features(frames, dim=16).collect()
     assert [int(x) for x in row16.feature[:5]] == [1, 2, 3, 250, 4]
     assert all(x == 0.0 for x in row16.feature[5:])
+
+
+def test_frame_features_fused_parity(spark):
+    # The fused sampler+featurizer (one mapInPandas pass, r10 guide §4)
+    # must emit exactly the rows the chained verbs emit — same frame
+    # count, same frame_no, same feature vectors — across payloads that
+    # exercise the empty-doc, short-frame and multi-frame branches.
+    binary = _binary(spark)
+    for dim in (3, 16):
+        fused = sorted(
+            (r.doc_id, r.frame_no, tuple(r.feature))
+            for r in frame_features(binary, dim=dim).collect()
+        )
+        chained = sorted(
+            (r.doc_id, r.frame_no, tuple(r.feature))
+            for r in extract_features(
+                sample_frames(binary), dim=dim
+            ).collect()
+        )
+        assert fused == chained and fused
 
 
 def test_extract_features_dim_and_determinism(spark):
