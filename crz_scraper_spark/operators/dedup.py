@@ -1340,7 +1340,16 @@ def _store_commit(spark, df: DataFrame, store_path: str) -> None:
     batch_id = uuid.uuid4().hex
     fs, jvm = _hadoop_fs(spark, store_path)
     staging = jvm.org.apache.hadoop.fs.Path(store_path, f".staging-{batch_id}")
-    df.write.mode("overwrite").parquet(staging.toString())
+    # REBALANCE before the write (r10, guide §6): a map-only signature
+    # build inherits the input's partitioning, so every daily batch wrote
+    # one near-empty file per input partition (32 KB-sized files per
+    # commit locally; thousands/day at production increments) and every
+    # store read paid the per-file listing + open cost for all of them.
+    # The AQE rebalance sizes output files to advisoryPartitionSizeInBytes
+    # — one file for KB-scale batches, properly split for GB-scale daily
+    # increments — without a hand-tuned coalesce constant. Content is
+    # unchanged; store reads union whatever files exist.
+    df.hint("rebalance").write.mode("overwrite").parquet(staging.toString())
     committed = jvm.org.apache.hadoop.fs.Path(store_path, f"batch-{batch_id}")
     if not fs.rename(staging, committed):
         raise RuntimeError(
