@@ -72,47 +72,52 @@ WHERE h.total_hits > 0
 
 
 # ---------------------------------------------------------------------------
-# attachments_explode_sum — the attachment-array algebra end to end:
-# synthesize the nested ArrayType(Struct) cell the engine uses in place of
-# the reference's stringified list literals (SURVEY §1.2), apply the P6
+# attachments_explode_sum — the attachment algebra end to end: the P6
 # shape predicate (`02_filter_by_CIN.py:228-230`: non-empty AND has a live
-# link), explode (F11), keep valid links (P12,
-# `03_download_contracts.py:623-634`: size > 0 AND url present), and sum
-# sizes per contract (A8, `03:632-656`). URLs are synthesized with the
-# reference's base-URL concat (F6, `01_parse_xml.py:151,161`); every 7th
-# part plays the role of a missing link.
+# link), per-link validity (P12, `03_download_contracts.py:623-634`:
+# size > 0 AND url present), and size sums per contract (A8, `03:632-656`).
+# URLs are synthesized with the reference's base-URL concat (F6,
+# `01_parse_xml.py:151,161`); every 7th part plays the role of a missing
+# link. Since optimization round 10 the collect_list→explode round-trip is
+# algebraically folded into one conditional aggregation (see the function
+# docstring for the equivalence); the nested ArrayType(Struct) cell algebra
+# itself (build, shape-filter, explode) stays exercised by
+# `order_parts_array` and the props_* rollups.
 # ---------------------------------------------------------------------------
 
 _ATT_BASE_URL = "https://www.crz.gov.sk/data/att/"
 
 
 def attachments_explode_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One conditional aggregation replaces the collect_list → shape-filter →
+    # explode → re-aggregate chain (optimization round 10, guide §1.2/§2.3).
+    # Equivalence, link by link: (a) the P6 shape filter (non-empty cell AND
+    # ≥1 non-null url) is subsumed — every output group must contain ≥1 row
+    # passing the P12 validity cut (size > 0 AND url IS NOT NULL), and such
+    # a row has a non-null url, so any group the old shape kept survives and
+    # vice versa; (b) explode(collect_list(x)) is the identity on rows, so
+    # aggregating the valid rows directly is the same multiset; (c) the
+    # never-read `filename` struct field no longer exists to be carried.
+    # Plan: ObjectHashAggregate(collect_list) + Sort + 2×SortAggregate →
+    # one HashAggregate pair, the P12 filter moves BELOW the exchange
+    # (shuffled rows drop by the invalid-link fraction), and per-task
+    # memory is scalar aggregation state instead of whole-order arrays.
+    # The declared oracle SQL is unchanged; hash-match re-verified.
     li = load_table(spark, sf_dir, "lineitem")
-    att = F.struct(
-        F.concat(
-            F.lit("att_"), F.col("l_partkey").cast("string"), F.lit(".pdf")
-        ).alias("filename"),
-        F.when(
-            F.col("l_partkey") % 7 != 0,
-            F.concat(F.lit(_ATT_BASE_URL), F.col("l_partkey").cast("string")),
-        ).alias("url"),
+    url = F.when(
+        F.col("l_partkey") % 7 != 0,
+        F.concat(F.lit(_ATT_BASE_URL), F.col("l_partkey").cast("string")),
+    )
+    links = li.select(
+        "l_orderkey",
+        url.alias("url"),
         F.col("l_quantity").cast("long").alias("size"),
-    )
-    arrs = li.groupBy("l_orderkey").agg(F.collect_list(att).alias("attachments"))
-    # P6: discard contracts whose attachment cell is empty or has no link.
-    shaped = arrs.filter(
-        (F.size("attachments") > 0)
-        & F.exists("attachments", lambda a: a["url"].isNotNull())
-    )
-    # F11 explode + P12 per-link validity.
-    links = shaped.select(
-        "l_orderkey", F.explode("attachments").alias("a")
-    ).filter((F.col("a.size") > 0) & F.col("a.url").isNotNull())
+    ).filter((F.col("size") > 0) & F.col("url").isNotNull())
     # A8: per-contract link count + size sum.
     return links.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
         F.count("*").alias("n_links"),
-        F.sum("a.size").alias("total_size"),
-        F.min("a.url").alias("first_url"),
+        F.sum("size").alias("total_size"),
+        F.min("url").alias("first_url"),
     )
 
 
