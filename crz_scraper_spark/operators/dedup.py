@@ -58,6 +58,17 @@ def first_wins_dedup(
     extra scan), so a caller that needs "how many rows did dedup see" can
     aggregate the deduped output instead of re-scanning the input
     (curation_pipeline's audit ledger; r10, guide §1.2 step 1).
+
+    Tier note (optimization round 10): a `min_by`-aggregation twin
+    (`first_wins_dedup_agg`) exists for DUPLICATE-HEAVY keyings — it
+    reduces survivors map-side before the exchange, which is the 100 TB
+    shuffle-byte win when most rows are duplicates (web-corpus exact
+    dedup runs 30–80% dup rate). It was A/B-measured as the WRONG default
+    here: on near-unique keys (dedup_orders_first_wins, 2 rows/group)
+    struct-payload min_by plans as SortAggregate — sorts on BOTH sides of
+    the exchange with no row reduction — and read 0.421 → 0.542 s
+    interleaved min-of-6 at sf0.1, while the window form sorts once
+    post-shuffle. Pick by expected duplication, not universally.
     """
     w = Window.partitionBy(*keys).orderBy(*order_by)
     out = df.withColumn("__rn", F.row_number().over(w))
@@ -71,6 +82,45 @@ def first_wins_dedup(
             F.count(F.lit(1)).over(Window.partitionBy(*keys)),
         )
     return out.filter(F.col("__rn") == 1).drop("__rn")
+
+
+def first_wins_dedup_agg(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    group_size_col: str | None = None,
+) -> DataFrame:
+    """`first_wins_dedup` as a `min_by` AGGREGATION — the tier for
+    duplicate-HEAVY keyings (guide §2.3 "aggregate before you shuffle"):
+    partial_min_by reduces each map task's rows to one candidate per key
+    BEFORE the exchange, so the shuffle carries ≤ (map tasks × distinct
+    keys) rows instead of every input row. On a corpus-scale exact-dedup
+    (30–80% duplicate rate) that is the dominant shuffle-byte cut; the
+    curation pipeline's exact stage uses this tier. On near-unique keys
+    prefer the window form: struct-payload min_by plans as SortAggregate
+    (sorts both sides, no row reduction — measured 1.3× slower on
+    dedup_orders_first_wins at sf0.1).
+
+    `order_by`: plain ASCENDING ordering columns (not `F.asc()`-wrapped —
+    a SortOrder expression fails analysis loudly), non-null, unique per
+    group (or tied rows identical) for a deterministic pick — the same
+    determinism condition the window form needs. Multi-column orderings
+    compare lexicographically via a struct, exactly like a multi-key
+    sort. Output rows, column order and types are identical to
+    `first_wins_dedup` (pinned by
+    tests/test_functions.py::test_first_wins_dedup_agg_matches_window_reference
+    and the curation-audit oracle hash-match).
+    """
+    ord_key = F.struct(*order_by) if len(order_by) > 1 else order_by[0]
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    aggs = [F.min_by(payload, ord_key).alias("__first")]
+    if group_size_col is not None:
+        aggs.append(F.count(F.lit(1)).alias(group_size_col))
+    grouped = df.groupBy(*keys).agg(*aggs)
+    cols = [F.col("__first").getField(c).alias(c) for c in df.columns]
+    if group_size_col is not None:
+        cols.append(F.col(group_size_col))
+    return grouped.select(*cols)
 
 
 def char_shingles(text: Column | str, n: int = 5) -> Column:

@@ -232,7 +232,7 @@ def curation_pipeline(
 
     from crz_scraper_spark.operators.dedup import (
         connected_components,
-        first_wins_dedup,
+        first_wins_dedup_agg,
         minhash_dedup,
         minhash_pairs_md5,
     )
@@ -251,17 +251,23 @@ def curation_pipeline(
     portable = hash_tier == "portable_md5"
     base = docs.select(id_col, text_col)
     # Stage 1 — exact dedup: group on the content digest, keep lowest id.
-    # The kept row also carries its duplicate-group size (__grp_n, computed
-    # by the same window shuffle) so the audit ledger's `input` count can
+    # The kept row also carries its duplicate-group size (__grp_n, riding
+    # the same aggregation) so the audit ledger's `input` count can
     # aggregate the CACHED deduped frame instead of re-scanning the raw
     # corpus — one fewer full input pass per audit (r10, guide §1.2).
+    # The min_by AGGREGATION tier (r10, guide §2.3): exact dedup is THE
+    # duplicate-heavy keying (web corpora run 30–80% dup rate), so
+    # partial_min_by collapses duplicates map-side and the exchange
+    # carries survivors, not the corpus; measured output-identical to the
+    # window form (wash at sf0.1's 0.2% dup rate — the win is the shuffle
+    # volume at real dup rates, see first_wins_dedup_agg's docstring).
     digest = (
         F.md5(F.col(text_col)) if portable else F.xxhash64(F.col(text_col))
     )
-    exact = first_wins_dedup(
+    exact = first_wins_dedup_agg(
         base.withColumn("__h", digest),
         keys=["__h"],
-        order_by=[F.asc(id_col)],
+        order_by=[F.col(id_col)],
         group_size_col="__grp_n",
     ).drop("__h")
     if persist:

@@ -110,6 +110,38 @@ def test_first_wins_dedup_group_size_col(spark):
     assert "grp_n" not in plain.columns
 
 
+def test_first_wins_dedup_agg_matches_window_form(spark):
+    """r10: `first_wins_dedup_agg` is the min_by-aggregation tier for
+    duplicate-heavy keyings (map-side partial reduction before the
+    exchange — guide §2.3); the curation pipeline's exact stage uses it.
+    Pin it row-identical, column-order-identical and type-identical to
+    the window-form operator on a multi-key multi-order frame with
+    string payloads and a group_size_col."""
+    from crz_scraper_spark.operators.dedup import first_wins_dedup_agg
+
+    rows = [
+        Row(k1="a", k2=1, d="2021-02-01", idx=5, v="late"),
+        Row(k1="a", k2=1, d="2021-01-01", idx=9, v="early-highidx"),
+        Row(k1="a", k2=1, d="2021-01-01", idx=2, v="early-lowidx"),
+        Row(k1="a", k2=2, d="2021-03-01", idx=1, v="other-subkey"),
+        Row(k1="b", k2=1, d="2021-01-05", idx=7, v="solo"),
+    ]
+    df = spark.createDataFrame(rows).repartition(7)
+    got = first_wins_dedup_agg(
+        df, ["k1", "k2"], [F.col("d"), F.col("idx")], group_size_col="n"
+    )
+    ref = first_wins_dedup(
+        df, ["k1", "k2"], [F.asc("d"), F.asc("idx")], group_size_col="n"
+    )
+    assert got.columns == ref.columns
+    assert [f.dataType for f in got.schema] == [f.dataType for f in ref.schema]
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    # the aggregation tier reduces map-side: partial_min_by below the
+    # exchange is the structural point of the tier
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min_by" in plan
+
+
 def test_char_shingles(spark):
     df = spark.createDataFrame([Row(t="abcde")])
     got = df.select(char_shingles("t", 3).alias("s")).first()["s"]
