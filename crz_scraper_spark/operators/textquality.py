@@ -30,12 +30,17 @@ def _stopword_hits(tokens: Column, words: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(wordset, t)))
 
 
-def lang_guess_expr(text_col: str = "text") -> Column:
+def lang_guess_expr(text_col: str = "text", toks: Column | None = None) -> Column:
     """Argmax language guess as a single Column expression — the map-only
     form of `lang_id_scores` for pipelines that append the guess in place
     (zero joins, zero shuffles). Same tie-break: alphabetically-first
-    language among the max scores; zero hits everywhere → 'und'."""
-    toks = tokens_nonempty(text_col)
+    language among the max scores; zero hits everywhere → 'und'.
+
+    `toks`: pass a PRE-STAGED token-array column to share one tokenizer
+    evaluation with sibling expressions (see `quality_score`'s staging
+    note); default re-derives tokens from `text_col`."""
+    if toks is None:
+        toks = tokens_nonempty(text_col)
     scores = {
         lang: _stopword_hits(toks, words) for lang, words in LANG_STOPWORDS.items()
     }
@@ -46,12 +51,29 @@ def lang_guess_expr(text_col: str = "text") -> Column:
     return guess
 
 
-def quality_score_expr(text_col: str = "text") -> Column:
+def _composite_score(
+    n_tokens: Column, stop_ratio: Column, punct_ratio: Column
+) -> Column:
+    """THE quality-score formula (weights + clamps), over already-computed
+    feature columns — single definition shared by the expression and the
+    staged DataFrame forms so the two can never drift from each other (the
+    same no-drift discipline the SQL oracle applies via
+    text_plans.QUALITY_SCORE_EXPR_SQL)."""
+    return F.round(
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))) * 0.3,
+        6,
+    )
+
+
+def quality_score_expr(text_col: str = "text", toks: Column | None = None) -> Column:
     """Composite quality score as a single Column expression — the map-only
     form of `quality_score` (same weights, same 6-decimal rounding) for
-    in-place appends."""
+    in-place appends. `toks` as in `lang_guess_expr`."""
     t = F.col(text_col)
-    toks = tokens_nonempty(text_col)
+    if toks is None:
+        toks = tokens_nonempty(text_col)
     all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
     stopset = F.array(*[F.lit(w) for w in all_stop])
     n_chars = F.length(t)
@@ -65,12 +87,7 @@ def quality_score_expr(text_col: str = "text") -> Column:
         F.size(F.filter(toks, lambda w: F.array_contains(stopset, w))).cast("double")
         / n_tokens,
     ).otherwise(F.lit(0.0))
-    score = (
-        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
-        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
-        + (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))) * 0.3
-    )
-    return F.round(score, 6)
+    return _composite_score(n_tokens, stop_ratio, punct_ratio)
 
 
 def lang_id_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -100,40 +117,68 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     Features: char count, token count, mean token length, punctuation ratio,
     stopword ratio, uppercase ratio. Composite = weighted sum clamped to
     [0, 1]. All closed-form column math (one scan).
+
+    Staging note (optimization round 10, guide §1.2 step 2): the features
+    are computed through TWO chained projections — first the raw counts
+    (one tokenizer evaluation, one regexp each), then the ratios/score
+    over those count COLUMNS. Building every feature as an independent
+    expression tree re-evaluated the tokenizer regex-split ~5× per row
+    (n_tokens, mean_tok_len, stop_ratio, and twice more inside the score)
+    because Spark's subexpression elimination does not reach into the
+    interpreted higher-order array lambdas. CollapseProject deliberately
+    keeps the stage split (the token array is non-cheap and multiply
+    referenced), and whole-stage codegen fuses both projections into the
+    same single pass — measured 1.195 → 0.550 s interleaved min-of-6 at
+    sf0.1, identical rows and schema.
     """
     t = F.col(text_col)
-    toks = tokens_nonempty(text_col)
     all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
     stopset = F.array(*[F.lit(w) for w in all_stop])
-    n_chars = F.length(t)
-    n_tokens = F.size(toks)
+    counted = docs.select(
+        F.col(id_col),
+        F.length(t).alias("__nc"),
+        tokens_nonempty(text_col).alias("__toks"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).alias(
+            "__np"
+        ),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))).alias(
+            "__nu"
+        ),
+    ).select(
+        id_col,
+        "__nc",
+        "__np",
+        "__nu",
+        F.size(F.col("__toks")).alias("__nt"),
+        F.aggregate(
+            F.col("__toks"), F.lit(0), lambda a, w: a + F.length(w)
+        ).alias("__lt"),
+        F.size(
+            F.filter(F.col("__toks"), lambda w: F.array_contains(stopset, w))
+        ).alias("__ns"),
+    )
+    nc, nt = F.col("__nc"), F.col("__nt")
     mean_tok_len = F.when(
-        n_tokens > 0,
-        F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)).cast("double") / n_tokens,
+        nt > 0, F.col("__lt").cast("double") / nt
     ).otherwise(F.lit(0.0))
     punct_ratio = F.when(
-        n_chars > 0,
-        (n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("double") / n_chars,
+        nc > 0, F.col("__np").cast("double") / nc
     ).otherwise(F.lit(0.0))
     stop_ratio = F.when(
-        n_tokens > 0,
-        F.size(F.filter(toks, lambda w: F.array_contains(stopset, w))).cast("double")
-        / n_tokens,
+        nt > 0, F.col("__ns").cast("double") / nt
     ).otherwise(F.lit(0.0))
     upper_ratio = F.when(
-        n_chars > 0,
-        (n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))).cast("double") / n_chars,
+        nc > 0, F.col("__nu").cast("double") / nc
     ).otherwise(F.lit(0.0))
-    score = quality_score_expr(text_col)
-    return docs.select(
+    return counted.select(
         F.col(id_col),
-        n_chars.alias("n_chars_calc"),
-        n_tokens.alias("n_tokens"),
+        nc.alias("n_chars_calc"),
+        nt.alias("n_tokens"),
         F.round(mean_tok_len, 6).alias("mean_tok_len"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(upper_ratio, 6).alias("upper_ratio"),
-        score.alias("quality_score"),
+        _composite_score(nt, stop_ratio, punct_ratio).alias("quality_score"),
     )
 
 

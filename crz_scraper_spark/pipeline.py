@@ -113,17 +113,26 @@ def documents_pipeline(
         quality_score_expr,
     )
 
+    from crz_scraper_spark.functions.text import tokens_nonempty
+
     taxonomy = taxonomy or DEFAULT_TAXONOMY
+    # Stage the token array once and hand it to both token-consuming carry
+    # expressions: quality + lang each rebuilt the tokenizer split per row
+    # otherwise (r10, guide §1.2 step 2 — see quality_score's staging
+    # note). keyword_tag's projection selects only id+carry+kw columns,
+    # so __toks never reaches the output.
+    staged = docs.withColumn("__toks", tokens_nonempty(text_col))
+    toks = F.col("__toks")
     wide = keyword_tag(
-        docs,
+        staged,
         id_col,
         text_col,
         taxonomy,
         carry=[
             F.length(text_col).alias("n_chars_calc"),
             subject_extract(text_col, anchors, subject_width).alias("subject"),
-            quality_score_expr(text_col).alias("quality_score"),
-            lang_guess_expr(text_col).alias("lang_guess"),
+            quality_score_expr(text_col, toks=toks).alias("quality_score"),
+            lang_guess_expr(text_col, toks=toks).alias("lang_guess"),
         ],
     )
     return (
@@ -297,12 +306,23 @@ def curation_pipeline(
         deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
     # Stage 3 — quality floor + language tag, appended in place (map-only;
     # the old join-back shape cost two full-corpus shuffles for columns
-    # that are pure functions of `text`).
-    scored = deduped.withColumns(
-        {
-            "quality_score": quality_score_expr(text_col),
-            "lang_guess": lang_guess_expr(text_col),
-        }
+    # that are pure functions of `text`). The token array is staged once
+    # and shared by both expressions (r10, guide §1.2 step 2 — the
+    # tokenizer split is the dominant per-row cost and each expression
+    # rebuilt it otherwise; see quality_score's staging note).
+    from crz_scraper_spark.functions.text import tokens_nonempty
+
+    scored = (
+        deduped.withColumn("__qtoks", tokens_nonempty(text_col))
+        .withColumns(
+            {
+                "quality_score": quality_score_expr(
+                    text_col, toks=F.col("__qtoks")
+                ),
+                "lang_guess": lang_guess_expr(text_col, toks=F.col("__qtoks")),
+            }
+        )
+        .drop("__qtoks")
     )
     kept = scored.filter(F.col("quality_score") >= quality_min)
     # Stage 4 — deterministic hash-bucket split (shuffle-free, stable

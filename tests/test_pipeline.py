@@ -446,3 +446,35 @@ def test_curation_pipeline_end_to_end(spark, sf_dir):
     splits = {r["doc_id"]: r["split"] for r in survivors}
     frac = sum(1 for v in splits.values() if v == "train") / len(splits)
     assert 0.7 < frac < 0.9
+
+
+def test_quality_score_single_tokenizer_evaluation(spark):
+    """r10 staging (guide §1.2 step 2): quality_score computes its token
+    array ONCE through a staged projection — the previous flat expression
+    tree re-evaluated the tokenizer regex-split 11× per row (Spark's
+    subexpression elimination does not reach into interpreted
+    higher-order array lambdas). Pin the plan to one split() and the
+    output to a hand-computed row."""
+    from pyspark.sql import Row
+
+    from crz_scraper_spark.operators.textquality import quality_score
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="The quick, BROWN fox and the dog!")]
+    )
+    out = quality_score(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("split(") == 1, plan
+    r = out.collect()[0]
+    # tokens: the, quick, brown, fox, and, the, dog -> 7; stops: the, and,
+    # the -> 3; punct: ',' and '!' of 33 chars; uppers: T,B,R,O,W,N -> 6
+    assert r["n_tokens"] == 7 and r["n_chars_calc"] == 33
+    assert r["stop_ratio"] == round(3 / 7, 6)
+    assert r["punct_ratio"] == round(2 / 33, 6)
+    assert r["upper_ratio"] == round(6 / 33, 6)
+    assert r["quality_score"] == round(
+        min(7 / 100.0, 1.0) * 0.4
+        + min((3 / 7) * 5.0, 1.0) * 0.3
+        + (1.0 - min((2 / 33) * 5.0, 1.0)) * 0.3,
+        6,
+    )
