@@ -501,14 +501,25 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # Both phases consume the tokenized projection — phase 1 through the
+    # intra-block window, phase 2 through the per-block totals — and the
+    # tokenizer (regex split over the full text) is the expensive pass.
+    # Deriving phase 2 from `toks` directly ran that pass TWICE: its
+    # partial aggregate planned BELOW a second exchange, so the two
+    # exchange subtrees were never canonically equal and neither static
+    # ReuseExchange nor AQE stage dedup could fire (verified on the
+    # executed plan). The eager localCheckpoint pins exactly ONE
+    # tokenize+shuffle+window pass — the same single-pass guarantee
+    # perplexity_filter/bm25_search use — and the checkpointed rows are 4
+    # integers/doc, corpus-bytes-free. Same sums over the same rows.
     intra = toks.withColumn(
         "intra", F.coalesce(F.sum("n_tokens").over(w_intra), F.lit(0))
-    )
+    ).localCheckpoint(eager=True)
     w_blocks = Window.orderBy("blk").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = (
-        toks.groupBy("blk")
+        intra.groupBy("blk")
         .agg(F.sum("n_tokens").alias("blk_tokens"))
         .withColumn(
             "offset", F.coalesce(F.sum("blk_tokens").over(w_blocks), F.lit(0))

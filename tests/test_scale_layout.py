@@ -499,6 +499,23 @@ def test_release_semdedup_cache_unpersists_base(spark):
     assert sorted(tuple(r) for r in out.collect()) == expect
 
 
+def test_sequence_packing_single_tokenizer_pass(spark):
+    """r10: both prefix-sum phases (intra-block window, per-block totals)
+    read the eagerly-checkpointed token projection. Deriving phase 2 from
+    the raw projection re-ran the tokenizer scan once per branch — its
+    partial aggregate planned below a second exchange, so neither static
+    ReuseExchange nor AQE stage dedup could fire. Pin: the query plan
+    itself contains ZERO tokenizer evaluations (the single one lives in
+    the checkpoint job) and both branches read the checkpointed RDD."""
+    from crz_scraper_spark.plans.text_plans import sequence_packing
+
+    df = sequence_packing(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("split(") == 0, plan
+    # two scans, both of the SAME checkpointed RDD (one Arguments line each)
+    assert plan.count("localCheckpoint") == 2, plan
+
+
 def test_dup_span_detect_partial_distinct_before_exchange(spark):
     """The fingerprint stream pre-aggregates map-side (partial distinct on
     (fp, doc_id)) before its exchange, and only digests — never text —
