@@ -953,21 +953,48 @@ def ngram_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     sh = toked.select("doc_id", bigrams.alias("sh"))
-    a = sh.alias("a")
-    b = sh.select(
-        (F.col("doc_id") - 1).alias("doc_id"), F.col("sh").alias("sh_b")
-    ).alias("b")
-    return (
-        a.join(b, "doc_id")
-        .select(
-            F.col("doc_id").alias("doc_id_a"),
-            (F.col("doc_id") + 1).alias("doc_id_b"),
-            F.round(
-                F.size(F.array_intersect("sh", "sh_b"))
-                / F.size(F.array_union("sh", "sh_b")),
-                6,
-            ).alias("jaccard"),
+    # Pair assembly in ONE pass: the previous self-join (a ⋈ b on
+    # doc_id = doc_id−1) planned two full lineages of the map-only
+    # tokenize+bigram projection — the expensive pass over the corpus text
+    # ran twice, and each side paid its own exchange. Instead each doc's
+    # bigram set is exploded to its two pair roles — the 'a' side of
+    # (d, d+1) keyed by d, the 'b' side of (d−1, d) keyed by d−1 — and one
+    # aggregation per key assembles the pair. Identical shuffle bytes
+    # (each array still crosses twice), but ONE tokenize pass and ONE
+    # exchange instead of two of each; inner-join semantics preserved by
+    # requiring both roles present. Each group holds at most one row per
+    # role, so first(ignorenulls) is deterministic.
+    tagged = sh.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_id").alias("k"), F.lit(0).alias("role")),
+                F.struct(
+                    (F.col("doc_id") - 1).alias("k"), F.lit(1).alias("role")
+                ),
+            )
+        ).alias("kr"),
+        "sh",
+    )
+    paired = (
+        tagged.groupBy(F.col("kr.k").alias("doc_id"))
+        .agg(
+            F.first(
+                F.when(F.col("kr.role") == 0, F.col("sh")), ignorenulls=True
+            ).alias("sh"),
+            F.first(
+                F.when(F.col("kr.role") == 1, F.col("sh")), ignorenulls=True
+            ).alias("sh_b"),
         )
+        .filter(F.col("sh").isNotNull() & F.col("sh_b").isNotNull())
+    )
+    return paired.select(
+        F.col("doc_id").alias("doc_id_a"),
+        (F.col("doc_id") + 1).alias("doc_id_b"),
+        F.round(
+            F.size(F.array_intersect("sh", "sh_b"))
+            / F.size(F.array_union("sh", "sh_b")),
+            6,
+        ).alias("jaccard"),
     )
 
 

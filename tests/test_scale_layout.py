@@ -516,6 +516,42 @@ def test_sequence_packing_single_tokenizer_pass(spark):
     assert plan.count("localCheckpoint") == 2, plan
 
 
+def test_ngram_jaccard_single_tokenizer_pass(spark):
+    """r10: consecutive-pair assembly runs as explode-to-roles + one
+    aggregation instead of a self-join whose two lineages each re-ran the
+    map-only tokenize+bigram projection. Pin one tokenizer evaluation in
+    the plan, and pin the rows against a hand-computed consecutive pair."""
+    from pyspark.sql import Row
+
+    from crz_scraper_spark.plans.scale_plans import ngram_jaccard_consecutive
+
+    df = ngram_jaccard_consecutive(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("split(") == 1, plan
+
+    # hand-computed: docs 1/2/3 -> pairs (1,2) and (2,3)
+    src = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c"),      # bigrams {a b, b c}
+            Row(doc_id=2, text="b c d"),      # bigrams {b c, c d}
+            Row(doc_id=3, text="x"),          # < 2 tokens -> empty set
+        ]
+    )
+    # run the real query function against the fixture via a temp parquet dir
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        src.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = {
+            (r.doc_id_a, r.doc_id_b): r.jaccard
+            for r in ngram_jaccard_consecutive(spark, d).collect()
+        }
+    # (1,2): intersect {b c} / union {a b, b c, c d} = 1/3
+    assert rows[(1, 2)] == round(1 / 3, 6)
+    # (2,3): doc 3 has no bigrams -> 0/2 = 0.0
+    assert rows[(2, 3)] == 0.0
+    assert set(rows) == {(1, 2), (2, 3)}
+
+
 def test_dup_span_detect_partial_distinct_before_exchange(spark):
     """The fingerprint stream pre-aggregates map-side (partial distinct on
     (fp, doc_id)) before its exchange, and only digests — never text —
