@@ -374,7 +374,19 @@ def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(tokens_nonempty("text")).alias("word"))
-    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    # The tf table feeds two consumers (the df rollup's broadcast side and
+    # the scored join's probe side); without the eager checkpoint each
+    # consumer planned its own full lineage — the tokenize+explode pass
+    # over the corpus text and the (doc_id, word) exchange both ran TWICE
+    # (AQE stage dedup does not fire across the broadcast boundary;
+    # verified on the executed plan). One tokenize pass, one shuffle; the
+    # checkpointed rows are the per-(doc, word) counts — the "index", far
+    # smaller than the token stream.
+    tf = (
+        toks.groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (

@@ -516,6 +516,21 @@ def test_sequence_packing_single_tokenizer_pass(spark):
     assert plan.count("localCheckpoint") == 2, plan
 
 
+def test_tf_idf_single_tokenizer_pass(spark):
+    """r10: the tf table is eagerly checkpointed so its two consumers (df
+    rollup broadcast side, scored join probe side) share one
+    tokenize+explode pass and one (doc_id, word) exchange — AQE stage
+    dedup does not fire across the broadcast boundary, so without the
+    checkpoint both ran twice. Pin: zero tokenizer evaluations in the
+    query plan, both branches reading the checkpointed RDD."""
+    from crz_scraper_spark.plans.text_plans import tf_idf_top_terms
+
+    df = tf_idf_top_terms(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("split(") == 0, plan
+    assert plan.count("localCheckpoint") == 2, plan
+
+
 def test_ngram_jaccard_single_tokenizer_pass(spark):
     """r10: consecutive-pair assembly runs as explode-to-roles + one
     aggregation instead of a self-join whose two lineages each re-ran the
