@@ -71,6 +71,44 @@ def oov_profile(
     )
 
 
+def oov_profile_counts(
+    doc_word_counts: DataFrame,
+    dictionary: DataFrame,
+    id_col: str = "doc_id",
+    count_col: str = "n",
+    gibberish_threshold: float = 0.75,
+) -> DataFrame:
+    """oov_profile over a pre-aggregated per-(doc, word) count table — the
+    shared-scan tier for callers whose dictionary ALSO derives from the
+    corpus (dictionary_oov): tokenizing once into (id, word, n) and rolling
+    both the dictionary and the profile off that table replaces a second
+    full tokenize+explode pass with a shuffle of the far smaller count
+    table. Same rows as oov_profile by the count identity
+    Σ_word n = token count and Σ_{OOV word} n = OOV token count."""
+    dic = dictionary.select(
+        F.col(dictionary.columns[0]).alias("word"), F.lit(1).alias("__in_dict")
+    ).distinct()
+    joined = doc_word_counts.join(F.broadcast(dic), "word", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum(count_col).alias("n_tokens"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("__in_dict").isNull(), F.col(count_col))
+                ),
+                F.lit(0),
+            ).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_ratio", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+        )
+        .withColumn(
+            "is_gibberish", (F.col("oov_ratio") > gibberish_threshold).cast("int")
+        )
+    )
+
+
 def hunspell_oov_profile(
     docs: DataFrame,
     dic_path: str,
@@ -151,6 +189,61 @@ def morph_oov_profile(
         .agg(
             F.count("*").alias("n_tokens"),
             F.count(F.when(F.col("__ok").isNull(), 1)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_ratio", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+        )
+        .withColumn(
+            "is_gibberish", (F.col("oov_ratio") > gibberish_threshold).cast("int")
+        )
+    )
+
+
+def morph_oov_profile_counts(
+    doc_word_counts: DataFrame,
+    dictionary: DataFrame,
+    id_col: str = "doc_id",
+    count_col: str = "n",
+    gibberish_threshold: float = 0.75,
+) -> DataFrame:
+    """morph_oov_profile over a pre-aggregated per-(doc, word) count table
+    — the shared-scan tier (see oov_profile_counts): the vocabulary, the
+    stem candidates, and the per-doc profile all roll off one tokenize
+    pass. Same rows by the same count identities; the stem/accept logic is
+    generated from the identical MORPH_SUFFIXES arms."""
+    dic = dictionary.select(
+        F.col(dictionary.columns[0]).alias("dword")
+    ).distinct()
+    vocab = doc_word_counts.select("word").distinct()
+    stem_cols = [F.col("word")]
+    for suf in MORPH_SUFFIXES:
+        stem = F.expr(
+            f"CASE WHEN word LIKE '%{suf}' AND"
+            f" length(word) - {len(suf)} >= {MORPH_MIN_STEM}"
+            f" THEN substring(word, 1, length(word) - {len(suf)}) END"
+        )
+        stem_cols.append(stem)
+    cand = vocab.select(
+        "word",
+        F.explode(
+            F.filter(F.array(*stem_cols), lambda s: s.isNotNull())
+        ).alias("stem"),
+    )
+    accepted = (
+        cand.join(F.broadcast(dic), cand.stem == dic.dword, "left_semi")
+        .select("word")
+        .distinct()
+        .withColumn("__ok", F.lit(1))
+    )
+    joined = doc_word_counts.join(F.broadcast(accepted), "word", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum(count_col).alias("n_tokens"),
+            F.coalesce(
+                F.sum(F.when(F.col("__ok").isNull(), F.col(count_col))),
+                F.lit(0),
+            ).alias("n_oov"),
         )
         .withColumn(
             "oov_ratio", F.round(F.col("n_oov") / F.col("n_tokens"), 6)

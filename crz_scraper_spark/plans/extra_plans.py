@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from crz_scraper_spark.catalog import load_table
 from crz_scraper_spark.functions.text import WORD_SEPARATOR_RE, tokens_nonempty
 from crz_scraper_spark.operators.dedup import first_wins_dedup
-from crz_scraper_spark.operators.profiling import oov_profile
+
 from crz_scraper_spark.operators.tagging import DEFAULT_TAXONOMY, _safe
 from crz_scraper_spark.functions.text import substring_count
 from crz_scraper_spark.streaming.windows import streaming_dedup
@@ -30,15 +30,31 @@ _TOKS_SQL = (
 
 
 def dictionary_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crz_scraper_spark.operators.profiling import oov_profile_counts
+
     docs = load_table(spark, sf_dir, "documents")
+    # One tokenize pass: the dictionary (corpus words with count > 5) and
+    # the per-doc profile both roll off the checkpointed (doc, word, n)
+    # count table. Deriving the dictionary from a second explode ran the
+    # tokenizer over the full corpus text twice (the broadcast-side
+    # lineage is not deduped by AQE); the count table is the far smaller
+    # shuffle. Σ n over docs = the word's corpus count, so the > 5 cut is
+    # arithmetic-identical.
+    dw = (
+        docs.select(
+            "doc_id", F.explode(tokens_nonempty("text")).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     dictionary = (
-        docs.select(F.explode(tokens_nonempty("text")).alias("word"))
-        .groupBy("word")
-        .count()
-        .filter(F.col("count") > 5)
+        dw.groupBy("word")
+        .agg(F.sum("n").alias("cnt"))
+        .filter(F.col("cnt") > 5)
         .select("word")
     )
-    return oov_profile(docs, dictionary, gibberish_threshold=0.75)
+    return oov_profile_counts(dw, dictionary, gibberish_threshold=0.75)
 
 
 DICTIONARY_OOV_SQL = f"""
@@ -82,22 +98,47 @@ _MORPH_PROBE = " tables rows joins sorting zzzqx"
 
 
 def dictionary_oov_morph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crz_scraper_spark.operators.profiling import morph_oov_profile
+    from crz_scraper_spark.operators.profiling import morph_oov_profile_counts
 
     docs = load_table(spark, sf_dir, "documents")
-    # dictionary from the ORIGINAL text only — the probe tokens must not
-    # bootstrap themselves into the vocabulary.
-    dictionary = (
-        docs.select(F.explode(tokens_nonempty("text")).alias("word"))
-        .groupBy("word")
-        .count()
-        .filter(F.col("count") > 5)
-        .select("word")
-    )
     aug = docs.withColumn(
         "text", F.concat(F.col("text"), F.lit(_MORPH_PROBE))
     )
-    return morph_oov_profile(aug, dictionary, gibberish_threshold=0.75)
+    # One tokenize pass over the augmented text: dictionary, vocabulary,
+    # and per-doc profile all roll off the checkpointed (doc, word, n)
+    # table (was THREE tokenize passes: original-text dictionary, vocab
+    # distinct, token-stream profile). The dictionary must count the
+    # ORIGINAL text only — the probe tokens must not bootstrap themselves
+    # into the vocabulary — and that is exact arithmetic on the aug
+    # counts: concat appends each probe word exactly once per doc with
+    # non-null text, and a doc has aug tokens iff its text is non-null
+    # (the probe guarantees ≥5), so
+    #   orig_count(w) = aug_count(w) − n_docs_in_dw  for probe words,
+    #   orig_count(w) = aug_count(w)                 otherwise.
+    dw = (
+        aug.select(
+            "doc_id", F.explode(tokens_nonempty("text")).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_docs = dw.select(F.count_distinct("doc_id")).first()[0]
+    probe_words = _MORPH_PROBE.split()
+    dictionary = (
+        dw.groupBy("word")
+        .agg(F.sum("n").alias("tot"))
+        .withColumn(
+            "orig",
+            F.when(
+                F.col("word").isin(probe_words),
+                F.col("tot") - F.lit(n_docs),
+            ).otherwise(F.col("tot")),
+        )
+        .filter(F.col("orig") > 5)
+        .select("word")
+    )
+    return morph_oov_profile_counts(dw, dictionary, gibberish_threshold=0.75)
 
 
 def _dictionary_oov_morph_sql() -> str:

@@ -516,6 +516,67 @@ def test_sequence_packing_single_tokenizer_pass(spark):
     assert plan.count("localCheckpoint") == 2, plan
 
 
+def test_dictionary_oov_single_tokenizer_pass_and_probe_arithmetic(spark):
+    """r10: both dictionary queries roll the dictionary AND the per-doc
+    profile off one checkpointed (doc, word, n) count table — one tokenize
+    pass instead of two (plain) / three (morph). The morph dictionary must
+    count the ORIGINAL text only; it derives from the augmented counts by
+    exact arithmetic (aug_count − n_docs for the probe words). Pin zero
+    tokenizer evaluations in both query plans, and pin the morph
+    derivation against the direct two-pass reference on a fixture that
+    stresses the arithmetic: a probe word present in original text, a
+    word exactly at the >5 boundary, a NULL-text doc, an empty-text doc."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from crz_scraper_spark.operators.profiling import morph_oov_profile
+    from crz_scraper_spark.plans.extra_plans import (
+        _MORPH_PROBE,
+        dictionary_oov,
+        dictionary_oov_morph,
+    )
+
+    for fn in (dictionary_oov, dictionary_oov_morph):
+        plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+        assert plan.count("split(") == 0, plan
+
+    # 'tables' (a probe word) appears 6x in original text -> stays in the
+    # dictionary on the original-count rule even after subtracting the
+    # probe increment; 'joins' (a probe word) appears 5x -> must stay OUT
+    # (aug count is 5 + n_docs, which would wrongly pass >5 uncorrected);
+    # 'word' appears exactly 6x (> 5, in); 'edge' 5x (out).
+    texts = [
+        Row(doc_id=1, text="tables tables tables joins word edge"),
+        Row(doc_id=2, text="tables tables tables joins word edge"),
+        Row(doc_id=3, text="joins joins joins word word word edge edge"),
+        Row(doc_id=4, text="word edge"),
+        Row(doc_id=5, text=None),
+        Row(doc_id=6, text=""),
+    ]
+    src = spark.createDataFrame(texts)
+    with tempfile.TemporaryDirectory() as d:
+        src.write.parquet(os.path.join(d, "documents.parquet"))
+        got = sorted(map(tuple, dictionary_oov_morph(spark, d).collect()))
+    # two-pass reference: dictionary from ORIGINAL text, morph profile
+    # over augmented text — the shape the optimization replaced
+    from crz_scraper_spark.functions.text import tokens_nonempty
+
+    dictionary = (
+        src.select(F.explode(tokens_nonempty("text")).alias("word"))
+        .groupBy("word")
+        .count()
+        .filter(F.col("count") > 5)
+        .select("word")
+    )
+    aug = src.withColumn("text", F.concat(F.col("text"), F.lit(_MORPH_PROBE)))
+    want = sorted(
+        map(tuple, morph_oov_profile(aug, dictionary, gibberish_threshold=0.75).collect())
+    )
+    assert got == want, f"{got} vs {want}"
+
+
 def test_tf_idf_single_tokenizer_pass(spark):
     """r10: the tf table is eagerly checkpointed so its two consumers (df
     rollup broadcast side, scored join probe side) share one
