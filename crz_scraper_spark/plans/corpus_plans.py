@@ -184,21 +184,32 @@ _LM_MIN_COUNT = 5
 
 def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # CASE guard instead of a filter: Filter(size(toks) >= 2) pushed below
+    # the tokenizer projection re-evaluates the regex split per row (alias
+    # substitution), and explode of the empty ELSE array drops short docs
+    # exactly like the filter did. The eager checkpoint pins ONE tokenize
+    # pass: the bigram count table feeds two consumers (the continuation
+    # rollup's broadcast side and the main join) whose lineages are not
+    # deduped across the broadcast boundary — without it the corpus
+    # tokenized once per consumer. Same model-sized count table either
+    # way (the perplexity_filter c12 pattern).
     bigrams = (
         docs.select(F.expr(_TOKS_SPARK).alias("toks"))
-        .filter(F.size("toks") >= 2)
         .select(
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(toks) - 1),"
-                    " i -> struct(element_at(toks, i) AS w1,"
-                    "             element_at(toks, i + 1) AS w2))"
+                    "CASE WHEN size(toks) >= 2 THEN"
+                    "  transform(sequence(1, size(toks) - 1),"
+                    "   i -> struct(element_at(toks, i) AS w1,"
+                    "               element_at(toks, i + 1) AS w2))"
+                    " ELSE array() END"
                 )
             ).alias("bg")
         )
         .select("bg.w1", "bg.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     continuation = bigrams.groupBy("w2").agg(
         F.count("*").alias("w2_continuations")

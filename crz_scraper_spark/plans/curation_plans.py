@@ -604,7 +604,14 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    t = t.withColumn("intra", F.sum("n_tok").over(intra_w))
+    # Eager checkpoint pins ONE tokenize pass (the sequence_packing fix):
+    # the per-block totals branch otherwise re-planned its partial
+    # aggregate below its own exchange, re-running the tokenizer scan.
+    # Checkpointed rows are 5 scalars/doc; totals = the same sums over the
+    # same rows, read off the windowed frame.
+    t = t.withColumn("intra", F.sum("n_tok").over(intra_w)).localCheckpoint(
+        eager=True
+    )
     totals = t.groupBy("source", "block").agg(
         F.sum("n_tok").alias("block_tot")
     )
