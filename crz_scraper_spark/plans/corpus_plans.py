@@ -43,13 +43,20 @@ _CHUNK_STRIDE = 48
 
 def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks")).filter(
-        F.size("toks") > 0
-    )
+    # Empty docs drop via the explode of the empty CASE arm, not a filter:
+    # Filter(size(toks) > 0) pushed below the tokenizer projection
+    # re-evaluated the regex split per row (2 evaluations → 1). The guard
+    # is also required for correctness — Spark's sequence(1, 0, step>0)
+    # raises rather than returning [].
+    toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
     return toks.select(
         "doc_id",
         F.explode(
-            F.expr(f"sequence(1, size(toks), {_CHUNK_STRIDE})")
+            F.expr(
+                f"CASE WHEN size(toks) > 0 THEN"
+                f" sequence(1, size(toks), {_CHUNK_STRIDE})"
+                f" ELSE array() END"
+            )
         ).alias("chunk_start"),
         F.col("toks"),
     ).select(
@@ -565,16 +572,22 @@ def line_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # Empty docs drop via the posexplode of the empty CASE arm, not a
+    # filter: Filter(size(toks) > 0) pushed below the tokenizer projection
+    # re-evaluated the regex split per row (2 evaluations → 1); the guard
+    # also keeps sequence() off the size=0 case, where (size−1) div N = −1
+    # would make the bidirectional sequence(0, −1) emit bogus segments.
     segs = (
         docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
-        .filter(F.size("toks") > 0)
         .select(
             "doc_id",
             F.posexplode(
                 F.expr(
-                    f"transform(sequence(0, (size(toks) - 1) div {_LINE_TOKS}),"
+                    f"CASE WHEN size(toks) > 0 THEN"
+                    f" transform(sequence(0, (size(toks) - 1) div {_LINE_TOKS}),"
                     f" i -> concat_ws(' ', slice(toks, i * {_LINE_TOKS} + 1,"
                     f" {_LINE_TOKS})))"
+                    f" ELSE array() END"
                 )
             ).alias("seg_idx", "seg"),
         )
