@@ -327,7 +327,50 @@ def main() -> None:
         compact["ratio_vs_committed"] = ratio_report
     if notes:
         compact["query_notes"] = notes
-    print(json.dumps(compact, separators=(",", ":")))
+    print(_capped_line(compact))
+
+
+# The driver's stdout capture has truncated the compact line twice
+# (BENCH_r01 and BENCH_r09: `parsed: null`), losing the round's per-query
+# comparability. The line must therefore be bounded no matter how many
+# attribution entries a run accumulates — `query_notes` carries one
+# ~200-byte dict per DISTINCT connected_components decision, so a run
+# with many distinct decisions grows without bound (VERDICT r10 item 1).
+# Everything dropped here remains in the full results file; the drop is
+# recorded in the line itself ("line_dropped") so a reader knows to look.
+_LINE_CAP_BYTES = 2048
+# Drop order: bulkiest/most-optional first. The contract keys
+# (metric/value/unit/queries/sf) are never dropped — the 50-query
+# headline map serializes to ~1.4 KB, which is why the cap is 2 KB and
+# not lower.
+_LINE_DROP_ORDER = (
+    ("query_notes",),
+    ("ratio_vs_committed", "flagged_over_1p5x"),
+    ("environment",),
+    ("excluded_queries",),
+    ("ratio_vs_committed",),
+)
+
+
+def _capped_line(compact: dict, cap: int = _LINE_CAP_BYTES) -> str:
+    line = json.dumps(compact, separators=(",", ":"))
+    dropped: list[str] = []
+    for path in _LINE_DROP_ORDER:
+        if len(line.encode()) <= cap:
+            break
+        node = compact
+        for key in path[:-1]:
+            node = node.get(key)
+            if not isinstance(node, dict):
+                node = None
+                break
+        if node is None or path[-1] not in node:
+            continue
+        del node[path[-1]]
+        dropped.append(".".join(path))
+        compact["line_dropped"] = dropped
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
 
 
 def _ratio_vs_committed(

@@ -82,6 +82,37 @@ def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     return df.repartition(parallelism)
 
 
+def pin(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a SMALL shared frame so two consumer lineages
+    read it once instead of recomputing it (count tables, per-doc scalar
+    frames — never corpus text; see each call site's size note).
+
+    Why a checkpoint and not persist: a frame consumed by two branches
+    plans one full upstream lineage PER consumer — a partial aggregate
+    below one branch's exchange makes the exchanges canonically unequal,
+    and AQE stage dedup does not fire across the broadcast boundary (both
+    verified on executed plans, optimization r10). Cutting the lineage is
+    the only reliable share. EAGER, because a lazy checkpoint lets AQE's
+    concurrently-submitted consumer stages race to compute unmaterialized
+    partitions (the r10 containment/perplexity race class).
+
+    Trade-offs (accepted deliberately, documented once here — ADVICE r10):
+    the upstream plan executes at construction time (an eager Spark job
+    per call, inside the bench's timed window, so reps stay honest); the
+    checkpoint blocks live UNREPLICATED on executor storage and are freed
+    by GC/ContextCleaner, not spark.catalog.clearCache() — acceptable for
+    bounded read-compute-report queries, wrong for a frame that must
+    survive executor preemption; and localCheckpoint is unavailable over
+    Spark Connect before 4.0, so on an old Connect gateway we fall back
+    to persist + count (keeps the lineage but still materializes once).
+    """
+    if hasattr(df, "localCheckpoint"):
+        return df.localCheckpoint(eager=True)
+    out = df.persist()  # pre-4.0 Spark Connect: no localCheckpoint proxy
+    out.count()
+    return out
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register each table as a temp view so SQL-form queries can run."""
     dfs = load_tables(spark, sf_dir)

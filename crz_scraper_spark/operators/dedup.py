@@ -728,6 +728,22 @@ def _parse_byte_size(s: str, default_unit: int = 1) -> int:
 # JVM relay cost (~50 B/edge serialized) is limited separately by
 # spark.driver.maxResultSize; with the Spark defaults (1g driver / 1g
 # maxResultSize) the Python-heap constraint is the binding one.
+#
+# Worked examples of the resulting ceiling (VERDICT r10 item 7 — the
+# default is load-bearing, so its math lives here, not in a round doc):
+#   1g driver / 1g maxResultSize  -> min(1g/4/300,  1g/2/50) ≈ 0.9M edges
+#     (heap-bound: 0.9M × 300 B ≈ 256 MiB of Python heap, 1/4 of the JVM
+#     figure — the Python process is sized alongside the JVM here)
+#   48g driver / 1g maxResultSize -> min(48g/4/300, 1g/2/50) = 10.7M edges
+#     (RELAY-bound: 10.7M × 300 B ≈ 3 GiB of Python heap — safe because
+#     the 48 GiB figure says the box provisions tens of GiB for the
+#     driver; the binding constraint is the 1 GiB collect relay at
+#     10.7M × 50 B ≈ 512 MiB, half the configured maxResultSize)
+# A caller overriding driver_max_edges directly bypasses BOTH guards:
+# keep any manual value under (driver heap)/4/300 AND
+# (maxResultSize)/2/50, or the collect either OOMs the driver's Python
+# process or trips Spark's "serialized results bigger than
+# maxResultSize" error at 100 TB pair volumes.
 _BYTES_PER_EDGE_DRIVER = 300
 _DRIVER_HEAP_FRACTION = 4  # use at most 1/4 of the driver heap for edges
 

@@ -143,6 +143,37 @@ MORPH_SUFFIXES = ["s", "es", "ed", "ing"]
 MORPH_MIN_STEM = 3
 
 
+def _morph_accepted_vocab(vocab: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """The accepted-word set shared by both morph tiers (ADVICE r10 — the
+    two copies could drift): each VOCABULARY word (not each occurrence —
+    the vocab is corpus-log sized) explodes to ≤ len(MORPH_SUFFIXES)+1
+    stem candidates, semi-joins the broadcast dictionary, and the accepted
+    words come back as a broadcastable (word, __ok=1) frame."""
+    dic = dictionary.select(
+        F.col(dictionary.columns[0]).alias("dword")
+    ).distinct()
+    stem_cols = [F.col("word")]
+    for suf in MORPH_SUFFIXES:
+        stem = F.expr(
+            f"CASE WHEN word LIKE '%{suf}' AND"
+            f" length(word) - {len(suf)} >= {MORPH_MIN_STEM}"
+            f" THEN substring(word, 1, length(word) - {len(suf)}) END"
+        )
+        stem_cols.append(stem)
+    cand = vocab.select(
+        "word",
+        F.explode(
+            F.filter(F.array(*stem_cols), lambda s: s.isNotNull())
+        ).alias("stem"),
+    )
+    return (
+        cand.join(F.broadcast(dic), cand.stem == dic.dword, "left_semi")
+        .select("word")
+        .distinct()
+        .withColumn("__ok", F.lit(1))
+    )
+
+
 def morph_oov_profile(
     docs: DataFrame,
     dictionary: DataFrame,
@@ -159,30 +190,7 @@ def morph_oov_profile(
     toks = docs.select(
         F.col(id_col), F.explode(tokens_nonempty(text_col)).alias("word")
     )
-    dic = dictionary.select(
-        F.col(dictionary.columns[0]).alias("dword")
-    ).distinct()
-    vocab = toks.select("word").distinct()
-    stem_cols = [F.col("word")]
-    for suf in MORPH_SUFFIXES:
-        stem = F.expr(
-            f"CASE WHEN word LIKE '%{suf}' AND"
-            f" length(word) - {len(suf)} >= {MORPH_MIN_STEM}"
-            f" THEN substring(word, 1, length(word) - {len(suf)}) END"
-        )
-        stem_cols.append(stem)
-    cand = vocab.select(
-        "word",
-        F.explode(
-            F.filter(F.array(*stem_cols), lambda s: s.isNotNull())
-        ).alias("stem"),
-    )
-    accepted = (
-        cand.join(F.broadcast(dic), cand.stem == dic.dword, "left_semi")
-        .select("word")
-        .distinct()
-        .withColumn("__ok", F.lit(1))
-    )
+    accepted = _morph_accepted_vocab(toks.select("word").distinct(), dictionary)
     joined = toks.join(F.broadcast(accepted), "word", "left")
     return (
         joined.groupBy(id_col)
@@ -211,29 +219,8 @@ def morph_oov_profile_counts(
     stem candidates, and the per-doc profile all roll off one tokenize
     pass. Same rows by the same count identities; the stem/accept logic is
     generated from the identical MORPH_SUFFIXES arms."""
-    dic = dictionary.select(
-        F.col(dictionary.columns[0]).alias("dword")
-    ).distinct()
-    vocab = doc_word_counts.select("word").distinct()
-    stem_cols = [F.col("word")]
-    for suf in MORPH_SUFFIXES:
-        stem = F.expr(
-            f"CASE WHEN word LIKE '%{suf}' AND"
-            f" length(word) - {len(suf)} >= {MORPH_MIN_STEM}"
-            f" THEN substring(word, 1, length(word) - {len(suf)}) END"
-        )
-        stem_cols.append(stem)
-    cand = vocab.select(
-        "word",
-        F.explode(
-            F.filter(F.array(*stem_cols), lambda s: s.isNotNull())
-        ).alias("stem"),
-    )
-    accepted = (
-        cand.join(F.broadcast(dic), cand.stem == dic.dword, "left_semi")
-        .select("word")
-        .distinct()
-        .withColumn("__ok", F.lit(1))
+    accepted = _morph_accepted_vocab(
+        doc_word_counts.select("word").distinct(), dictionary
     )
     joined = doc_word_counts.join(F.broadcast(accepted), "word", "left")
     return (

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crz_scraper_spark.catalog import fan_out, load_table
+from crz_scraper_spark.catalog import fan_out, load_table, pin
 
 _TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), ' +'), w -> w <> '')"
 _TOKS_SPARK = "filter(split(lower(text), ' +'), w -> w <> '')"
@@ -200,7 +200,7 @@ def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deduped across the broadcast boundary — without it the corpus
     # tokenized once per consumer. Same model-sized count table either
     # way (the perplexity_filter c12 pattern).
-    bigrams = (
+    bigrams = pin(
         docs.select(F.expr(_TOKS_SPARK).alias("toks"))
         .select(
             F.explode(
@@ -216,7 +216,6 @@ def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bg.w1", "bg.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=True)
     )
     continuation = bigrams.groupBy("w2").agg(
         F.count("*").alias("w2_continuations")
@@ -365,10 +364,8 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unmaterialized partitions. Eager pins exactly ONE corpus pass for
     # the LM table. State is LM-model-sized (distinct bigrams), the same
     # bound that already makes it broadcastable.
-    c12 = (
-        doc_bigrams.groupBy("w1", "w2")
-        .agg(F.count("*").alias("c12"))
-        .localCheckpoint()
+    c12 = pin(
+        doc_bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     )
     # c1 and the vocabulary size both derive EXACTLY from the c12 table —
     # c1(w1) = Σ_w2 c12(w1,w2), vocab = |{w1} ∪ {w2} of c12's keys| — so

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crz_scraper_spark.catalog import fan_out, load_table
+from crz_scraper_spark.catalog import fan_out, load_table, pin
 
 _TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), ' +'), w -> w <> '')"
 _TOKS_SPARK = "filter(split(lower(text), ' +'), w -> w <> '')"
@@ -609,9 +609,7 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate below its own exchange, re-running the tokenizer scan.
     # Checkpointed rows are 5 scalars/doc; totals = the same sums over the
     # same rows, read off the windowed frame.
-    t = t.withColumn("intra", F.sum("n_tok").over(intra_w)).localCheckpoint(
-        eager=True
-    )
+    t = pin(t.withColumn("intra", F.sum("n_tok").over(intra_w)))
     totals = t.groupBy("source", "block").agg(
         F.sum("n_tok").alias("block_tot")
     )

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from crz_scraper_spark.catalog import load_table
+from crz_scraper_spark.catalog import load_table, pin
 from crz_scraper_spark.functions.text import WORD_SEPARATOR_RE, tokens_nonempty
 from crz_scraper_spark.operators.dedup import first_wins_dedup
 
@@ -39,14 +39,13 @@ def dictionary_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenizer over the full corpus text twice (the broadcast-side
     # lineage is not deduped by AQE); the count table is the far smaller
     # shuffle. Σ n over docs = the word's corpus count, so the > 5 cut is
-    # arithmetic-identical.
-    dw = (
+    # arithmetic-identical. pin() = guarded eager checkpoint (catalog.py).
+    dw = pin(
         docs.select(
             "doc_id", F.explode(tokens_nonempty("text")).alias("word")
         )
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
     )
     dictionary = (
         dw.groupBy("word")
@@ -115,16 +114,20 @@ def dictionary_oov_morph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the probe guarantees ≥5), so
     #   orig_count(w) = aug_count(w) − n_docs_in_dw  for probe words,
     #   orig_count(w) = aug_count(w)                 otherwise.
-    dw = (
+    dw = pin(
         aug.select(
             "doc_id", F.explode(tokens_nonempty("text")).alias("word")
         )
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
     )
     n_docs = dw.select(F.count_distinct("doc_id")).first()[0]
     probe_words = _MORPH_PROBE.split()
+    # The aug_count − n_docs correction is exact ONLY while every probe
+    # word occurs exactly once in the probe string; a repeated probe word
+    # would under-subtract and silently corrupt the dictionary (ADVICE
+    # r10). Guard the invariant where the arithmetic depends on it.
+    assert len(probe_words) == len(set(probe_words)), _MORPH_PROBE
     dictionary = (
         dw.groupBy("word")
         .agg(F.sum("n").alias("tot"))

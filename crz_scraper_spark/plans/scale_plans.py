@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crz_scraper_spark.catalog import fan_out, load_table
+from crz_scraper_spark.catalog import fan_out, load_table, pin
 from crz_scraper_spark.functions.text import WORD_SEPARATOR_RE, tokens_nonempty
 from crz_scraper_spark.operators.dedup import (
     fixed_centroids,
@@ -963,7 +963,14 @@ def ngram_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (each array still crosses twice), but ONE tokenize pass and ONE
     # exchange instead of two of each; inner-join semantics preserved by
     # requiring both roles present. Each group holds at most one row per
-    # role, so first(ignorenulls) is deterministic.
+    # role BECAUSE doc_id is the documents table's unique key (a duplicate
+    # doc_id would collapse to one arbitrary first() where the old join
+    # emitted one row per match — keep that assumption true or revisit);
+    # given that, first(ignorenulls) is deterministic. NULL doc_ids must
+    # drop BEFORE tagging (ADVICE r10): the old equi-join dropped NULL
+    # keys, but here a NULL doc's role-0 and role-1 rows would both land
+    # in the NULL group and fabricate a self-pair.
+    sh = sh.filter(F.col("doc_id").isNotNull())
     tagged = sh.select(
         F.explode(
             F.array(
@@ -2138,25 +2145,14 @@ def _release_semdedup_cache(result: DataFrame) -> DataFrame:
     long-lived driver-gate/bench sessions. NOT a driver collect: the
     verdict table is corpus-sized (one row per vector), so it stays
     distributed — the bounded-collect pattern fuzzy_name_pairs_banded
-    uses applies only to per-group rollups.
-
-    Trade-offs of the eager localCheckpoint (accepted deliberately):
-    the plan executes fully at construction time; the checkpoint blocks
-    live UNREPLICATED on executor storage (the frame is not recomputable
-    after executor loss — fine for these bounded read-compute-report
-    queries, wrong for a frame that must survive preemption); they are
-    released by GC/ContextCleaner, not spark.catalog.clearCache(); and
-    localCheckpoint is unavailable over Spark Connect before 4.0, so on
-    an old Connect gateway we fall back to persist-then-release-parent
-    (keeps the lineage but still frees the wide vector base)."""
+    uses applies only to per-group rollups. The eager-checkpoint
+    trade-offs (construction-time execution, unreplicated blocks,
+    GC-released, pre-4.0 Connect persist fallback) are documented once on
+    `catalog.pin`, which this wraps (ADVICE r10)."""
     cached = getattr(result, "_crz_cached", None)
     if cached is None:
         return result
-    if hasattr(result, "localCheckpoint"):
-        out = result.localCheckpoint(eager=True)
-    else:  # pre-4.0 Spark Connect: no localCheckpoint on the proxy
-        out = result.persist()
-        out.count()
+    out = pin(result)
     cached.unpersist()
     return out
 

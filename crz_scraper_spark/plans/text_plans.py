@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crz_scraper_spark.catalog import fan_out, load_table
+from crz_scraper_spark.catalog import fan_out, load_table, pin
 from crz_scraper_spark.functions.text import (
     WORD_SEPARATOR_RE,
     subject_extract,
@@ -382,10 +382,8 @@ def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verified on the executed plan). One tokenize pass, one shuffle; the
     # checkpointed rows are the per-(doc, word) counts — the "index", far
     # smaller than the token stream.
-    tf = (
-        toks.groupBy("doc_id", "word")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)
+    tf = pin(
+        toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     )
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
@@ -524,9 +522,9 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize+shuffle+window pass — the same single-pass guarantee
     # perplexity_filter/bm25_search use — and the checkpointed rows are 4
     # integers/doc, corpus-bytes-free. Same sums over the same rows.
-    intra = toks.withColumn(
+    intra = pin(toks.withColumn(
         "intra", F.coalesce(F.sum("n_tokens").over(w_intra), F.lit(0))
-    ).localCheckpoint(eager=True)
+    ))
     w_blocks = Window.orderBy("blk").rowsBetween(
         Window.unboundedPreceding, -1
     )
