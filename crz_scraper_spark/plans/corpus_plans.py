@@ -103,18 +103,17 @@ _BP_DOC_FRAC = 0.20  # gram is boilerplate if in > 20% of documents
 def boilerplate_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _BP_N
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    grams = (
-        docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
-        .filter(F.size("toks") >= n)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"array_distinct(transform(sequence(1, size(toks) - {n - 1}),"
-                    f" i -> concat_ws(' ', slice(toks, i, {n}))))"
-                )
-            ).alias("gram"),
-        )
+    # Per-doc distinct gram ARRAY, guarded by the empty CASE arm (short
+    # docs yield [] and drop at the explode — a pushed-down size(toks)
+    # filter would re-evaluate the regex split per row, the r10 finding).
+    core = (
+        f"array_distinct(transform(sequence(1, size(toks) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(toks, i, {n}))))"
+    )
+    gram_arr = f"CASE WHEN size(toks) >= {n} THEN {core} ELSE array() END"
+    toked = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    grams = toked.select(
+        "doc_id", F.explode(F.expr(gram_arr)).alias("gram")
     )
     # Scalar doc count for the blacklist threshold: count the RAW table
     # (parquet count pushdown, no shuffle), not the fanned frame — the
@@ -127,24 +126,50 @@ def boilerplate_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > _BP_DOC_FRAC * n_docs)
         .select("gram")
     )
-    flagged = grams.join(
-        F.broadcast(blacklist).withColumn("is_bp", F.lit(1)), "gram", "left"
+    # The blacklist is bounded BY CONSTRUCTION at avg_grams_per_doc /
+    # _BP_DOC_FRAC entries (Σ df = n_docs · avg_grams and every member
+    # has df > frac · n_docs), independent of corpus size — so it rides
+    # the plan as ONE collected-array row on a broadcast nested-loop
+    # join. The per-doc side then needs NO explode, NO join probe per
+    # gram, and NO per-doc re-aggregation (optimization r11, guide §1.2
+    # step 1): each doc's counts are per-row array arithmetic —
+    # n_grams = size(grams), n_boilerplate = |grams ∩ blacklist| —
+    # where the former explode + broadcast-hash-join + groupBy(doc_id)
+    # shape multiplied every doc into ~|grams| rows, probed the hash
+    # relation once per gram row, and paid a docs-sized exchange to
+    # reassemble what was per-row information all along. Casts keep the
+    # former count()/sum() BIGINT schema. The wrapping explode of the
+    # 1-element array drops size<n docs exactly like the old pre-explode
+    # filter (empty CASE arm), without a pushed-down size() filter.
+    bp_row = blacklist.agg(F.collect_list("gram").alias("bp"))
+    per_doc = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {n} THEN array({core})"
+                f" ELSE array() END"
+            )
+        ).alias("gs"),
     )
-    return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.coalesce(F.col("is_bp"), F.lit(0))).alias("n_boilerplate"),
-        )
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_boilerplate",
-            F.round(F.col("n_boilerplate") / F.col("n_grams"), 6).alias(
-                "boilerplate_ratio"
-            ),
-            (F.col("n_boilerplate") / F.col("n_grams") <= 0.5).alias("keep"),
-        )
+    # Stage the counts once, then derive ratio/keep from the COLUMNS (the
+    # r10 quality_score lesson: a flat projection re-evaluates a
+    # multiply-referenced subexpression; CollapseProject keeps non-cheap
+    # multiply-referenced aliases split and codegen fuses both projections
+    # into one pass anyway).
+    counts = per_doc.crossJoin(F.broadcast(bp_row)).select(
+        "doc_id",
+        F.size("gs").cast("bigint").alias("n_grams"),
+        F.size(F.array_intersect("gs", "bp")).cast("bigint").alias(
+            "n_boilerplate"
+        ),
+    )
+    ratio = F.col("n_boilerplate") / F.col("n_grams")
+    return counts.select(
+        "doc_id",
+        "n_grams",
+        "n_boilerplate",
+        F.round(ratio, 6).alias("boilerplate_ratio"),
+        (ratio <= 0.5).alias("keep"),
     )
 
 
