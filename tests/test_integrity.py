@@ -152,14 +152,22 @@ def test_chunking_plan_is_map_only(spark):
 
 
 def test_boilerplate_blacklist_broadcasts(spark):
-    """The frequent-gram blacklist must reach the per-doc join as a
-    broadcast (it is frequency-capped by construction); corpus-sized data
-    shuffles only for the two aggregates."""
+    """The frequent-gram blacklist must reach the per-doc side as a
+    broadcast (it is frequency-capped by construction): since r11 it is
+    ONE collected-array row on a BroadcastNestedLoopJoin, and the per-doc
+    counts are per-row array arithmetic — no per-gram hash-join probe, no
+    docs-sized re-aggregation exchange after the join (the only exchanges
+    are the two fan-out repartitions, the gram-DF aggregate, and the
+    blacklist-array collect). Corpus-sized data never sort-merge-joins."""
     from crz_scraper_spark.plans.corpus_plans import boilerplate_ngram_filter
 
     plan = _executed_plan(boilerplate_ngram_filter(spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    # No aggregation sits above the join: counts are per-row.
+    join_pos = plan.index("BroadcastNestedLoopJoin")
+    assert "HashAggregate" not in plan[:join_pos], plan[:join_pos]
 
 
 def test_checksum_sum_catches_even_multiplicity_swap(spark):
